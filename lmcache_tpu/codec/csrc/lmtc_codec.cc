@@ -1,0 +1,141 @@
+// Parallel range coder for CacheGen-style KV bitstreams.
+//
+// TPU-native replacement for the reference's CUDA entropy codec
+// (torchac_cuda: encode_fast_new / decode_fast_prefsum, used at
+// reference lmcache/serde/cachegen_encoder.py:255 and
+// cachegen_decoder.py:52-66). Bit-serial arithmetic coding does not map
+// onto the TPU vector units, so — as on GPU — parallelism comes from
+// thousands of independent (layer, channel) streams, here spread across
+// host cores with OpenMP while the TPU runs quantization and attention.
+//
+// Coder: carry-less byte-oriented range coder (Subbotin style) with
+// 16-bit cumulative frequencies. CDFs are uint16 with cdf[0] == 0 and an
+// implied final bound of 65536 (the Python side guarantees strict
+// monotonicity via the +arange normalization trick).
+//
+// Build: g++ -O3 -fopenmp -shared -fPIC (see lmcache_tpu/codec/build.py).
+
+#include <cstdint>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr uint32_t kTop = 1u << 24;
+constexpr uint32_t kBot = 1u << 16;
+
+inline uint32_t cdf_at(const uint16_t* cdf, int n_bins, int i) {
+  // implied upper bound: cdf[n_bins] == 65536 (wraps to 0 in uint16)
+  if (i >= n_bins) return 65536u;
+  return cdf[i];
+}
+
+// Encode one stream of n symbols. Returns the number of bytes written.
+int encode_stream(const uint8_t* symbols, int n, const uint16_t* cdf,
+                  int n_bins, uint8_t* out, int out_cap) {
+  uint32_t low = 0, range = 0xFFFFFFFFu;
+  int pos = 0;
+  for (int t = 0; t < n; ++t) {
+    const int s = symbols[t];
+    const uint32_t cf = cdf_at(cdf, n_bins, s);
+    const uint32_t cfn = cdf_at(cdf, n_bins, s + 1);
+    range /= 65536u;
+    low += cf * range;
+    range *= (cfn - cf);
+    // renormalize (carry-less: clamp range at low-boundary crossings)
+    while ((low ^ (low + range)) < kTop ||
+           (range < kBot && ((range = -low & (kBot - 1)), true))) {
+      if (pos >= out_cap) return -1;
+      out[pos++] = static_cast<uint8_t>(low >> 24);
+      low <<= 8;
+      range <<= 8;
+    }
+  }
+  for (int i = 0; i < 4; ++i) {
+    if (pos >= out_cap) return -1;
+    out[pos++] = static_cast<uint8_t>(low >> 24);
+    low <<= 8;
+  }
+  return pos;
+}
+
+// Decode one stream of n symbols from `in` (len bytes).
+void decode_stream(const uint8_t* in, int len, int n, const uint16_t* cdf,
+                   int n_bins, uint8_t* out) {
+  uint32_t low = 0, range = 0xFFFFFFFFu, code = 0;
+  int pos = 0;
+  for (int i = 0; i < 4; ++i)
+    code = (code << 8) | (pos < len ? in[pos++] : 0);
+  for (int t = 0; t < n; ++t) {
+    range /= 65536u;
+    uint32_t target = (code - low) / range;
+    if (target > 65535u) target = 65535u;
+    // binary search the cdf for target
+    int lo = 0, hi = n_bins;  // invariant: cdf[lo] <= target < cdf[hi]
+    while (hi - lo > 1) {
+      const int mid = (lo + hi) >> 1;
+      if (cdf_at(cdf, n_bins, mid) <= target)
+        lo = mid;
+      else
+        hi = mid;
+    }
+    out[t] = static_cast<uint8_t>(lo);
+    const uint32_t cf = cdf_at(cdf, n_bins, lo);
+    const uint32_t cfn = cdf_at(cdf, n_bins, lo + 1);
+    low += cf * range;
+    range *= (cfn - cf);
+    while ((low ^ (low + range)) < kTop ||
+           (range < kBot && ((range = -low & (kBot - 1)), true))) {
+      code = (code << 8) | (pos < len ? in[pos++] : 0);
+      low <<= 8;
+      range <<= 8;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// symbols: [n_streams, n_symbols] row-major.
+// cdf:     [n_streams, n_bins + 1] uint16 (entry n_bins ignored/implied).
+// out:     [n_streams, out_stride] byte buffer.
+// out_lens:[n_streams] written byte counts (-1 on overflow).
+void lmtc_encode_streams(const uint8_t* symbols, int n_streams, int n_symbols,
+                         const uint16_t* cdf, int n_bins, uint8_t* out,
+                         int out_stride, int32_t* out_lens) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int i = 0; i < n_streams; ++i) {
+    out_lens[i] = encode_stream(symbols + static_cast<int64_t>(i) * n_symbols,
+                                n_symbols, cdf + static_cast<int64_t>(i) * (n_bins + 1),
+                                n_bins, out + static_cast<int64_t>(i) * out_stride,
+                                out_stride);
+  }
+}
+
+// in:       concatenated bytestreams.
+// offsets:  [n_streams + 1] byte offsets of each stream within `in`.
+// out:      [n_streams, n_symbols] decoded symbols.
+void lmtc_decode_streams(const uint8_t* in, const int64_t* offsets,
+                         int n_streams, int n_symbols, const uint16_t* cdf,
+                         int n_bins, uint8_t* out) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int i = 0; i < n_streams; ++i) {
+    decode_stream(in + offsets[i], static_cast<int>(offsets[i + 1] - offsets[i]),
+                  n_symbols, cdf + static_cast<int64_t>(i) * (n_bins + 1), n_bins,
+                  out + static_cast<int64_t>(i) * n_symbols);
+  }
+}
+
+int lmtc_num_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"

@@ -1,0 +1,13 @@
+"""Model families served by the TPU-native engine.
+
+The reference (lmcache) is a cache sidecar and keeps the model inside
+vLLM; here the serving model is first-class so the whole stack —
+prefill/decode, KV layout, cache reuse — is one coherent TPU program.
+"""
+
+from lmcache_tpu.models.llama import (LlamaConfig, init_params, load_hf,
+                                      forward, new_kv_cache)
+
+__all__ = [
+    "LlamaConfig", "init_params", "load_hf", "forward", "new_kv_cache"
+]

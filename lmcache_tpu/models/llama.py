@@ -1,0 +1,266 @@
+"""LLaMA-family transformer, TPU-first.
+
+Covers the reference's served model families (llama/longchat/mistral — the
+CacheGen per-family quantization table, reference
+lmcache/serde/cachegen_basics.py:32-78, keys off these names).
+
+Design (idiomatic JAX, not a torch translation):
+
+- parameters are a plain pytree with all layers **stacked** on a leading
+  ``[L, ...]`` axis and the layer loop expressed as ``lax.scan`` — one
+  traced layer body regardless of depth, fast XLA compiles;
+- the KV cache is a single array ``[L, 2, B, S_max, H_kv, D]`` (vllm-fmt
+  token-major inner layout, so ``cache[:, :, b, :n]`` *is* the cache-engine
+  blob, lmcache_tpu/kv.py) updated functionally and donated under jit;
+- per-sequence write offsets (continuous batching: every row of the batch
+  is at a different position) via ``vmap``-ed ``dynamic_update_slice``;
+- attention is the Pallas flash kernel (ops/attention.py) fed directly
+  from the cache buffer — prefill-with-cached-prefix and decode are the
+  same code path with different ``T``.
+"""
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmcache_tpu.ops.attention import flash_attention, mha_reference
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    hidden_dim: int = 11008
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_seq_len: int = 16384
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @staticmethod
+    def tiny(**over) -> "LlamaConfig":
+        """Small config for tests — geometry chosen to still exercise GQA
+        and 128-lane tiling."""
+        kw = dict(vocab_size=512, dim=256, n_layers=4, n_heads=4,
+                  n_kv_heads=2, hidden_dim=512, max_seq_len=1024,
+                  dtype="float32")
+        kw.update(over)
+        return LlamaConfig(**kw)
+
+    @staticmethod
+    def tinyllama_1_1b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=32000, dim=2048, n_layers=22,
+                           n_heads=32, n_kv_heads=4, hidden_dim=5632,
+                           max_seq_len=2048, rope_theta=10000.0)
+
+    @staticmethod
+    def llama2_7b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def longchat_7b_16k() -> "LlamaConfig":
+        # llama-2-7b arch with 16k rope-scaled context (the reference's
+        # CacheGen eval model, lmcache/serde/cachegen_basics.py:36)
+        return LlamaConfig(max_seq_len=16384, rope_theta=10000.0)
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=32000, dim=4096, n_layers=32,
+                           n_heads=32, n_kv_heads=8, hidden_dim=14336,
+                           rope_theta=1000000.0, max_seq_len=32768)
+
+    @staticmethod
+    def from_hf(model_name: str) -> "LlamaConfig":
+        """Read the architecture from a HuggingFace config."""
+        from transformers import AutoConfig
+        hc = AutoConfig.from_pretrained(model_name)
+        return LlamaConfig(
+            vocab_size=hc.vocab_size,
+            dim=hc.hidden_size,
+            n_layers=hc.num_hidden_layers,
+            n_heads=hc.num_attention_heads,
+            n_kv_heads=getattr(hc, "num_key_value_heads",
+                               hc.num_attention_heads),
+            hidden_dim=hc.intermediate_size,
+            norm_eps=hc.rms_norm_eps,
+            rope_theta=getattr(hc, "rope_theta", 10000.0),
+            max_seq_len=hc.max_position_embeddings,
+        )
+
+
+def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
+    dt = jnp.dtype(cfg.dtype)
+    L, dim, hd = cfg.n_layers, cfg.dim, cfg.head_dim
+    nh, nkv, hid = cfg.n_heads, cfg.n_kv_heads, cfg.hidden_dim
+    keys = jax.random.split(rng, 8)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) *
+                (fan_in**-0.5)).astype(dt)
+
+    return {
+        "embed": w(keys[0], (cfg.vocab_size, dim), dim),
+        "layers": {
+            "attn_norm": jnp.ones((L, dim), dt),
+            "wq": w(keys[1], (L, dim, nh * hd), dim),
+            "wk": w(keys[2], (L, dim, nkv * hd), dim),
+            "wv": w(keys[3], (L, dim, nkv * hd), dim),
+            "wo": w(keys[4], (L, nh * hd, dim), nh * hd),
+            "mlp_norm": jnp.ones((L, dim), dt),
+            "w_gate": w(keys[5], (L, dim, hid), dim),
+            "w_up": w(keys[6], (L, dim, hid), dim),
+            "w_down": w(keys[7], (L, hid, dim), hid),
+        },
+        "final_norm": jnp.ones((dim,), dt),
+        "lm_head": w(keys[0], (dim, cfg.vocab_size), dim),
+    }
+
+
+def load_hf(model_name: str,
+            cfg: Optional[LlamaConfig] = None) -> Tuple[LlamaConfig, Params]:
+    """Convert HuggingFace llama/mistral weights into the stacked pytree.
+
+    torch (cpu) is only used as a weight reader; everything downstream is
+    numpy/jax.
+    """
+    import torch
+    from transformers import AutoModelForCausalLM
+    if cfg is None:
+        cfg = LlamaConfig.from_hf(model_name)
+    model = AutoModelForCausalLM.from_pretrained(model_name,
+                                                 torch_dtype=torch.float32)
+    sd = model.state_dict()
+    dt = jnp.dtype(cfg.dtype)
+
+    def t(name):  # torch Linear stores [out, in]; we apply x @ W
+        return np.asarray(sd[name].numpy().T)
+
+    def stack(fmt):
+        return jnp.asarray(
+            np.stack([t(fmt.format(i)) for i in range(cfg.n_layers)]), dt)
+
+    def stack_vec(fmt):
+        return jnp.asarray(
+            np.stack([
+                np.asarray(sd[fmt.format(i)].numpy())
+                for i in range(cfg.n_layers)
+            ]), dt)
+
+    lm_head = ("lm_head.weight" if "lm_head.weight" in sd else
+               "model.embed_tokens.weight")  # tied embeddings
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy(), dt),
+        "layers": {
+            "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm":
+            stack_vec("model.layers.{}.post_attention_layernorm.weight"),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy(), dt),
+        "lm_head": jnp.asarray(sd[lm_head].numpy().T, dt),
+    }
+    return cfg, params
+
+
+def new_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> jax.Array:
+    """Fresh KV cache [L, 2, B, S, H_kv, D] (vllm-fmt inner layout)."""
+    return jnp.zeros(
+        (cfg.n_layers, 2, batch, max_len, cfg.n_kv_heads, cfg.head_dim),
+        jnp.dtype(cfg.dtype))
+
+
+def _rms_norm(x, weight, eps):
+    x32 = x.astype(jnp.float32)
+    rms = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * rms).astype(x.dtype) * weight
+
+
+def _rope(x, positions, theta):
+    """HF-convention rotary embedding. x: [B, T, H, D]; positions: [B, T]."""
+    D = x.shape[-1]
+    inv_freq = 1.0 / (theta**(jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,D/2]
+    cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)[:, :, None, :]
+    sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated * sin).astype(x.dtype)
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # int32 [B, T]
+    start_pos: jax.Array,  # int32 [B] — write offset / #cached tokens
+    kv_cache: jax.Array,  # [L, 2, B, S, H_kv, D]
+    *,
+    use_pallas: bool = True,
+    last_logit_only: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One forward step (prefill when T>1, decode when T==1).
+
+    The tokens' KV is written into ``kv_cache`` at ``start_pos[b]`` and the
+    queries attend to everything up to ``start_pos[b] + T``. Cached-prefix
+    reuse = writing retrieved chunks into the cache and calling this with
+    only the suffix tokens. Returns (logits [B, T, vocab], new_kv_cache);
+    with ``last_logit_only`` the lm_head runs on the final position only
+    (logits [B, 1, vocab]) — the serving prefill path.
+    """
+    B, T = tokens.shape
+    positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    kv_len = start_pos + T
+    attend = flash_attention if use_pallas else mha_reference
+
+    x = params["embed"][tokens]  # [B, T, dim]
+
+    def write_at(cache_bt, new_bt, offsets):
+        # cache_bt [B, S, H, D], new_bt [B, T, H, D], offsets int32 [B]
+        return jax.vmap(
+            lambda c, n, s: jax.lax.dynamic_update_slice(c, n, (s, 0, 0)))(
+                cache_bt, new_bt, offsets)
+
+    def layer(x, scanned):
+        lp, cache_l = scanned  # cache_l: [2, B, S, H_kv, D]
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        new_k = write_at(cache_l[0], k.astype(cache_l.dtype), start_pos)
+        new_v = write_at(cache_l[1], v.astype(cache_l.dtype), start_pos)
+
+        attn = attend(q, new_k, new_v, start_pos, kv_len)
+        x = x + attn.reshape(B, T, -1) @ lp["wo"]
+
+        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+        up = (h @ lp["w_up"]).astype(jnp.float32)
+        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
+        return x, jnp.stack((new_k, new_v))
+
+    x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+    if last_logit_only:
+        x = x[:, -1:]
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_cache

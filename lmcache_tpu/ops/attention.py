@@ -1,0 +1,185 @@
+"""Causal attention over a (possibly pre-filled) KV buffer.
+
+One kernel serves both serving-phase shapes:
+
+- **prefill with cached prefix**: ``T`` new query tokens attend to
+  ``kv_len`` tokens already resident in the KV buffer (retrieved cache
+  prefix + the new tokens themselves). This is what makes KV reuse pay
+  off: only the uncached suffix is recomputed (reference contract:
+  docs/source/developer_tutorial/LLM_Engine.rst:108-117).
+- **decode**: ``T == 1`` (padded to one query block).
+
+Layouts: ``q [B, T, H, D]``, ``k/v [B, S, H_kv, D]`` (vllm-fmt token-major,
+matching the cache blob convention, reference lmcache/cache_engine.py:114).
+GQA is supported (``H = G * H_kv``).
+
+The Pallas kernel is a standard TPU flash attention: grid
+``(B, H, T/bq, S/bk)`` with the KV axis innermost, online-softmax carries
+(m, l, acc) in VMEM scratch across KV blocks, masked by per-sequence
+``kv_len`` and the causal boundary ``q_offset + i >= j``. BlockSpec
+pipelining double-buffers the KV streams from HBM automatically.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def mha_reference(q, k, v, q_offset, kv_len) -> jax.Array:
+    """jnp reference (and CPU fallback). Shapes as module docstring."""
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    scale = 1.0 / (D**0.5)
+
+    # [B, Hkv, G, T, D] x [B, Hkv, S, D] -> [B, Hkv, G, T, S]
+    qh = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 3, 1, 4)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qh.astype(jnp.float32),
+                        kh.astype(jnp.float32)) * scale
+
+    qpos = q_offset[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    kpos = jnp.arange(S)[None, :]  # [1, S]
+    mask = (kpos[:, None, :] <= qpos[:, :, None]) & (
+        kpos[:, None, :] < kv_len[:, None, None])  # [B, T, S]
+    scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vh.astype(jnp.float32))
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D).astype(q.dtype)
+
+
+def _flash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, block_q, block_k, scale):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [bq, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [bk, D]
+    v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    qpos = (q_off_ref[b] + iq * block_q +
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
+    kpos = (ik * block_k +
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
+    mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_prev = m_scr[:]  # [bq, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [bq, bk]
+
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+    acc_scr[:] = acc_new
+
+    @pl.when(ik == num_k - 1)
+    def _():
+        # fully-masked rows (query padding) produce l == 0 -> emit zeros
+        l = l_scr[:]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Pallas flash attention. See module docstring for shapes/semantics.
+
+    Args:
+        q: [B, T, H, D] new-token queries.
+        k, v: [B, S, H_kv, D] KV buffers (cache prefix + new tokens).
+        q_offset: int32 [B], global position of the first query token.
+        kv_len: int32 [B], number of valid tokens in the KV buffer.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    if H % Hkv:
+        raise ValueError(f"H ({H}) must be a multiple of H_kv ({Hkv})")
+    group = H // Hkv
+    scale = 1.0 / (D**0.5)
+
+    bq = min(block_q, _round_up(T, 16))
+    bk = min(block_k, _round_up(S, 16))
+    Tp, Sp = _round_up(T, bq), _round_up(S, bk)
+
+    # head-major [B, H, T, D] so token/depth sit in the tiled trailing dims
+    qh = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kh = jnp.pad(k.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    vh = jnp.pad(v.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+
+    grid = (B, H, Tp // bq, Sp // bk)
+
+    kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
+                               scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D),
+                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, D),
+                                   lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), qh, kh, vh)
+    return out[:, :, :T].transpose(0, 2, 1, 3)

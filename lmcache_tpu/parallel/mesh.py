@@ -1,0 +1,86 @@
+"""Mesh construction and sharding rules.
+
+The reference (lmcache) delegates all model parallelism to vLLM and only
+tracks a flat ``world_size``/``worker_id`` pair inside cache keys
+(reference: lmcache/utils.py:12-39). Here parallelism is first-class and
+TPU-native: a ``jax.sharding.Mesh`` with two axes,
+
+- ``"data"``  — data parallel (batch dimension / independent replicas),
+- ``"model"`` — tensor parallel (attention heads & MLP hidden sharded
+  across ICI; the KV cache head axis is sharded on this axis, which is
+  what the cache-engine metadata's ``kv_shard_axis`` refers to).
+
+All shardings are expressed as ``NamedSharding(mesh, PartitionSpec(...))``
+so XLA inserts the collectives (psum for row-parallel matmuls, all-gather
+at the logits) — no hand-written NCCL-style code.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1
+    model: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.data * self.model
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices=None) -> Mesh:
+    """Build a 2-D ("data", "model") mesh over ``devices``.
+
+    Defaults to all local devices on the model axis (TP-first: KV chunks
+    shard by head so the cache tiers hold per-shard slices, mirroring the
+    reference's per-worker key namespace, lmcache/cache_engine.py:37-44).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if cfg is None:
+        cfg = MeshConfig(data=1, model=len(devices))
+    n = cfg.world_size
+    if n > len(devices):
+        raise ValueError(
+            f"mesh needs {n} devices, only {len(devices)} available")
+    grid = np.asarray(devices[:n]).reshape(cfg.data, cfg.model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply LLaMA sharding rules to a parameter pytree (by leaf path name).
+
+    Convention (see models/llama.py param tree): stacked ``[L, in, out]``
+    weights named ``wq/wk/wv`` and ``w_gate/w_up`` are column-parallel on
+    "model" (last axis); ``wo`` and ``w_down`` are row-parallel
+    (second-to-last axis); everything else replicated.
+    """
+    col = {"wq", "wk", "wv", "w_gate", "w_up"}
+    row = {"wo", "w_down"}
+
+    def spec_for(path, ndim) -> P:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in col:
+            return P(*([None] * (ndim - 1)), "model")
+        if name in row:
+            return P(*([None] * (ndim - 2)), "model", None)
+        return P()
+
+    def place(path, leaf):
+        return jax.device_put(leaf,
+                              NamedSharding(mesh, spec_for(path, leaf.ndim)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the paged KV cache [L, 2, B, S, H_kv, D]: batch on
+    "data", kv-heads on "model" (the TP equivalent of the reference's
+    per-worker key shards)."""
+    return NamedSharding(mesh, P(None, None, "data", None, "model", None))

@@ -1,0 +1,172 @@
+"""CacheGen codec serde: TPU quantization + host C++ range coding.
+
+Capability parity with the reference's CacheGen serializer/deserializer
+(reference: lmcache/storage_backend/serde/cachegen_encoder.py:352-389,
+cachegen_decoder.py:142-202), rebuilt for TPU:
+
+- quantization, CDF estimation and dequantization are jitted jnp running
+  on the TPU (lmcache_tpu/ops/quant.py); only uint8 symbols cross the
+  host boundary,
+- entropy coding is the C++ OpenMP range coder with one independent
+  stream per (layer, channel) (lmcache_tpu/codec/) — same parallel
+  decomposition as the reference's GPU-thread-per-stream torchac_cuda,
+- the container is a fixed little-endian binary layout (the reference
+  pickles CUDA tensors, cachegen_basics.py:96-106, which is neither
+  portable nor safe).
+
+Container layout:
+
+    magic    4s  b"LMCG"      version u16      fmt u8 (0 vllm, 1 hf)
+    dlen u8                   dtype ascii[dlen]
+    L u16    H u16  D u16     T u32
+    key_bins  u8[L]           value_bins u8[L]
+    maxes    f32[2, L, T]
+    cdf      u16[2, L, C, 33]         (C = H*D)
+    lens     u32[2, L, C]
+    payload  key streams then value streams, concatenated
+"""
+
+import struct
+
+import numpy as np
+
+from lmcache_tpu.codec import CacheGenConfig, decode_streams, encode_streams
+from lmcache_tpu.codec.cachegen_config import _MAX_BINS
+from lmcache_tpu.config import LMCacheEngineConfig, LMCacheEngineMetadata
+from lmcache_tpu.logging_utils import init_logger
+from lmcache_tpu.storage.serde.serde import Deserializer, Serializer
+from lmcache_tpu.utils import _lmcache_trace_annotate
+
+logger = init_logger(__name__)
+
+MAGIC = b"LMCG"
+VERSION = 1
+_HDR = struct.Struct("<4sHBB")
+_GEOM = struct.Struct("<HHHI")
+_FMT_CODE = {"vllm": 0, "huggingface": 1}
+_FMT_NAME = {v: k for k, v in _FMT_CODE.items()}
+
+
+def _to_token_major(blob, fmt: str):
+    """[L, 2, ...] blob -> K, V as [L, T, C] plus (H, D)."""
+    import jax.numpy as jnp
+    if fmt == "huggingface":  # [L, 2, H, T, D] -> [L, 2, T, H, D]
+        blob = jnp.transpose(jnp.asarray(blob), (0, 1, 3, 2, 4))
+    else:
+        blob = jnp.asarray(blob)
+    L, _, T, H, D = blob.shape
+    k = blob[:, 0].reshape(L, T, H * D)
+    v = blob[:, 1].reshape(L, T, H * D)
+    return k, v, H, D
+
+
+class CacheGenSerializer(Serializer):
+
+    def __init__(self, config: LMCacheEngineConfig,
+                 metadata: LMCacheEngineMetadata):
+        self.fmt = metadata.fmt
+        self.dtype = metadata.dtype
+        self.model_name = metadata.model_name
+        self._cg_cache = {}
+
+    def _cg(self, num_layers: int) -> CacheGenConfig:
+        if num_layers not in self._cg_cache:
+            self._cg_cache[num_layers] = CacheGenConfig.from_model_name(
+                self.model_name, num_layers)
+        return self._cg_cache[num_layers]
+
+    @_lmcache_trace_annotate
+    def to_bytes(self, blob) -> bytes:
+        import jax.numpy as jnp
+        from lmcache_tpu.ops.quant import compute_cdf, quantize
+
+        k, v, H, D = _to_token_major(blob, self.fmt)
+        L, T, C = k.shape
+        cg = self._cg(L)
+        key_bins = jnp.asarray(cg.key_bins, jnp.int32)
+        value_bins = jnp.asarray(cg.value_bins, jnp.int32)
+
+        outs = []
+        for x, bins in ((k, key_bins), (v, value_bins)):
+            sym, maxes = quantize(x, bins)
+            cdf = compute_cdf(sym)
+            # [L, T, C] -> [L, C, T]: contiguous per-(layer, channel) streams
+            outs.append((np.asarray(jnp.transpose(sym, (0, 2, 1))),
+                         np.asarray(maxes)[..., 0], np.asarray(cdf)))
+
+        dtype_name = str(blob.dtype).encode("ascii")
+        parts = [
+            _HDR.pack(MAGIC, VERSION, _FMT_CODE[self.fmt], len(dtype_name)),
+            dtype_name,
+            _GEOM.pack(L, H, D, T),
+            np.asarray(cg.key_bins, np.uint8).tobytes(),
+            np.asarray(cg.value_bins, np.uint8).tobytes(),
+        ]
+        maxes_all = np.stack([outs[0][1], outs[1][1]])  # [2, L, T] f32
+        cdf_all = np.stack([outs[0][2], outs[1][2]])  # [2, L, C, 33] u16
+        parts.append(maxes_all.astype(np.float32).tobytes())
+        parts.append(cdf_all.tobytes())
+
+        lens_parts, payloads = [], []
+        for (sym_lct, _, cdf) in outs:
+            payload, lens = encode_streams(
+                sym_lct.reshape(L * C, T), cdf.reshape(L * C, _MAX_BINS + 1))
+            lens_parts.append(lens.astype(np.uint32))
+            payloads.append(payload)
+        parts.append(np.stack(lens_parts).tobytes())  # [2, L*C] u32
+        parts.extend(payloads)
+        return b"".join(parts)
+
+
+class CacheGenDeserializer(Deserializer):
+
+    def __init__(self, config: LMCacheEngineConfig,
+                 metadata: LMCacheEngineMetadata):
+        self.fmt = metadata.fmt
+
+    @_lmcache_trace_annotate
+    def from_bytes(self, bs: bytes):
+        import jax.numpy as jnp
+        from lmcache_tpu.ops.quant import dequantize
+
+        magic, version, fmt_code, dlen = _HDR.unpack_from(bs, 0)
+        if magic != MAGIC:
+            raise ValueError("Not an LMCG container")
+        if version != VERSION:
+            raise ValueError(f"Unsupported CacheGen container v{version}")
+        off = _HDR.size
+        dtype_name = bs[off:off + dlen].decode("ascii")
+        off += dlen
+        L, H, D, T = _GEOM.unpack_from(bs, off)
+        off += _GEOM.size
+        C = H * D
+
+        key_bins = np.frombuffer(bs, np.uint8, L, off)
+        off += L
+        value_bins = np.frombuffer(bs, np.uint8, L, off)
+        off += L
+        maxes = np.frombuffer(bs, np.float32, 2 * L * T,
+                              off).reshape(2, L, T)
+        off += maxes.nbytes
+        cdf = np.frombuffer(bs, np.uint16, 2 * L * C * (_MAX_BINS + 1),
+                            off).reshape(2, L * C, _MAX_BINS + 1)
+        off += cdf.nbytes
+        lens = np.frombuffer(bs, np.uint32, 2 * L * C, off).reshape(2, L * C)
+        off += lens.nbytes
+
+        halves = []
+        for i, bins in enumerate((key_bins, value_bins)):
+            n = int(lens[i].sum())
+            sym = decode_streams(bs[off:off + n], lens[i], T, cdf[i])
+            off += n
+            # [L*C, T] -> [L, T, C]
+            sym = jnp.transpose(
+                jnp.asarray(sym.reshape(L, C, T)), (0, 2, 1))
+            x = dequantize(sym, jnp.asarray(maxes[i])[..., None],
+                           jnp.asarray(bins, jnp.int32))
+            halves.append(x.reshape(L, T, H, D))
+
+        blob = jnp.stack(halves, axis=1).astype(jnp.dtype(dtype_name))
+        if _FMT_NAME[fmt_code] == "huggingface":
+            blob = jnp.transpose(blob, (0, 1, 3, 2, 4))
+        return blob

@@ -13,12 +13,19 @@ import subprocess
 import sys
 import time
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax initializes a backend. NOTE: in this environment
+# the JAX_PLATFORMS env var is overridden by the TPU plugin, so the config
+# update below (not the env var) is what actually pins tests to the
+# virtual 8-device CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

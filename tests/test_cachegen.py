@@ -1,0 +1,120 @@
+"""CacheGen codec tests: range-coder round-trip, quantization error
+bounds, full serde round-trip (lossy: shape/dtype exact, values within
+quantization tolerance), and compression ratio (reference test model:
+tests/test_serde.py in the reference, which checks encode size parity
+and non-degenerate decode rather than exact equality)."""
+
+import numpy as np
+import pytest
+
+from lmcache_tpu.codec import (CacheGenConfig, codec_available,
+                               decode_streams, encode_streams)
+
+pytestmark = pytest.mark.skipif(not codec_available(),
+                                reason="C++ range coder unavailable")
+
+
+def _random_cdf(rng, n_streams, n_bins=32):
+    """Random valid uint16 CDFs via the same +arange normalization."""
+    pdf = rng.dirichlet(np.ones(n_bins) * 0.3, size=n_streams)
+    cdf_f = np.concatenate(
+        [np.zeros((n_streams, 1)),
+         np.cumsum(pdf, axis=1)], axis=1)
+    cdf = np.round(cdf_f * (2**16 - n_bins)).astype(np.int64) + np.arange(
+        n_bins + 1)
+    return cdf.astype(np.uint16)
+
+
+def test_range_coder_roundtrip():
+    rng = np.random.default_rng(0)
+    n_streams, n_symbols, n_bins = 64, 256, 32
+    cdf = _random_cdf(rng, n_streams, n_bins)
+    symbols = rng.integers(0, n_bins, (n_streams, n_symbols),
+                           dtype=np.uint8)
+    payload, lens = encode_streams(symbols, cdf)
+    assert len(payload) == lens.sum()
+    decoded = decode_streams(payload, lens, n_symbols, cdf)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_range_coder_skewed_is_small():
+    """Heavily-skewed symbols must compress well below 1 byte/symbol."""
+    rng = np.random.default_rng(1)
+    n_streams, n_symbols = 32, 256
+    symbols = (rng.random((n_streams, n_symbols)) < 0.02).astype(
+        np.uint8)  # ~98% zeros
+    counts = np.stack([(symbols == b).sum(1) for b in range(32)], axis=1)
+    pdf = counts / n_symbols
+    cdf_f = np.concatenate(
+        [np.zeros((n_streams, 1)),
+         np.cumsum(pdf, axis=1)], axis=1)
+    cdf = (np.round(cdf_f * (2**16 - 32)) + np.arange(33)).astype(np.uint16)
+    payload, lens = encode_streams(symbols, cdf)
+    decoded = decode_streams(payload, lens, n_symbols, cdf)
+    np.testing.assert_array_equal(decoded, symbols)
+    assert len(payload) < 0.3 * symbols.size  # ~0.14 bpp entropy + flush
+
+
+def test_quantize_roundtrip_error():
+    jnp = pytest.importorskip("jax.numpy")
+    from lmcache_tpu.ops.quant import dequantize, quantize
+    rng = np.random.default_rng(2)
+    L, T, C = 4, 64, 128
+    x = rng.standard_normal((L, T, C)).astype(np.float32)
+    bins = jnp.asarray([32, 32, 16, 16], jnp.int32)
+    sym, maxes = quantize(jnp.asarray(x), bins)
+    sym_np = np.asarray(sym)
+    assert sym_np.max() <= 30
+    back = np.asarray(dequantize(sym, maxes, bins))
+    # per-token absmax quantization error bound: absmax / (2*(bins/2-1))
+    half = np.asarray([15, 15, 7, 7], np.float32)[:, None, None]
+    bound = np.abs(x).max(-1, keepdims=True) / (2 * half) + 1e-6
+    assert (np.abs(back - x) <= bound).all()
+
+
+@pytest.mark.parametrize("fmt", ["vllm", "huggingface"])
+@pytest.mark.parametrize("num_tokens", [256, 100])
+def test_cachegen_serde_roundtrip(fmt, num_tokens):
+    jnp = pytest.importorskip("jax.numpy")
+    from lmcache_tpu.config import (LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+    from lmcache_tpu.storage.serde.cachegen_serde import (
+        CacheGenDeserializer, CacheGenSerializer)
+
+    rng = np.random.default_rng(3)
+    L, H, D = 4, 2, 64
+    shape = ((L, 2, num_tokens, H, D) if fmt == "vllm" else
+             (L, 2, H, num_tokens, D))
+    blob = rng.standard_normal(shape).astype(np.float32)
+
+    cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
+    meta = LMCacheEngineMetadata(model_name="lmsys/longchat-7b-16k",
+                                 world_size=1, worker_id=0, fmt=fmt,
+                                 dtype="float32")
+    ser = CacheGenSerializer(cfg, meta)
+    de = CacheGenDeserializer(cfg, meta)
+
+    bs = ser.to_bytes(blob)
+    back = np.asarray(de.from_bytes(bs))
+    assert back.shape == blob.shape
+    assert back.dtype == blob.dtype
+    # lossy codec: reconstruction well-correlated, error bounded by the
+    # coarsest bins level
+    err = np.abs(back - blob)
+    amax = np.abs(blob).max()
+    assert err.max() < amax / 7  # 16-bin layers: step = absmax/14
+    corr = np.corrcoef(back.ravel(), blob.ravel())[0, 1]
+    assert corr > 0.99
+    # compresses below the fp16 wire size (CacheGen's raison d'etre)
+    assert len(bs) < blob.size * 2
+
+
+def test_cachegen_config_table():
+    cg = CacheGenConfig.from_model_name("lmsys/longchat-7b-16k", 32)
+    assert cg.key_bins[:10] == (32,) * 10
+    assert cg.key_bins[10:] == (16,) * 22
+    assert cg.value_bins[:2] == (32, 32)
+    assert cg.value_bins[2:] == (16,) * 30
+    # unknown models degrade to a default schedule instead of raising
+    cg2 = CacheGenConfig.from_model_name("some/unknown-model", 24)
+    assert cg2.num_layers == 24

@@ -1,0 +1,137 @@
+"""Model correctness: our JAX llama vs a randomly-initialized
+transformers.LlamaForCausalLM built locally (no network), plus
+KV-cache semantics (prefill+decode == one-shot prefill).
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu with an
+8-device virtual mesh); the Pallas kernel runs in interpret mode there.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from lmcache_tpu.models import llama  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return llama.LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def tiny_params(tiny_cfg):
+    return llama.init_params(jax.random.PRNGKey(0), tiny_cfg)
+
+
+def test_forward_shapes(tiny_cfg, tiny_params):
+    B, T, S = 2, 32, 128
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, tiny_cfg.vocab_size, (B, T)),
+        jnp.int32)
+    cache = llama.new_kv_cache(tiny_cfg, B, S)
+    logits, cache = llama.forward(tiny_params, tiny_cfg, tokens,
+                                  jnp.zeros(B, jnp.int32), cache,
+                                  use_pallas=False)
+    assert logits.shape == (B, T, tiny_cfg.vocab_size)
+    assert cache.shape == (tiny_cfg.n_layers, 2, B, S, tiny_cfg.n_kv_heads,
+                           tiny_cfg.head_dim)
+
+
+def test_prefill_decode_consistency(tiny_cfg, tiny_params):
+    """prefill(T) then decode(1) must equal prefill(T+1)."""
+    B, S = 2, 128
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, tiny_cfg.vocab_size, (B, 33)),
+                         jnp.int32)
+    zero = jnp.zeros(B, jnp.int32)
+
+    cache = llama.new_kv_cache(tiny_cfg, B, S)
+    full_logits, _ = llama.forward(tiny_params, tiny_cfg, tokens, zero,
+                                   cache, use_pallas=False)
+
+    cache = llama.new_kv_cache(tiny_cfg, B, S)
+    _, cache = llama.forward(tiny_params, tiny_cfg, tokens[:, :32], zero,
+                             cache, use_pallas=False)
+    step_logits, _ = llama.forward(tiny_params, tiny_cfg, tokens[:, 32:],
+                                   jnp.full((B, ), 32, jnp.int32), cache,
+                                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                               np.asarray(full_logits[:, -1]),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_pallas_matches_reference_attention(tiny_cfg, tiny_params):
+    B, T, S = 2, 17, 64
+    tokens = jnp.asarray(
+        np.random.default_rng(2).integers(0, tiny_cfg.vocab_size, (B, T)),
+        jnp.int32)
+    cache = llama.new_kv_cache(tiny_cfg, B, S)
+    zero = jnp.zeros(B, jnp.int32)
+    ref, _ = llama.forward(tiny_params, tiny_cfg, tokens, zero, cache,
+                           use_pallas=False)
+    out, _ = llama.forward(tiny_params, tiny_cfg, tokens, zero, cache,
+                           use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2,
+                               rtol=2e-2)
+
+
+def test_matches_huggingface():
+    """Bit-parity (to fp32 tolerance) with transformers' LlamaForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    hf_cfg = HFConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=256,
+                      rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf_model = LlamaForCausalLM(hf_cfg).eval().float()
+
+    cfg = llama.LlamaConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, hidden_dim=128, max_seq_len=256,
+                            dtype="float32")
+    sd = hf_model.state_dict()
+
+    def t(name):
+        return np.asarray(sd[name].numpy().T)
+
+    def stack(fmt):
+        return jnp.asarray(np.stack([t(fmt.format(i)) for i in range(2)]))
+
+    def stack_vec(fmt):
+        return jnp.asarray(
+            np.stack([np.asarray(sd[fmt.format(i)].numpy())
+                      for i in range(2)]))
+
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy()),
+        "layers": {
+            "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm":
+            stack_vec("model.layers.{}.post_attention_layernorm.weight"),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy()),
+        "lm_head": jnp.asarray(sd["lm_head.weight"].numpy().T),
+    }
+
+    B, T = 2, 19
+    ids = np.random.default_rng(3).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+
+    cache = llama.new_kv_cache(cfg, B, 32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
