@@ -1,0 +1,262 @@
+"""CacheBlend: non-prefix KV reuse with selective recompute.
+
+The reference names this capability (README.md:8 "reuse the KV caches of
+*any* reused text (not necessarily prefix)", implemented in a sister repo
+per README.md:77, EuroSys'25 arXiv:2405.16444) but ships no code; the
+``roi`` parameter reserved in retrieve() (reference cache_engine.py:289)
+is its hook. This module is a from-scratch TPU design.
+
+The problem: a RAG prompt is a concatenation of text chunks whose KV was
+cached *independently* (each prefilled standalone at positions 0..t).
+Naive concatenation is wrong twice over: rotary embeddings encode the
+wrong positions, and all cross-chunk attention is missing.
+
+The blend recipe (one jitted program):
+
+1. **Position correction** — RoPE is a rotation, so moving a cached key
+   from position p to p + delta multiplies by the delta rotation; each
+   chunk needs one scalar-delta re-rotation of its keys (values carry no
+   positional encoding).
+2. **Deviation-guided selection** — recompute layer 0 exactly (its KV
+   depends only on embeddings), run it through attention over the blended
+   cache, and compute true layer-1 KV for every token; the tokens whose
+   layer-1 K/V deviates most from the cached KV (the cross-chunk-attention
+   victims) are selected, a static ``ceil(ratio * T)`` of them.
+3. **Selective recompute** — only the selected tokens flow through layers
+   1..L-1; at each layer their recomputed K/V is scattered back into the
+   blended cache before attention, so later layers and the final decode
+   see self-healed KV.
+
+``recompute_ratio=1.0`` degenerates to an exact full prefill (the
+correctness anchor in tests/test_blend.py); ``0.0`` is naive reuse.
+"""
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lmcache_tpu.models import llama
+from lmcache_tpu.models.llama import _rms_norm, _rope
+from lmcache_tpu.ops.attention import _NEG_INF
+
+
+def rope_shift_keys(keys: jax.Array, delta, theta: float) -> jax.Array:
+    """Re-rotate RoPE'd keys by ``delta`` positions.
+
+    keys: [..., T, H, D] (token axis third-from-last). delta: scalar or
+    broadcastable per-token offset.
+    """
+    D = keys.shape[-1]
+    inv_freq = 1.0 / (theta**(jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    angles = jnp.asarray(delta, jnp.float32)[..., None] * inv_freq
+    cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)
+    sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)
+    # broadcast over head axis: [..., 1, D]
+    cos, sin = cos[..., None, :], sin[..., None, :]
+    k32 = keys.astype(jnp.float32)
+    k1, k2 = jnp.split(k32, 2, axis=-1)
+    rotated = jnp.concatenate([-k2, k1], axis=-1)
+    return (k32 * cos + rotated * sin).astype(keys.dtype)
+
+
+def _attend_selected(q, k, v, qpos, kv_len, group):
+    """Attention for gathered (non-contiguous) query tokens.
+
+    q: [n, H, D] at global positions qpos [n]; k/v: [T, H_kv, D].
+    Causal over global positions; kv valid below kv_len.
+    """
+    n, H, D = q.shape
+    T, Hkv = k.shape[0], k.shape[1]
+    qh = q.reshape(n, Hkv, group, D).astype(jnp.float32)
+    scores = jnp.einsum("nhgd,thd->nhgt", qh, k.astype(jnp.float32))
+    scores = scores / (D**0.5)
+    kpos = jnp.arange(T)
+    mask = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] < kv_len)
+    scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("nhgt,thd->nhgd", probs, v.astype(jnp.float32))
+    return out.reshape(n, H * D).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_recompute"))
+def blend_prefill(
+    params,
+    cfg: llama.LlamaConfig,
+    tokens: jax.Array,  # int32 [T] — the full concatenated prompt
+    blended_kv: jax.Array,  # [L, 2, T, H_kv, D] position-corrected chunk KV
+    n_recompute: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Self-heal blended KV and return (last-token logits [vocab],
+    healed kv [L, 2, T, H_kv, D])."""
+    T = tokens.shape[0]
+    Hkv, D = cfg.n_kv_heads, cfg.head_dim
+    group = cfg.n_heads // cfg.n_kv_heads
+    positions = jnp.arange(T)
+    kv_len = jnp.int32(T)
+
+    lp0 = jax.tree.map(lambda a: a[0], params["layers"])
+
+    # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
+    x = params["embed"][tokens]  # [T, dim]
+    h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps)
+    q0 = _rope((h @ lp0["wq"]).reshape(1, T, cfg.n_heads, D),
+               positions[None], cfg.rope_theta)[0]
+    k0 = _rope((h @ lp0["wk"]).reshape(1, T, Hkv, D), positions[None],
+               cfg.rope_theta)[0]
+    v0 = (h @ lp0["wv"]).reshape(T, Hkv, D)
+    kv0 = jnp.stack([k0, v0]).astype(blended_kv.dtype)  # exact layer-0 KV
+    blended_kv = blended_kv.at[0].set(kv0)
+
+    attn = _attend_selected(q0, k0, v0, positions, kv_len, group)
+    x = x + attn @ lp0["wo"]
+    hm = _rms_norm(x, lp0["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu((hm @ lp0["w_gate"]).astype(jnp.float32))
+    x = x + (gate * (hm @ lp0["w_up"]).astype(jnp.float32)).astype(
+        x.dtype) @ lp0["w_down"]
+
+    # true layer-1 KV for all tokens (cheap: projections only)
+    lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
+                       params["layers"])
+    h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps)
+    k1_true = _rope((h1 @ lp1["wk"]).reshape(1, T, Hkv, D), positions[None],
+                    cfg.rope_theta)[0]
+    v1_true = (h1 @ lp1["wv"]).reshape(T, Hkv, D)
+
+    # ---- deviation-guided token selection --------------------------------
+    l1 = min(1, cfg.n_layers - 1)
+    dev = (jnp.sum(
+        (k1_true.astype(jnp.float32) -
+         blended_kv[l1, 0].astype(jnp.float32))**2, axis=(1, 2)) + jnp.sum(
+             (v1_true.astype(jnp.float32) -
+              blended_kv[l1, 1].astype(jnp.float32))**2, axis=(1, 2)))
+    # the final token must always be recomputed (it produces the logits)
+    dev = dev.at[T - 1].set(jnp.inf)
+    _, sel = jax.lax.top_k(dev, n_recompute)
+    sel = jnp.sort(sel)  # keep causal order
+    sel_pos = positions[sel]
+
+    # ---- pass 2: selected tokens through layers 1..L-1 -------------------
+    xs = x[sel]  # [n, dim]
+
+    def layer(carry, scanned):
+        xs, _ = carry
+        lp, kv_l = scanned  # kv_l: [2, T, H_kv, D]
+        h = _rms_norm(xs, lp["attn_norm"], cfg.norm_eps)
+        n = xs.shape[0]
+        q = _rope((h @ lp["wq"]).reshape(1, n, cfg.n_heads, D),
+                  sel_pos[None], cfg.rope_theta)[0]
+        k = _rope((h @ lp["wk"]).reshape(1, n, Hkv, D), sel_pos[None],
+                  cfg.rope_theta)[0]
+        v = (h @ lp["wv"]).reshape(n, Hkv, D)
+        # scatter healed KV before attending
+        kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))
+        kv_l = kv_l.at[1, sel].set(v.astype(kv_l.dtype))
+        attn = _attend_selected(q, kv_l[0], kv_l[1], sel_pos, kv_len, group)
+        xs = xs + attn @ lp["wo"]
+        hm = _rms_norm(xs, lp["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((hm @ lp["w_gate"]).astype(jnp.float32))
+        xs = xs + (gate * (hm @ lp["w_up"]).astype(jnp.float32)).astype(
+            xs.dtype) @ lp["w_down"]
+        return (xs, None), kv_l
+
+    rest = jax.tree.map(lambda a: a[1:], params["layers"])
+    (xs, _), healed = jax.lax.scan(layer, (xs, None),
+                                   (rest, blended_kv[1:]))
+    blended_kv = jnp.concatenate([blended_kv[:1], healed], axis=0)
+
+    xf = _rms_norm(xs[-1:], params["final_norm"], cfg.norm_eps)
+    logits = (xf @ params["lm_head"]).astype(jnp.float32)[0]
+    return logits, blended_kv
+
+
+def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
+                    theta: float) -> jax.Array:
+    """Concatenate independently-cached chunk KV (vllm fmt
+    [L, 2, t_i, H, D], each prefilled at positions 0..t_i) into one
+    position-corrected [L, 2, T, H, D] buffer."""
+    parts = []
+    offset = 0
+    for blob in chunk_blobs:
+        blob = jnp.asarray(blob)
+        t = blob.shape[2]
+        k = rope_shift_keys(blob[:, 0],  # [L, t, H, D]
+                            jnp.full((t,), offset, jnp.float32), theta)
+        parts.append(jnp.stack([k, blob[:, 1]], axis=1))
+        offset += t
+    return jnp.concatenate(parts, axis=2)
+
+
+class CacheBlender:
+    """Store/retrieve independently-hashed text chunks and blend them.
+
+    Unlike prefix caching (rolling hash chains, chunks.py), blend chunks
+    are keyed by their own content hash so the same document KV is
+    reusable at any position in any prompt.
+    """
+
+    def __init__(self, cfg: llama.LlamaConfig, params, cache_engine,
+                 recompute_ratio: float = 0.15):
+        self.cfg = cfg
+        self.params = params
+        self.engine = cache_engine
+        self.ratio = recompute_ratio
+
+        cfg_ = cfg
+
+        @jax.jit
+        def chunk_prefill(params, tokens):
+            cache = llama.new_kv_cache(cfg_, 1, tokens.shape[1])
+            _, cache = llama.forward(params, cfg_, tokens,
+                                     jnp.zeros(1, jnp.int32), cache,
+                                     use_pallas=False)
+            return cache[:, :, 0]
+
+        self._chunk_prefill = chunk_prefill
+
+    def _key(self, tokens: np.ndarray):
+        from lmcache_tpu.chunks import hash_tokens
+        from lmcache_tpu.utils import CacheEngineKey
+        m = self.engine.metadata
+        return CacheEngineKey("blend", m.model_name, m.world_size,
+                              m.worker_id, hash_tokens(tokens))
+
+    def store_chunk(self, tokens) -> None:
+        """Prefill a text chunk standalone and cache its KV under a
+        position-independent content hash."""
+        tokens = np.asarray(tokens, np.int32)
+        blob = self._chunk_prefill(self.params,
+                                   jnp.asarray(tokens)[None, :])
+        self.engine.engine_.put(self._key(tokens), blob, blocking=True)
+
+    def blend(self, chunk_tokens: List[np.ndarray]):
+        """Blend cached chunks into a healed prompt KV.
+
+        Returns (last_logits [vocab], kv [L, 2, T, H_kv, D], info dict).
+        Chunks missing from the cache are prefilled (and stored) first.
+        """
+        blobs, misses = [], 0
+        for tokens in chunk_tokens:
+            tokens = np.asarray(tokens, np.int32)
+            blob = self.engine.engine_.get(self._key(tokens))
+            if blob is None:
+                misses += 1
+                self.store_chunk(tokens)
+                blob = self.engine.engine_.get(self._key(tokens))
+            blobs.append(blob)
+
+        full = np.concatenate([np.asarray(t, np.int32) for t in chunk_tokens])
+        blended = assemble_chunks(blobs, self.cfg.rope_theta)
+        T = len(full)
+        n_rec = max(1, min(T, int(np.ceil(self.ratio * T))))
+        logits, kv = blend_prefill(self.params, self.cfg,
+                                   jnp.asarray(full), blended, n_rec)
+        return logits, kv, {
+            "num_chunks": len(chunk_tokens),
+            "misses": misses,
+            "recomputed_tokens": n_rec,
+            "total_tokens": T,
+        }

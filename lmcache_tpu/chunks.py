@@ -51,5 +51,19 @@ def prefix_chunk_hashes(
     return hashes[num_skip_chunk:]
 
 
+def hash_tokens(tokens: TokenArray) -> str:
+    """Position-independent content hash of a token run.
+
+    Used by CacheBlend (lmcache_tpu/blend.py): unlike the rolling prefix
+    hash, the same text chunk maps to the same key at any position in any
+    prompt — the enabler of non-prefix reuse.
+    """
+    arr = tokens_to_numpy(tokens)
+    h = hashlib.sha256()
+    h.update(b"blend:")
+    h.update(arr.tobytes())
+    return h.hexdigest()
+
+
 def num_chunks(num_tokens: int, chunk_size: int) -> int:
     return -(-num_tokens // chunk_size)

@@ -1,0 +1,186 @@
+"""OpenAI-compatible HTTP front for the serving engine.
+
+The reference points users at vLLM's HTTP server (reference:
+examples/online_session); here the front is in-repo: aiohttp server with
+``/v1/completions`` (optionally SSE-streamed), ``/v1/models`` and
+``/health``. The scheduler runs on a dedicated thread; HTTP handlers
+submit requests thread-safely and await completion.
+
+Prompts are accepted as token-id lists (the framework is
+tokenizer-agnostic); pass ``tokenizer``/``detokenizer`` callables to
+serve plain strings.
+"""
+
+import asyncio
+import json
+import threading
+import time
+from typing import Callable, Optional
+
+from lmcache_tpu.logging_utils import init_logger
+from lmcache_tpu.serving.engine import ServingEngine
+from lmcache_tpu.serving.request import (Request, RequestState,
+                                         SamplingParams)
+
+logger = init_logger(__name__)
+
+
+class APIServer:
+
+    def __init__(
+        self,
+        engine: ServingEngine,
+        model_name: str = "lmcache-tpu",
+        tokenizer: Optional[Callable[[str], list]] = None,
+        detokenizer: Optional[Callable[[list], str]] = None,
+    ):
+        self.engine = engine
+        self.model_name = model_name
+        self.tokenizer = tokenizer
+        self.detokenizer = detokenizer or (
+            lambda toks: " ".join(map(str, toks)))
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- scheduler thread ---------------------------------------------------
+
+    def _loop(self):
+        while not self._stop.is_set():
+            with self._lock:
+                busy = self.engine.has_work()
+                if busy:
+                    self.engine.step()
+            if not busy:
+                time.sleep(0.002)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop,
+                                        name="lmc-scheduler", daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # -- request handling ---------------------------------------------------
+
+    def _submit(self, prompt, sampling: SamplingParams) -> Request:
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "string prompts need a tokenizer; pass token ids")
+            prompt = self.tokenizer(prompt)
+        req = Request(prompt, sampling)
+        with self._lock:
+            self.engine.add_request(req)
+        return req
+
+    async def _await_done(self, req: Request):
+        while req.state != RequestState.FINISHED:
+            await asyncio.sleep(0.005)
+
+    # -- aiohttp app --------------------------------------------------------
+
+    def build_app(self):
+        from aiohttp import web
+
+        async def health(_):
+            return web.json_response({"status": "ok"})
+
+        async def models(_):
+            return web.json_response({
+                "object": "list",
+                "data": [{
+                    "id": self.model_name,
+                    "object": "model",
+                    "owned_by": "lmcache-tpu",
+                }],
+            })
+
+        async def completions(request):
+            try:
+                body = await request.json()
+            except json.JSONDecodeError:
+                return web.json_response({"error": "invalid JSON"},
+                                         status=400)
+            try:
+                sampling = SamplingParams(
+                    max_new_tokens=int(body.get("max_tokens", 16)),
+                    temperature=float(body.get("temperature", 0.0)),
+                    stop_token_ids=tuple(body.get("stop_token_ids", ())),
+                )
+                req = self._submit(body.get("prompt", []), sampling)
+            except ValueError as e:
+                return web.json_response({"error": str(e)}, status=400)
+
+            if body.get("stream", False):
+                resp = web.StreamResponse(headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                })
+                await resp.prepare(request)
+                sent = 0
+                while True:
+                    toks = list(req.output_tokens)
+                    for tok in toks[sent:]:
+                        chunk = {
+                            "id": f"cmpl-{req.request_id}",
+                            "object": "text_completion",
+                            "model": self.model_name,
+                            "choices": [{
+                                "index": 0,
+                                "text": self.detokenizer([tok]),
+                                "token": tok,
+                                "finish_reason": None,
+                            }],
+                        }
+                        await resp.write(
+                            f"data: {json.dumps(chunk)}\n\n".encode())
+                    sent = len(toks)
+                    if req.state == RequestState.FINISHED and sent == len(
+                            req.output_tokens):
+                        break
+                    await asyncio.sleep(0.005)
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+                return resp
+
+            await self._await_done(req)
+            return web.json_response({
+                "id": f"cmpl-{req.request_id}",
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [{
+                    "index": 0,
+                    "text": self.detokenizer(req.output_tokens),
+                    "tokens": req.output_tokens,
+                    "finish_reason": "stop",
+                }],
+                "usage": {
+                    "prompt_tokens": req.num_prompt_tokens,
+                    "completion_tokens": len(req.output_tokens),
+                    "total_tokens": req.total_len,
+                    "cached_prefix_tokens": req.cached_prefix_len,
+                    "ttft_ms": (round(req.ttft_s * 1e3, 2)
+                                if req.ttft_s else None),
+                },
+            })
+
+        app = web.Application()
+        app.router.add_get("/health", health)
+        app.router.add_get("/v1/models", models)
+        app.router.add_post("/v1/completions", completions)
+        return app
+
+    def run(self, host: str = "localhost", port: int = 8000):
+        from aiohttp import web
+        self.start()
+        try:
+            web.run_app(self.build_app(), host=host, port=port,
+                        print=lambda *_: logger.info(
+                            "API server on %s:%d", host, port))
+        finally:
+            self.stop()

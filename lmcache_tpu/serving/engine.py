@@ -1,0 +1,252 @@
+"""Continuous-batching serving engine with KV-cache reuse.
+
+Replaces the reference's external vLLM integration (hook contract:
+reference docs/source/developer_tutorial/LLM_Engine.rst:25-117) with a
+native loop. TPU-first structure:
+
+- ONE resident KV pool ``[L, 2, B, S, H_kv, D]`` (optionally mesh-sharded:
+  batch on "data", heads on "model"); requests own slots of it,
+- decode is a single jitted step over the whole batch every iteration
+  (inactive slots write one garbage token into their free slot at pos 0,
+  which the next prefill overwrites — keeps the step shape static),
+- prefill runs per-request at bucketed lengths (powers of two) so XLA
+  compiles a bounded set of programs,
+- cache reuse: on admission the prompt is looked up in the LMCacheEngine;
+  the hit prefix is injected into the slot and only the suffix is
+  prefilled (reference ``build_partial_prefill_input`` semantics,
+  LLM_Engine.rst:108-117); on completion the KV is stored back
+  asynchronously (prefill tokens, plus decode tokens when
+  ``save_decode_cache`` is on, reference config.py:31).
+"""
+
+import functools
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lmcache_tpu.cache_engine import LMCacheEngine
+from lmcache_tpu.logging_utils import init_logger
+from lmcache_tpu.models import llama
+from lmcache_tpu.serving.request import Request, RequestState
+
+logger = init_logger(__name__)
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ServingEngine:
+
+    def __init__(
+        self,
+        cfg: llama.LlamaConfig,
+        params,
+        *,
+        max_batch: int = 8,
+        max_seq: Optional[int] = None,
+        cache_engine: Optional[LMCacheEngine] = None,
+        eos_token_id: Optional[int] = None,
+        save_decode_cache: bool = False,
+        use_pallas: Optional[bool] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.B = max_batch
+        self.S = max_seq or cfg.max_seq_len
+        self.cache_engine = cache_engine
+        self.eos_token_id = eos_token_id
+        self.save_decode_cache = save_decode_cache
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
+        self.use_pallas = use_pallas
+        self.mesh = mesh
+
+        self.kv_pool = llama.new_kv_cache(cfg, self.B, self.S)
+        if mesh is not None:
+            from lmcache_tpu.parallel import kv_cache_sharding
+            self.kv_pool = jax.device_put(self.kv_pool,
+                                          kv_cache_sharding(mesh))
+        self.free_slots = list(range(self.B))
+        self.waiting: List[Request] = []
+        self.running: List[Request] = []
+        self.finished: List[Request] = []
+        self._rng = jax.random.PRNGKey(0)
+
+        fwd = functools.partial(llama.forward, cfg=cfg,
+                                use_pallas=self.use_pallas)
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def prefill_step(params, tokens, start, cache, slot, last_idx):
+            # tokens [1, Tp]; write into pool slot, return last real logits
+            kv_slice = jax.lax.dynamic_slice_in_dim(cache, slot, 1, axis=2)
+            logits, new_slice = fwd(params, tokens=tokens, start_pos=start,
+                                    kv_cache=kv_slice)
+            cache = jax.lax.dynamic_update_slice(
+                cache, new_slice, (0, 0, slot, 0, 0, 0))
+            return logits[0, last_idx], cache
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def decode_step(params, tokens, start, cache):
+            # tokens [B, 1]; one token for every slot
+            logits, cache = fwd(params, tokens=tokens, start_pos=start,
+                                kv_cache=cache)
+            return logits[:, 0], cache
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def inject(cache, blob, slot):
+            # blob [L, 2, t, H, D] -> cache[:, :, slot, :t]
+            return jax.lax.dynamic_update_slice(
+                cache, blob[:, :, None].astype(cache.dtype),
+                (0, 0, slot, 0, 0, 0))
+
+        @jax.jit
+        def sample(logits, temperature, rng):
+            # logits [..., V]; temperature 0 => greedy
+            greedy = jnp.argmax(logits, axis=-1)
+            t = jnp.asarray(temperature, jnp.float32)
+            scaled = logits / jnp.expand_dims(jnp.maximum(t, 1e-6), -1)
+            drawn = jax.random.categorical(rng, scaled, axis=-1)
+            return jnp.where(t > 0.0, drawn, greedy)
+
+        self._prefill_step = prefill_step
+        self._decode_step = decode_step
+        self._inject = inject
+        self._sample = sample
+
+    # -- public API ---------------------------------------------------------
+
+    def add_request(self, req: Request) -> Request:
+        if req.num_prompt_tokens >= self.S:
+            raise ValueError(
+                f"prompt ({req.num_prompt_tokens}) >= max_seq ({self.S})")
+        self.waiting.append(req)
+        return req
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def run(self) -> List[Request]:
+        """Drive until all requests finish; returns them."""
+        while self.has_work():
+            self.step()
+        return self.finished
+
+    def generate(self, prompts, sampling=None) -> List[Request]:
+        """Convenience: submit a batch of prompts and run to completion."""
+        from lmcache_tpu.serving.request import SamplingParams
+        reqs = [
+            Request(p, sampling or SamplingParams()) for p in prompts
+        ]
+        for r in reqs:
+            self.add_request(r)
+        self.run()
+        return reqs
+
+    # -- scheduler ----------------------------------------------------------
+
+    def step(self) -> None:
+        """One scheduler iteration: admit one waiting request (prefill) or
+        run one batched decode step."""
+        if self.waiting and self.free_slots:
+            self._admit(self.waiting.pop(0))
+        elif self.running:
+            self._decode_all()
+
+    # -- internals ----------------------------------------------------------
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _admit(self, req: Request) -> None:
+        slot = self.free_slots.pop(0)
+        req.slot = slot
+        req.state = RequestState.RUNNING
+
+        prompt = req.prompt_tokens
+        cached = 0
+        if self.cache_engine is not None:
+            blob, mask = self.cache_engine.retrieve(prompt,
+                                                    return_tuple=False)
+            cached = int(np.asarray(mask).sum())
+            # always recompute >=1 token so prefill yields the next logits
+            cached = min(cached, len(prompt) - 1)
+            if cached > 0:
+                blob = blob[:, :, :cached]
+                self.kv_pool = self._inject(self.kv_pool, jnp.asarray(blob),
+                                            slot)
+        req.cached_prefix_len = cached
+
+        suffix = prompt[cached:]
+        T = len(suffix)
+        Tp = _bucket(T)
+        padded = np.zeros(Tp, np.int32)
+        padded[:T] = suffix
+        logits, self.kv_pool = self._prefill_step(
+            self.params, jnp.asarray(padded)[None, :],
+            jnp.asarray([cached], jnp.int32), self.kv_pool,
+            jnp.asarray(slot, jnp.int32), jnp.asarray(T - 1, jnp.int32))
+        tok = int(
+            self._sample(logits, jnp.float32(req.sampling.temperature),
+                         self._next_rng()))
+        req.output_tokens.append(tok)
+        req.ttft_s = time.perf_counter() - req.arrival_s
+        self.running.append(req)
+        self._maybe_finish(req)
+
+    def _decode_all(self) -> None:
+        last = np.zeros((self.B, 1), np.int32)
+        start = np.zeros(self.B, np.int32)
+        temps = np.zeros(self.B, np.float32)
+        # KV state: prefill wrote the prompt; each decode step writes its
+        # input token. After n sampled tokens the pool holds
+        # prompt + (n - 1) of them, so the next write position is
+        # prompt_len + n - 1 and the input is the newest sampled token.
+        for r in self.running:
+            last[r.slot, 0] = r.output_tokens[-1]
+            start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
+            temps[r.slot] = r.sampling.temperature
+
+        logits, self.kv_pool = self._decode_step(self.params,
+                                                 jnp.asarray(last),
+                                                 jnp.asarray(start),
+                                                 self.kv_pool)
+        toks = np.asarray(
+            self._sample(logits, jnp.asarray(temps), self._next_rng()))
+        for r in list(self.running):
+            r.output_tokens.append(int(toks[r.slot]))
+            self._maybe_finish(r)
+
+    def _maybe_finish(self, req: Request) -> None:
+        if not req.is_finished(self.eos_token_id):
+            return
+        req.state = RequestState.FINISHED
+        req.finish_s = time.perf_counter()
+        self.running = [r for r in self.running if r is not req]
+        self.finished.append(req)
+        self._store_back(req)
+        self.free_slots.append(req.slot)
+
+    def _store_back(self, req: Request) -> None:
+        """Store the finished request's KV into the cache tiers
+        (asynchronously; reference lmcache_store_kv semantics)."""
+        if self.cache_engine is None:
+            return
+        n = req.total_len if self.save_decode_cache else req.num_prompt_tokens
+        # the pool holds KV for total_len - 1 tokens (the newest sampled
+        # token was never forwarded)
+        n = min(n, req.total_len - 1)
+        if n <= 0:
+            return
+        tokens = req.all_tokens[:n]
+        blob = self.kv_pool[:, :, req.slot, :n]
+        self.cache_engine.store(tokens, blob, blocking=False)

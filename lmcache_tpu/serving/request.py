@@ -1,0 +1,69 @@
+"""Request lifecycle types for the serving engine."""
+
+import itertools
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import List, Optional
+
+import numpy as np
+
+_req_counter = itertools.count()
+
+
+class RequestState(Enum):
+    WAITING = "waiting"
+    RUNNING = "running"
+    FINISHED = "finished"
+
+
+@dataclass
+class SamplingParams:
+    max_new_tokens: int = 64
+    temperature: float = 0.0  # 0 => greedy
+    top_k: int = 0  # 0 => no top-k restriction
+    stop_token_ids: tuple = ()
+    seed: int = 0
+
+
+@dataclass
+class Request:
+    prompt_tokens: np.ndarray
+    sampling: SamplingParams = field(default_factory=SamplingParams)
+    request_id: int = field(default_factory=lambda: next(_req_counter))
+    state: RequestState = RequestState.WAITING
+    output_tokens: List[int] = field(default_factory=list)
+    slot: Optional[int] = None  # KV-pool slot while RUNNING
+    cached_prefix_len: int = 0  # tokens reused from the cache engine
+    arrival_s: float = field(default_factory=time.perf_counter)
+    ttft_s: Optional[float] = None  # set when the first token lands
+    finish_s: Optional[float] = None
+
+    def __post_init__(self):
+        self.prompt_tokens = np.asarray(self.prompt_tokens,
+                                        dtype=np.int32).reshape(-1)
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return len(self.prompt_tokens)
+
+    @property
+    def total_len(self) -> int:
+        return self.num_prompt_tokens + len(self.output_tokens)
+
+    @property
+    def all_tokens(self) -> np.ndarray:
+        return np.concatenate(
+            [self.prompt_tokens,
+             np.asarray(self.output_tokens, np.int32)])
+
+    def is_finished(self, eos_token_id: Optional[int] = None) -> bool:
+        if len(self.output_tokens) >= self.sampling.max_new_tokens:
+            return True
+        if self.output_tokens:
+            last = self.output_tokens[-1]
+            if last in self.sampling.stop_token_ids:
+                return True
+            if eos_token_id is not None and last == eos_token_id:
+                return True
+        return False

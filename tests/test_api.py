@@ -1,0 +1,83 @@
+"""OpenAI-compatible API server tests (aiohttp test client, driven via
+asyncio.run — pytest-asyncio is not available in this environment)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+aiohttp = pytest.importorskip("aiohttp")
+
+from lmcache_tpu.models import llama  # noqa: E402
+from lmcache_tpu.serving import ServingEngine  # noqa: E402
+from lmcache_tpu.serving.api import APIServer  # noqa: E402
+
+
+@pytest.fixture()
+def server():
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                        use_pallas=False)
+    srv = APIServer(eng, model_name="tiny-test")
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+async def _with_client(server, coro):
+    from aiohttp.test_utils import TestClient, TestServer
+    client = TestClient(TestServer(server.build_app()))
+    await client.start_server()
+    try:
+        return await coro(client)
+    finally:
+        await client.close()
+
+
+def test_health_and_models(server):
+
+    async def body(client):
+        r = await client.get("/health")
+        assert r.status == 200
+        r = await client.get("/v1/models")
+        assert (await r.json())["data"][0]["id"] == "tiny-test"
+
+    asyncio.run(_with_client(server, body))
+
+
+def test_completions(server):
+
+    async def body(client):
+        prompt = np.random.default_rng(0).integers(0, 512, 9).tolist()
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 4})
+        assert r.status == 200
+        out = await r.json()
+        assert len(out["choices"][0]["tokens"]) == 4
+        assert out["usage"]["prompt_tokens"] == 9
+        assert out["usage"]["ttft_ms"] is not None
+
+        # string prompt without tokenizer -> 400
+        r = await client.post("/v1/completions",
+                              json={"prompt": "hello", "max_tokens": 2})
+        assert r.status == 400
+
+    asyncio.run(_with_client(server, body))
+
+
+def test_streaming(server):
+
+    async def body(client):
+        prompt = np.random.default_rng(1).integers(0, 512, 7).tolist()
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 3,
+                                    "stream": True})
+        assert r.status == 200
+        raw = (await r.read()).decode()
+        events = [ln for ln in raw.split("\n\n") if ln.startswith("data: ")]
+        assert events[-1] == "data: [DONE]"
+        assert len(events) == 4  # 3 tokens + DONE
+
+    asyncio.run(_with_client(server, body))

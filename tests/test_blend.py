@@ -1,0 +1,134 @@
+"""CacheBlend tests.
+
+Anchors:
+- RoPE shift identity: rotating cached keys by delta == computing them at
+  the shifted position.
+- recompute_ratio=1.0 must reproduce the exact full-prefill logits (blend
+  degenerates to full prefill).
+- partial recompute (the actual CacheBlend operating point) must be
+  strictly closer to full prefill than naive non-prefix reuse.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from lmcache_tpu import blend  # noqa: E402
+from lmcache_tpu.cache_engine import LMCacheEngine  # noqa: E402
+from lmcache_tpu.config import (LMCacheEngineConfig,  # noqa: E402
+                                LMCacheEngineMetadata)
+from lmcache_tpu.models import llama  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(n_layers=3)
+    params = llama.init_params(jax.random.PRNGKey(11), cfg)
+    return cfg, params
+
+
+def test_rope_shift_identity(setup):
+    cfg, _ = setup
+    rng = np.random.default_rng(0)
+    T, H, D = 8, 2, 64
+    x = jnp.asarray(rng.standard_normal((1, T, H, D)), jnp.float32)
+    at_pos5 = llama._rope(x, jnp.arange(5, 5 + T)[None], cfg.rope_theta)
+    at_pos0 = llama._rope(x, jnp.arange(T)[None], cfg.rope_theta)
+    shifted = blend.rope_shift_keys(at_pos0[0],
+                                    jnp.full((T,), 5.0), cfg.rope_theta)
+    np.testing.assert_allclose(np.asarray(shifted), np.asarray(at_pos5[0]),
+                               atol=1e-5)
+
+
+def _standalone_blob(cfg, params, tokens):
+    cache = llama.new_kv_cache(cfg, 1, len(tokens))
+    _, cache = llama.forward(params, cfg,
+                             jnp.asarray(tokens)[None, :],
+                             jnp.zeros(1, jnp.int32), cache,
+                             use_pallas=False)
+    return cache[:, :, 0]
+
+
+def _golden_logits(cfg, params, tokens):
+    cache = llama.new_kv_cache(cfg, 1, len(tokens))
+    logits, cache = llama.forward(params, cfg,
+                                  jnp.asarray(tokens)[None, :],
+                                  jnp.zeros(1, jnp.int32), cache,
+                                  use_pallas=False)
+    return np.asarray(logits[0, -1]), np.asarray(cache[:, :, 0])
+
+
+@pytest.fixture(scope="module")
+def blend_case(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    chunks = [
+        rng.integers(0, cfg.vocab_size, n, dtype=np.int32)
+        for n in (24, 32, 24)
+    ]
+    full = np.concatenate(chunks)
+    golden_logits, golden_kv = _golden_logits(cfg, params, full)
+    blobs = [_standalone_blob(cfg, params, c) for c in chunks]
+    blended = blend.assemble_chunks(blobs, cfg.rope_theta)
+    return cfg, params, chunks, full, golden_logits, golden_kv, blended
+
+
+def test_full_recompute_is_exact(blend_case):
+    cfg, params, _, full, golden_logits, golden_kv, blended = blend_case
+    logits, kv = blend.blend_prefill(params, cfg, jnp.asarray(full),
+                                     blended, len(full))
+    np.testing.assert_allclose(np.asarray(logits), golden_logits, atol=2e-3,
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(kv), golden_kv, atol=2e-3)
+
+
+def test_partial_recompute_beats_naive(blend_case):
+    cfg, params, _, full, golden_logits, _, blended = blend_case
+    T = len(full)
+
+    def err(n_rec):
+        logits, _ = blend.blend_prefill(params, cfg, jnp.asarray(full),
+                                        blended, n_rec)
+        g = golden_logits / np.linalg.norm(golden_logits)
+        l = np.asarray(logits) / np.linalg.norm(np.asarray(logits))
+        return np.linalg.norm(g - l)
+
+    naive = err(1)  # only the last token recomputed
+    partial = err(max(2, int(0.2 * T)))
+    exact = err(T)
+    assert exact < 1e-3
+    assert partial < naive
+
+
+def test_cache_blender_end_to_end(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu"),
+        LMCacheEngineMetadata(model_name="tiny", world_size=1, worker_id=0,
+                              fmt="vllm", dtype=cfg.dtype))
+    blender = blend.CacheBlender(cfg, params, ce, recompute_ratio=0.2)
+
+    docs = [
+        rng.integers(0, cfg.vocab_size, 16, dtype=np.int32)
+        for _ in range(3)
+    ]
+    # first call: all misses (stored on the fly)
+    logits1, kv1, info1 = blender.blend([docs[0], docs[1], docs[2]])
+    assert info1["misses"] == 3
+    # re-ordered reuse: every chunk now hits, in a different position
+    logits2, kv2, info2 = blender.blend([docs[2], docs[0], docs[1]])
+    assert info2["misses"] == 0
+    assert kv2.shape == (cfg.n_layers, 2, 48, cfg.n_kv_heads, cfg.head_dim)
+
+    # the blended result must track the true full prefill of the reordered
+    # prompt reasonably well (random weights are the worst case for
+    # blending: attention is diffuse, so cross-chunk terms are large)
+    full = np.concatenate([docs[2], docs[0], docs[1]])
+    golden, _ = _golden_logits(cfg, params, full)
+    g = golden / np.linalg.norm(golden)
+    l = np.asarray(logits2) / np.linalg.norm(np.asarray(logits2))
+    assert float(g @ l) > 0.9
+    ce.close()

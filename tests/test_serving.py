@@ -1,0 +1,105 @@
+"""Serving engine: continuous batching, greedy correctness vs a naive
+full-recompute loop, and KV reuse through the cache engine."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from lmcache_tpu.cache_engine import LMCacheEngine  # noqa: E402
+from lmcache_tpu.config import (LMCacheEngineConfig,  # noqa: E402
+                                LMCacheEngineMetadata)
+from lmcache_tpu.models import llama  # noqa: E402
+from lmcache_tpu.serving import (Request, SamplingParams,  # noqa: E402
+                                 ServingEngine)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(7), cfg)
+    return cfg, params
+
+
+def naive_greedy(cfg, params, prompt, n_new):
+    """Golden: full recompute of the whole sequence for every token."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        cache = llama.new_kv_cache(cfg, 1, 256)
+        logits, _ = llama.forward(
+            params, cfg,
+            jnp.asarray(np.asarray(toks, np.int32))[None, :],
+            jnp.zeros(1, jnp.int32), cache, use_pallas=False)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+def test_greedy_matches_naive(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, 21, dtype=np.int32)
+    golden = naive_greedy(cfg, params, prompt, 8)
+
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                        use_pallas=False)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=8))
+    assert req.output_tokens == golden
+    assert req.ttft_s is not None
+
+
+def test_continuous_batching_many_requests(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, n, dtype=np.int32)
+        for n in (5, 17, 33, 9, 26)
+    ]
+    goldens = [naive_greedy(cfg, params, p, 6) for p in prompts]
+
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                        use_pallas=False)  # fewer slots than requests
+    reqs = eng.generate(prompts, SamplingParams(max_new_tokens=6))
+    for req, golden in zip(reqs, goldens):
+        assert req.output_tokens == golden
+    assert len(eng.free_slots) == 2 and not eng.running
+
+
+def test_cache_reuse_same_output(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, cfg.vocab_size, 70, dtype=np.int32)
+
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu", chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny", world_size=1, worker_id=0,
+                              fmt="vllm", dtype=cfg.dtype))
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                        cache_engine=ce, use_pallas=False)
+
+    [first] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert first.cached_prefix_len == 0
+    ce.engine_.flush() if hasattr(ce.engine_, "flush") else None
+
+    [second] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    # all 70 prompt tokens are cached (incl. the partial trailing chunk);
+    # the engine always recomputes >= 1 token for the next-token logits
+    assert second.cached_prefix_len == 69
+    assert second.output_tokens == first.output_tokens
+    ce.close()
+
+
+def test_eos_and_stop_tokens(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, cfg.vocab_size, 12, dtype=np.int32)
+    golden = naive_greedy(cfg, params, prompt, 10)
+
+    # force a stop at the 3rd generated token
+    eng = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                        use_pallas=False)
+    [req] = eng.generate(
+        [prompt],
+        SamplingParams(max_new_tokens=10,
+                       stop_token_ids=(golden[2],)))
+    assert req.output_tokens == golden[:3]
