@@ -1,0 +1,65 @@
+"""Online serving session (reference: examples/online_session).
+
+Starts the OpenAI-compatible API server and drives a short multi-round
+session against it — every round resends the growing conversation, so
+each request after the first hits the KV cache.
+
+    python examples/online_session.py          # serves + drives itself
+"""
+
+import threading
+
+import numpy as np
+
+import jax
+
+from lmcache_tpu import (LMCacheEngine, LMCacheEngineConfig,
+                         LMCacheEngineMetadata)
+from lmcache_tpu.models import llama
+from lmcache_tpu.serving import ServingEngine
+from lmcache_tpu.serving.api import APIServer
+
+PORT = 8377
+
+
+def main():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    cache = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu"),
+        LMCacheEngineMetadata(model_name="tiny", world_size=1, worker_id=0,
+                              fmt="vllm", dtype=cfg.dtype))
+    engine = ServingEngine(cfg, params, max_batch=4, max_seq=512,
+                           cache_engine=cache)
+    server = APIServer(engine, model_name="tiny-session")
+
+    t = threading.Thread(target=server.run,
+                         kwargs=dict(host="localhost", port=PORT),
+                         daemon=True)
+    t.start()
+
+    import time
+
+    import httpx
+    for _ in range(100):
+        try:
+            if httpx.get(f"http://localhost:{PORT}/health").status_code == 200:
+                break
+        except httpx.TransportError:
+            time.sleep(0.1)
+
+    history = np.random.default_rng(0).integers(0, cfg.vocab_size, 120,
+                                                dtype=np.int32).tolist()
+    for round_ in range(3):
+        r = httpx.post(f"http://localhost:{PORT}/v1/completions",
+                       json={"prompt": history, "max_tokens": 16},
+                       timeout=120).json()
+        usage = r["usage"]
+        print(f"round {round_}: ttft={usage['ttft_ms']}ms "
+              f"cached={usage['cached_prefix_tokens']}/"
+              f"{usage['prompt_tokens']} tokens")
+        history += r["choices"][0]["tokens"]  # grow the conversation
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Fused dequant + flash attention over an int8-quantized KV cache.
+
+The north-star kernel (BASELINE.json): CacheGen-style per-token
+symmetric quantization fused INTO attention, so the KV cache lives in
+HBM at int8 — half the bytes of bf16 — and is dequantized on the fly in
+VMEM. Decode attention is HBM-bandwidth-bound, so halving KV bytes is
+~2x decode-attention speed at equal accuracy budget.
+
+The fusion trick: the per-token scale never touches the K/V tiles.
+Dequantizing K multiplies *columns* of the score matrix, and
+dequantizing V multiplies *columns* of the probability matrix:
+
+    scores[i, j] = (q_i . k_j_int) * k_scale[j] * softmax_scale
+    out[i]      += sum_j (p[i, j] * v_scale[j]) * v_int_j
+
+so both corrections are lane-dimension broadcasts — no transposes, no
+materialized f32 KV, and the MXU matmuls consume the int8 tiles
+directly (converted in-register).
+
+Layouts (head-major, matching ops/attention.py's internal layout):
+    q        f32/bf16 [B, T, H, D]
+    k/v_sym  int8 [B, S, H_kv, D]  centered symbols in [-127, 127]
+    k/v_scale f32 [B, S]           per-token absmax / 127
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lmcache_tpu.ops.attention import _NEG_INF, _round_up, mha_reference
+
+
+@jax.jit
+def quantize_kv_for_cache(
+        k: jax.Array, v: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-token symmetric int8 quantization of KV buffers.
+
+    k, v: [B, S, H_kv, D] -> (k_sym, v_sym int8, k_scale, v_scale f32
+    [B, S]). Runs on-device; XLA fuses the absmax + scale + round chain.
+    """
+
+    def quant(x):
+        x32 = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x32), axis=(2, 3))  # [B, S]
+        scale = jnp.where(absmax == 0.0, 1.0, absmax) / 127.0
+        sym = jnp.round(x32 / scale[:, :, None, None])
+        return jnp.clip(sym, -127, 127).astype(jnp.int8), scale
+
+    k_sym, k_scale = quant(k)
+    v_sym, v_scale = quant(v)
+    return k_sym, v_sym, k_scale, v_scale
+
+
+@jax.jit
+def dequantize_kv(sym: jax.Array, scale: jax.Array,
+                  dtype=jnp.float32) -> jax.Array:
+    """[B, S, H, D] int8 + [B, S] scales -> dense KV."""
+    return (sym.astype(jnp.float32) *
+            scale[:, :, None, None]).astype(dtype)
+
+
+def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
+                   vs_ref, o_ref, m_scr, l_scr, acc_scr, *, block_q,
+                   block_k, scale):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [bq, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [bk, D] (int8 -> f32 in-register)
+    v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
+    k_scale = ks_ref[0].astype(jnp.float32)  # [1, bk]
+    v_scale = vs_ref[0].astype(jnp.float32)  # [1, bk]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * (k_scale * scale)  # fused K dequant: per-column correction
+
+    qpos = (q_off_ref[b] + iq * block_q +
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
+    kpos = (ik * block_k +
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
+    mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_prev = m_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+    pv = p * v_scale  # fused V dequant: per-column correction of probs
+    acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
+        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+    acc_scr[:] = acc_new
+
+    @pl.when(ik == num_k - 1)
+    def _():
+        l = l_scr[:]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
+def quantized_flash_attention(
+    q: jax.Array,
+    k_sym: jax.Array,
+    v_sym: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention reading int8 KV directly from HBM.
+
+    Same contract as ops.attention.flash_attention, with
+    (k_sym, v_sym, k_scale, v_scale) from :func:`quantize_kv_for_cache`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, D = q.shape
+    S, Hkv = k_sym.shape[1], k_sym.shape[2]
+    if H % Hkv:
+        raise ValueError(f"H ({H}) must be a multiple of H_kv ({Hkv})")
+    group = H // Hkv
+    scale = 1.0 / (D**0.5)
+
+    bq = min(block_q, _round_up(T, 16))
+    bk = min(block_k, _round_up(S, 32))  # int8 sublane tile
+    Tp, Sp = _round_up(T, bq), _round_up(S, bk)
+
+    qh = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kh = jnp.pad(k_sym.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    vh = jnp.pad(v_sym.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    ks = jnp.pad(k_scale, ((0, 0), (0, Sp - S)))[:, None, :]  # [B, 1, Sp]
+    vs = jnp.pad(v_scale, ((0, 0), (0, Sp - S)))[:, None, :]
+
+    grid = (B, H, Tp // bq, Sp // bk)
+    kernel = functools.partial(_qflash_kernel, block_q=bq, block_k=bk,
+                               scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D),
+                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+                pl.BlockSpec((1, 1, bk, D),
+                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+                pl.BlockSpec((1, 1, bk),
+                             lambda b, h, iq, ik, *_: (b, 0, ik)),
+                pl.BlockSpec((1, 1, bk),
+                             lambda b, h, iq, ik, *_: (b, 0, ik)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, D),
+                                   lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), qh, kh, vh, ks,
+      vs)
+    return out[:, :, :T].transpose(0, 2, 1, 3)
+
+
+def quantized_attention_reference(q, k_sym, v_sym, k_scale, v_scale,
+                                  q_offset, kv_len) -> jax.Array:
+    """Unfused reference: dequantize then dense attention (for tests)."""
+    k = dequantize_kv(k_sym, k_scale)
+    v = dequantize_kv(v_sym, v_scale)
+    return mha_reference(q, k, v, q_offset, kv_len)

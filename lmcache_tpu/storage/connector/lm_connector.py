@@ -33,14 +33,27 @@ def recv_exact(sock: socket.socket, n: int) -> bytes:
 
 
 class LMCServerConnector(RemoteConnector):
+    """Hot ops (exists/get/set) ride the C++ transport when available
+    (lmcache_tpu/net — zero-copy receive, no per-chunk Python framing);
+    LIST/PING and the fallback path use the pure-Python client."""
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0):
+    def __init__(self, host: str, port: int, timeout: float = 30.0,
+                 use_native: bool = True):
         self.host = host
         self.port = port
         self.timeout = timeout
         self.lock = threading.Lock()
         self.socket: Optional[socket.socket] = None
         self._connect()
+        self.native = None
+        if use_native:
+            try:
+                from lmcache_tpu.net import (NativeSocketClient,
+                                             native_transport_available)
+                if native_transport_available():
+                    self.native = NativeSocketClient(host, port)
+            except Exception as e:  # degrade to the Python path
+                logger.warning("native transport disabled: %s", e)
 
     def _connect(self) -> None:
         s = socket.create_connection((self.host, self.port),
@@ -76,14 +89,21 @@ class LMCServerConnector(RemoteConnector):
         return header.code, body
 
     def exists(self, key: str) -> bool:
+        if self.native is not None:
+            return self.native.exists(key)
         code, _ = self._request(Command.EXIST, key)
         return code == Code.OK
 
     def get(self, key: str) -> Optional[bytes]:
+        if self.native is not None:
+            return self.native.get(key)
         code, body = self._request(Command.GET, key)
         return body if code == Code.OK else None
 
     def set(self, key: str, obj: bytes) -> None:
+        if self.native is not None:
+            self.native.set(key, obj)
+            return
         code, _ = self._request(Command.PUT, key, obj)
         if code != Code.OK:
             raise RuntimeError(f"Remote PUT failed for key {key}")
@@ -102,6 +122,9 @@ class LMCServerConnector(RemoteConnector):
             return False
 
     def close(self) -> None:
+        if self.native is not None:
+            self.native.close()
+            self.native = None
         if self.socket is not None:
             try:
                 self.socket.close()
