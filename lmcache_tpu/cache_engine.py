@@ -18,7 +18,7 @@ from typing import Dict, Iterable, Optional, Tuple, Union
 
 import numpy as np
 
-from lmcache_tpu import kv
+from lmcache_tpu import kv, metrics
 from lmcache_tpu.chunks import prefix_chunk_hashes, tokens_to_numpy
 from lmcache_tpu.config import LMCacheEngineConfig, LMCacheEngineMetadata
 from lmcache_tpu.logging_utils import init_logger
@@ -97,8 +97,11 @@ class LMCacheEngine:
             ((self._make_key(h, fmt), chunk) for h, chunk in pairs),
             blocking=blocking,
         )
-        logger.info("Stored %d chunks in %.1f ms", n_chunks,
-                    (time.perf_counter() - t0) * 1e3)
+        dt = time.perf_counter() - t0
+        metrics.inc("lmcache_chunks_stored", n_chunks)
+        metrics.inc("lmcache_chunks_skipped", start_chunk)
+        metrics.observe("lmcache_store_seconds", dt)
+        logger.info("Stored %d chunks in %.1f ms", n_chunks, dt * 1e3)
         return n_chunks
 
     # -- retrieve -----------------------------------------------------------
@@ -150,6 +153,7 @@ class LMCacheEngine:
 
         if not retrieved:
             ret_mask[:] = False
+            metrics.inc("lmcache_retrieve_misses")
             return ((), ret_mask) if return_tuple else (None, ret_mask)
 
         # drop tokens of the first chunk that the caller already has
@@ -162,8 +166,12 @@ class LMCacheEngine:
         n_ret = kv.num_tokens_in_blob(blob, fmt)
         ret_mask[num_skip_tok + n_ret:] = False
 
+        dt = time.perf_counter() - t0
+        metrics.inc("lmcache_retrieve_hits")
+        metrics.inc("lmcache_tokens_retrieved", n_ret)
+        metrics.observe("lmcache_retrieve_seconds", dt)
         logger.info("Retrieved %d chunks (%d tokens) in %.1f ms",
-                    len(retrieved), n_ret, (time.perf_counter() - t0) * 1e3)
+                    len(retrieved), n_ret, dt * 1e3)
         if return_tuple:
             return kv.blob_to_tuple(blob), ret_mask
         return blob, ret_mask

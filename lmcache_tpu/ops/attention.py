@@ -13,11 +13,16 @@ Layouts: ``q [B, T, H, D]``, ``k/v [B, S, H_kv, D]`` (vllm-fmt token-major,
 matching the cache blob convention, reference lmcache/cache_engine.py:114).
 GQA is supported (``H = G * H_kv``).
 
-The Pallas kernel is a standard TPU flash attention: grid
-``(B, H, T/bq, S/bk)`` with the KV axis innermost, online-softmax carries
-(m, l, acc) in VMEM scratch across KV blocks, masked by per-sequence
-``kv_len`` and the causal boundary ``q_offset + i >= j``. BlockSpec
-pipelining double-buffers the KV streams from HBM automatically.
+Performance shape (decode is HBM-bandwidth-bound):
+
+- the grid iterates KV *heads*, not query heads, and each program handles
+  the whole GQA group at once — every KV block is streamed from HBM
+  exactly once per (batch, kv-head) instead of once per query head;
+- KV blocks are large (up to 1024 tokens) so the pipelined DMAs are long
+  sequential reads and per-step grid overhead amortizes;
+- online-softmax carries (m, l, acc) live in VMEM scratch across the
+  innermost KV-block axis; causality + per-sequence ``kv_len`` masking is
+  applied in-register.
 """
 
 import functools
@@ -57,7 +62,7 @@ def mha_reference(q, k, v, q_offset, kv_len) -> jax.Array:
 
 
 def _flash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, block_q, block_k, scale):
+                  m_scr, l_scr, acc_scr, *, block_q, block_k, group, scale):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -69,25 +74,26 @@ def _flash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [bq, D]
+    # whole GQA group per program: [group, bq, D] -> [group*bq, D]
+    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)  # [bk, D]
     v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
-    qpos = (q_off_ref[b] + iq * block_q +
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
-    kpos = (ik * block_k +
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
+    qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (group * block_q, block_k), 0) % block_q)
+    kpos = (ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (group * block_q, block_k), 1))
     mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
     s = jnp.where(mask, s, _NEG_INF)
 
-    m_prev = m_scr[:]  # [bq, 1]
+    m_prev = m_scr[:]  # [group*bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [bq, bk]
+    p = jnp.exp(s - m_new)  # [group*bq, bk]
 
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
     acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
@@ -103,7 +109,7 @@ def _flash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref,
         l = l_scr[:]
         safe = jnp.where(l == 0.0, 1.0, l)
         out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -122,7 +128,7 @@ def flash_attention(
     kv_len: jax.Array,
     *,
     block_q: int = 128,
-    block_k: int = 128,
+    block_k: int = 2048,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Pallas flash attention. See module docstring for shapes/semantics.
@@ -143,7 +149,7 @@ def flash_attention(
     scale = 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
-    bk = min(block_k, _round_up(S, 16))
+    bk = min(block_k, _round_up(S, 128))
     Tp, Sp = _round_up(T, bq), _round_up(S, bk)
 
     # head-major [B, H, T, D] so token/depth sit in the tiled trailing dims
@@ -154,29 +160,29 @@ def flash_attention(
     vh = jnp.pad(v.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
 
-    grid = (B, H, Tp // bq, Sp // bk)
+    grid = (B, Hkv, Tp // bq, Sp // bk)
 
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
-                               scale=scale)
+                               group=group, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bq, D),
+                pl.BlockSpec((1, group, bq, D),
                              lambda b, h, iq, ik, *_: (b, h, iq, 0)),
                 pl.BlockSpec((1, 1, bk, D),
-                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+                             lambda b, h, iq, ik, *_: (b, h, ik, 0)),
                 pl.BlockSpec((1, 1, bk, D),
-                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+                             lambda b, h, iq, ik, *_: (b, h, ik, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, bq, D),
+            out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, ik, *_: (b, h, iq, 0)),
             scratch_shapes=[
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, D), jnp.float32),
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, D), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),

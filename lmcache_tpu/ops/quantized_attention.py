@@ -66,7 +66,7 @@ def dequantize_kv(sym: jax.Array, scale: jax.Array,
 
 def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
                    vs_ref, o_ref, m_scr, l_scr, acc_scr, *, block_q,
-                   block_k, scale):
+                   block_k, group, scale):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -78,7 +78,8 @@ def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [bq, D]
+    # whole GQA group per program (KV streamed once per kv head)
+    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)  # [bk, D] (int8 -> f32 in-register)
     v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
     k_scale = ks_ref[0].astype(jnp.float32)  # [1, bk]
@@ -88,10 +89,10 @@ def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
                             preferred_element_type=jnp.float32)
     s = s * (k_scale * scale)  # fused K dequant: per-column correction
 
-    qpos = (q_off_ref[b] + iq * block_q +
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
-    kpos = (ik * block_k +
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
+    qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (group * block_q, block_k), 0) % block_q)
+    kpos = (ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (group * block_q, block_k), 1))
     mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
     s = jnp.where(mask, s, _NEG_INF)
 
@@ -115,7 +116,7 @@ def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
         l = l_scr[:]
         safe = jnp.where(l == 0.0, 1.0, l)
         out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -130,7 +131,7 @@ def quantized_flash_attention(
     kv_len: jax.Array,
     *,
     block_q: int = 128,
-    block_k: int = 128,
+    block_k: int = 2048,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention reading int8 KV directly from HBM.
@@ -148,7 +149,7 @@ def quantized_flash_attention(
     scale = 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
-    bk = min(block_k, _round_up(S, 32))  # int8 sublane tile
+    bk = min(block_k, _round_up(S, 128))  # int8 sublane tile
     Tp, Sp = _round_up(T, bq), _round_up(S, bk)
 
     qh = jnp.pad(q.transpose(0, 2, 1, 3),
@@ -160,32 +161,32 @@ def quantized_flash_attention(
     ks = jnp.pad(k_scale, ((0, 0), (0, Sp - S)))[:, None, :]  # [B, 1, Sp]
     vs = jnp.pad(v_scale, ((0, 0), (0, Sp - S)))[:, None, :]
 
-    grid = (B, H, Tp // bq, Sp // bk)
+    grid = (B, Hkv, Tp // bq, Sp // bk)
     kernel = functools.partial(_qflash_kernel, block_q=bq, block_k=bk,
-                               scale=scale)
+                               group=group, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bq, D),
+                pl.BlockSpec((1, group, bq, D),
                              lambda b, h, iq, ik, *_: (b, h, iq, 0)),
                 pl.BlockSpec((1, 1, bk, D),
-                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+                             lambda b, h, iq, ik, *_: (b, h, ik, 0)),
                 pl.BlockSpec((1, 1, bk, D),
-                             lambda b, h, iq, ik, *_: (b, h // group, ik, 0)),
+                             lambda b, h, iq, ik, *_: (b, h, ik, 0)),
                 pl.BlockSpec((1, 1, bk),
                              lambda b, h, iq, ik, *_: (b, 0, ik)),
                 pl.BlockSpec((1, 1, bk),
                              lambda b, h, iq, ik, *_: (b, 0, ik)),
             ],
-            out_specs=pl.BlockSpec((1, 1, bq, D),
+            out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, ik, *_: (b, h, iq, 0)),
             scratch_shapes=[
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, D), jnp.float32),
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, D), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),

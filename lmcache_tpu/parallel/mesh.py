@@ -84,3 +84,29 @@ def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
     "data", kv-heads on "model" (the TP equivalent of the reference's
     per-worker key shards)."""
     return NamedSharding(mesh, P(None, None, "data", None, "model", None))
+
+
+def kv_blob_sharding(mesh: Mesh, fmt: str = "vllm") -> NamedSharding:
+    """Sharding for a cache blob [L, 2, T, H, D] (vllm) / [L, 2, H, T, D]
+    (huggingface): heads on "model"."""
+    if fmt == "vllm":
+        return NamedSharding(mesh, P(None, None, None, "model", None))
+    return NamedSharding(mesh, P(None, None, "model", None, None))
+
+
+def shard_blob_slice(blob, fmt: str, shard_idx: int, num_shards: int):
+    """The head-slice of a blob owned by TP shard ``shard_idx``.
+
+    This is the unit each tensor-parallel worker stores/retrieves under
+    its own ``worker_id`` key namespace (reference: per-worker keys,
+    lmcache/cache_engine.py:37-44; here worker == mesh "model" shard).
+    Works on numpy and jax arrays.
+    """
+    head_axis = 3 if fmt == "vllm" else 2
+    H = blob.shape[head_axis]
+    if H % num_shards:
+        raise ValueError(f"{H} heads not divisible by {num_shards} shards")
+    per = H // num_shards
+    idx = [slice(None)] * blob.ndim
+    idx[head_axis] = slice(shard_idx * per, (shard_idx + 1) * per)
+    return blob[tuple(idx)]

@@ -89,6 +89,11 @@ class APIServer:
         async def health(_):
             return web.json_response({"status": "ok"})
 
+        async def metrics_endpoint(_):
+            from lmcache_tpu import metrics
+            return web.Response(text=metrics.prometheus_text(),
+                                content_type="text/plain")
+
         async def models(_):
             return web.json_response({
                 "object": "list",
@@ -171,6 +176,7 @@ class APIServer:
 
         app = web.Application()
         app.router.add_get("/health", health)
+        app.router.add_get("/metrics", metrics_endpoint)
         app.router.add_get("/v1/models", models)
         app.router.add_post("/v1/completions", completions)
         return app

@@ -57,6 +57,7 @@ class ServingEngine:
         save_decode_cache: bool = False,
         use_pallas: Optional[bool] = None,
         mesh=None,
+        kv_dtype: str = "native",  # "native" (model dtype) | "int8"
     ):
         self.cfg = cfg
         self.params = params
@@ -69,29 +70,51 @@ class ServingEngine:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = use_pallas
         self.mesh = mesh
+        if kv_dtype not in ("native", "int8"):
+            raise ValueError(f"Invalid kv_dtype: {kv_dtype}")
+        self.kv_dtype = kv_dtype
+        quantized = kv_dtype == "int8"
 
-        self.kv_pool = llama.new_kv_cache(cfg, self.B, self.S)
+        self.kv_pool = (llama.new_quantized_kv_cache(cfg, self.B, self.S)
+                        if quantized else
+                        llama.new_kv_cache(cfg, self.B, self.S))
         if mesh is not None:
             from lmcache_tpu.parallel import kv_cache_sharding
-            self.kv_pool = jax.device_put(self.kv_pool,
-                                          kv_cache_sharding(mesh))
+            if quantized:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.kv_pool = {
+                    "sym": jax.device_put(self.kv_pool["sym"],
+                                          kv_cache_sharding(mesh)),
+                    "scale": jax.device_put(
+                        self.kv_pool["scale"],
+                        NamedSharding(mesh, P(None, None, "data", None))),
+                }
+            else:
+                self.kv_pool = jax.device_put(self.kv_pool,
+                                              kv_cache_sharding(mesh))
         self.free_slots = list(range(self.B))
         self.waiting: List[Request] = []
         self.running: List[Request] = []
         self.finished: List[Request] = []
         self._rng = jax.random.PRNGKey(0)
 
-        fwd = functools.partial(llama.forward, cfg=cfg,
-                                use_pallas=self.use_pallas)
+        fwd = functools.partial(
+            llama.forward_quantized if quantized else llama.forward,
+            cfg=cfg, use_pallas=self.use_pallas)
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill_step(params, tokens, start, cache, slot, last_idx):
             # tokens [1, Tp]; write into pool slot, return last real logits
-            kv_slice = jax.lax.dynamic_slice_in_dim(cache, slot, 1, axis=2)
+            # (the pool is a bare array, or a {"sym","scale"} tree in int8
+            # mode — batch is axis 2 in every leaf)
+            kv_slice = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=2),
+                cache)
             logits, new_slice = fwd(params, tokens=tokens, start_pos=start,
                                     kv_cache=kv_slice)
-            cache = jax.lax.dynamic_update_slice(
-                cache, new_slice, (0, 0, slot, 0, 0, 0))
+            cache = jax.tree.map(
+                lambda c, n: jax.lax.dynamic_update_slice_in_dim(
+                    c, n, slot, axis=2), cache, new_slice)
             return logits[0, last_idx], cache
 
         @functools.partial(jax.jit, donate_argnums=(3,))
@@ -103,10 +126,36 @@ class ServingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject(cache, blob, slot):
-            # blob [L, 2, t, H, D] -> cache[:, :, slot, :t]
+            # blob [L, 2, t, H, D] (model dtype) -> cache[:, :, slot, :t]
+            if quantized:
+                b32 = blob.astype(jnp.float32)
+                absmax = jnp.max(jnp.abs(b32), axis=(3, 4))  # [L, 2, t]
+                scl = jnp.where(absmax == 0.0, 1.0, absmax) / 127.0
+                sym = jnp.clip(jnp.round(b32 / scl[..., None, None]), -127,
+                               127).astype(jnp.int8)
+                return {
+                    "sym":
+                    jax.lax.dynamic_update_slice(cache["sym"],
+                                                 sym[:, :, None],
+                                                 (0, 0, slot, 0, 0, 0)),
+                    "scale":
+                    jax.lax.dynamic_update_slice(cache["scale"],
+                                                 scl[:, :, None],
+                                                 (0, 0, slot, 0)),
+                }
             return jax.lax.dynamic_update_slice(
                 cache, blob[:, :, None].astype(cache.dtype),
                 (0, 0, slot, 0, 0, 0))
+
+        @jax.jit
+        def read_slot(cache, slot):
+            # KV blob [L, 2, S, H, D] of one slot, dequantized if needed
+            if quantized:
+                sym = cache["sym"][:, :, slot]
+                scl = cache["scale"][:, :, slot]
+                return (sym.astype(jnp.float32) *
+                        scl[..., None, None]).astype(jnp.dtype(cfg.dtype))
+            return cache[:, :, slot]
 
         @jax.jit
         def sample(logits, temperature, rng):
@@ -120,6 +169,7 @@ class ServingEngine:
         self._prefill_step = prefill_step
         self._decode_step = decode_step
         self._inject = inject
+        self._read_slot = read_slot
         self._sample = sample
 
     # -- public API ---------------------------------------------------------
@@ -248,5 +298,6 @@ class ServingEngine:
         if n <= 0:
             return
         tokens = req.all_tokens[:n]
-        blob = self.kv_pool[:, :, req.slot, :n]
+        blob = self._read_slot(self.kv_pool,
+                               jnp.asarray(req.slot))[:, :, :n]
         self.cache_engine.store(tokens, blob, blocking=False)

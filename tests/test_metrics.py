@@ -1,0 +1,81 @@
+"""Metrics registry + engine instrumentation + /metrics endpoint."""
+
+import numpy as np
+import pytest
+
+from lmcache_tpu import metrics
+from lmcache_tpu.cache_engine import LMCacheEngine
+from lmcache_tpu.config import LMCacheEngineConfig, LMCacheEngineMetadata
+
+
+@pytest.fixture(autouse=True)
+def reset_metrics():
+    metrics.reset()
+    yield
+    metrics.reset()
+
+
+def test_registry_basics():
+    metrics.inc("a")
+    metrics.inc("a", 2)
+    metrics.inc("b", 1, labels={"tier": "hbm"})
+    metrics.observe("lat", 0.5)
+    metrics.observe("lat", 1.5)
+    snap = metrics.snapshot()
+    assert snap["a"] == 3
+    assert snap['b{tier="hbm"}'] == 1
+    assert snap["lat_count"] == 2
+    assert snap["lat_sum"] == 2.0
+    assert snap["lat_max"] == 1.5
+    text = metrics.prometheus_text()
+    assert "lat_count 2" in text
+
+
+def test_engine_instrumentation():
+    eng = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu", chunk_size=16),
+        LMCacheEngineMetadata(model_name="m", world_size=1, worker_id=0,
+                              fmt="vllm", dtype="float32"))
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 1000, 32, dtype=np.int32)
+    blob = rng.standard_normal((2, 2, 32, 2, 64)).astype(np.float32)
+
+    eng.retrieve(tokens)  # miss
+    eng.store(tokens, blob)
+    eng.retrieve(tokens)  # hit
+
+    snap = metrics.snapshot()
+    assert snap["lmcache_retrieve_misses"] == 1
+    assert snap["lmcache_retrieve_hits"] == 1
+    assert snap["lmcache_chunks_stored"] == 2
+    assert snap["lmcache_tokens_retrieved"] == 32
+    eng.close()
+
+
+def test_metrics_endpoint():
+    import asyncio
+
+    jax = pytest.importorskip("jax")
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from lmcache_tpu.models import llama
+    from lmcache_tpu.serving import ServingEngine
+    from lmcache_tpu.serving.api import APIServer
+
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    srv = APIServer(ServingEngine(cfg, params, max_batch=1, max_seq=64,
+                                  use_pallas=False))
+    metrics.inc("lmcache_chunks_stored", 7)
+
+    async def body():
+        client = TestClient(TestServer(srv.build_app()))
+        await client.start_server()
+        try:
+            r = await client.get("/metrics")
+            assert r.status == 200
+            assert "lmcache_chunks_stored 7" in await r.text()
+        finally:
+            await client.close()
+
+    asyncio.run(body())
