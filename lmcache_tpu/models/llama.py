@@ -44,6 +44,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     max_seq_len: int = 16384
     dtype: str = "bfloat16"
+    # qkv projection bias (Qwen family; reference CacheGen family table
+    # includes Qwen-7B, cachegen_basics.py:36)
+    attention_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -82,6 +85,20 @@ class LlamaConfig:
                            rope_theta=1000000.0, max_seq_len=32768)
 
     @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=128256, dim=4096, n_layers=32,
+                           n_heads=32, n_kv_heads=8, hidden_dim=14336,
+                           rope_theta=500000.0, max_seq_len=8192)
+
+    @staticmethod
+    def qwen_7b() -> "LlamaConfig":
+        # Qwen/Qwen2-7B geometry; attention_bias=True is the family trait
+        return LlamaConfig(vocab_size=152064, dim=3584, n_layers=28,
+                           n_heads=28, n_kv_heads=4, hidden_dim=18944,
+                           rope_theta=1000000.0, max_seq_len=32768,
+                           attention_bias=True)
+
+    @staticmethod
     def from_hf(model_name: str) -> "LlamaConfig":
         """Read the architecture from a HuggingFace config."""
         from transformers import AutoConfig
@@ -97,6 +114,9 @@ class LlamaConfig:
             norm_eps=hc.rms_norm_eps,
             rope_theta=getattr(hc, "rope_theta", 10000.0),
             max_seq_len=hc.max_position_embeddings,
+            attention_bias=bool(
+                getattr(hc, "attention_bias", False)
+                or getattr(hc, "model_type", "") == "qwen2"),
         )
 
 
@@ -110,19 +130,24 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
         return (jax.random.normal(k, shape, jnp.float32) *
                 (fan_in**-0.5)).astype(dt)
 
+    layers = {
+        "attn_norm": jnp.ones((L, dim), dt),
+        "wq": w(keys[1], (L, dim, nh * hd), dim),
+        "wk": w(keys[2], (L, dim, nkv * hd), dim),
+        "wv": w(keys[3], (L, dim, nkv * hd), dim),
+        "wo": w(keys[4], (L, nh * hd, dim), nh * hd),
+        "mlp_norm": jnp.ones((L, dim), dt),
+        "w_gate": w(keys[5], (L, dim, hid), dim),
+        "w_up": w(keys[6], (L, dim, hid), dim),
+        "w_down": w(keys[7], (L, hid, dim), hid),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = jnp.zeros((L, nh * hd), dt)
+        layers["bk"] = jnp.zeros((L, nkv * hd), dt)
+        layers["bv"] = jnp.zeros((L, nkv * hd), dt)
     return {
         "embed": w(keys[0], (cfg.vocab_size, dim), dim),
-        "layers": {
-            "attn_norm": jnp.ones((L, dim), dt),
-            "wq": w(keys[1], (L, dim, nh * hd), dim),
-            "wk": w(keys[2], (L, dim, nkv * hd), dim),
-            "wv": w(keys[3], (L, dim, nkv * hd), dim),
-            "wo": w(keys[4], (L, nh * hd, dim), nh * hd),
-            "mlp_norm": jnp.ones((L, dim), dt),
-            "w_gate": w(keys[5], (L, dim, hid), dim),
-            "w_up": w(keys[6], (L, dim, hid), dim),
-            "w_down": w(keys[7], (L, hid, dim), hid),
-        },
+        "layers": layers,
         "final_norm": jnp.ones((dim,), dt),
         "lm_head": w(keys[0], (dim, cfg.vocab_size), dim),
     }
@@ -160,20 +185,25 @@ def load_hf(model_name: str,
 
     lm_head = ("lm_head.weight" if "lm_head.weight" in sd else
                "model.embed_tokens.weight")  # tied embeddings
+    layers = {
+        "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
+        "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+        "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+        "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+        "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+        "mlp_norm":
+        stack_vec("model.layers.{}.post_attention_layernorm.weight"),
+        "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+        "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+        "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
+        layers["bk"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
+        layers["bv"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
     params = {
         "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy(), dt),
-        "layers": {
-            "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
-            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
-            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
-            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
-            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "mlp_norm":
-            stack_vec("model.layers.{}.post_attention_layernorm.weight"),
-            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
-            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
-            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
-        },
+        "layers": layers,
         "final_norm": jnp.asarray(sd["model.norm.weight"].numpy(), dt),
         "lm_head": jnp.asarray(sd[lm_head].numpy().T, dt),
     }
@@ -207,6 +237,16 @@ def _rms_norm(x, weight, eps):
     x32 = x.astype(jnp.float32)
     rms = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
     return (x32 * rms).astype(x.dtype) * weight
+
+
+def _qkv(h, lp, cfg):
+    """QKV projections with the family's optional bias (Qwen)."""
+    q = h @ lp["wq"]
+    k = h @ lp["wk"]
+    v = h @ lp["wv"]
+    if cfg.attention_bias:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    return q, k, v
 
 
 def _rope(x, positions, theta):
@@ -256,9 +296,10 @@ def forward(
     def layer(x, scanned):
         lp, cache_l = scanned  # cache_l: [2, B, S, H_kv, D]
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = _qkv(h, lp, cfg)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
@@ -330,9 +371,10 @@ def forward_quantized(
     def layer(x, scanned):
         lp, cache_l = scanned  # {"sym" [2,B,S,H,D], "scale" [2,B,S]}
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = _qkv(h, lp, cfg)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 

@@ -1,0 +1,120 @@
+"""Paged KV pool + paged forward pass.
+
+Dense slots (llama.new_kv_cache) reserve ``S_max`` tokens per sequence;
+the paged pool shares one global page arena across all sequences and
+maps positions through per-sequence page tables, so HBM is bounded by
+*actual* tokens resident (vLLM's memory model, rebuilt for TPU on the
+Pallas paged-attention kernel in ops/paged_attention.py).
+
+Page size should divide the cache-engine chunk_size so retrieved chunks
+land on whole pages.
+"""
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmcache_tpu.models import llama
+from lmcache_tpu.models.llama import _qkv, _rms_norm, _rope
+from lmcache_tpu.ops.paged_attention import (paged_attention,
+                                             paged_attention_reference)
+
+
+def new_paged_kv_pool(cfg: llama.LlamaConfig, num_pages: int,
+                      page_size: int) -> jax.Array:
+    """Global page arena [L, 2, P, page_size, H_kv, D]."""
+    return jnp.zeros((cfg.n_layers, 2, num_pages, page_size,
+                      cfg.n_kv_heads, cfg.head_dim), jnp.dtype(cfg.dtype))
+
+
+class PageAllocator:
+    """Host-side free-list of page ids (page 0 is reserved as the null
+    page that padding page-table entries point at)."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    @property
+    def num_free(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"paged pool exhausted: want {n}, free {len(self._free)}")
+        pages = [self._free.pop() for _ in range(n)]
+        return pages
+
+    def free(self, pages: List[int]) -> None:
+        for p in pages:
+            if not 0 < p < self.num_pages:
+                raise ValueError(f"bad page id {p}")
+            self._free.append(p)
+
+
+def pages_needed(num_tokens: int, page_size: int) -> int:
+    return -(-num_tokens // page_size)
+
+
+def forward_paged(
+    params: llama.Params,
+    cfg: llama.LlamaConfig,
+    tokens: jax.Array,  # int32 [B, T]
+    start_pos: jax.Array,  # int32 [B]
+    kv_pool: jax.Array,  # [L, 2, P, page, H_kv, D]
+    page_table: jax.Array,  # int32 [B, NP]
+    *,
+    use_pallas: bool = True,
+    last_logit_only: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`llama.forward` against the shared paged pool.
+
+    New tokens' KV is scattered into the pages named by ``page_table``;
+    attention gathers pages by DMA inside the Pallas kernel. Returns
+    (logits, updated pool).
+    """
+    B, T = tokens.shape
+    page = kv_pool.shape[3]
+    positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    kv_len = start_pos + T
+    attend = paged_attention if use_pallas else paged_attention_reference
+
+    # per-(batch, new-token) page id and in-page offset
+    pidx = jnp.take_along_axis(page_table, positions // page,
+                               axis=1)  # [B, T]
+    poff = positions % page
+
+    x = params["embed"][tokens]
+
+    def layer(x, scanned):
+        lp, pool_l = scanned  # pool_l: [2, P, page, H_kv, D]
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        q, k, v = _qkv(h, lp, cfg)
+        q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+
+        pool_l = pool_l.at[0, pidx, poff].set(k.astype(pool_l.dtype))
+        pool_l = pool_l.at[1, pidx, poff].set(v.astype(pool_l.dtype))
+
+        attn = attend(q, pool_l[0], pool_l[1], page_table, start_pos,
+                      kv_len)
+        x = x + attn.reshape(B, T, -1).astype(x.dtype) @ lp["wo"]
+
+        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+        up = (h @ lp["w_up"]).astype(jnp.float32)
+        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
+        return x, pool_l
+
+    x, new_pool = jax.lax.scan(layer, x, (params["layers"], kv_pool))
+    if last_logit_only:
+        x = x[:, -1:]
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_pool

@@ -1,0 +1,166 @@
+"""Paged attention: decode/prefill over a page-table-indexed KV pool.
+
+Dense per-slot KV buffers (models/llama.py) waste HBM when sequence
+lengths are heterogeneous: every slot reserves S_max tokens. The paged
+pool allocates fixed-size pages on demand and addresses them through a
+per-sequence page table — vLLM's PagedAttention, built the TPU way:
+
+- the page table rides `PrefetchScalarGridSpec` **scalar prefetch**, so
+  the BlockSpec index_map itself computes which page to DMA next
+  (`pool_block[j] = pages[b, j]`) — gather-by-DMA, no materialized
+  gathered KV;
+- pages are head-major `[P, H_kv, page_size, D]` so each block is one
+  long sequential HBM read;
+- the whole GQA group is processed per program (KV read once per kv
+  head), with the same online-softmax scratch carries as
+  ops/attention.py.
+
+The page is also the natural unit of cache-tier transfer: page_size is
+chosen to divide the cache-engine chunk_size, so a retrieved chunk maps
+onto whole pages.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lmcache_tpu.ops.attention import _NEG_INF, _round_up, mha_reference
+
+
+def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
+                              kv_len) -> jax.Array:
+    """Gather pages densely, then dense attention (tests / CPU path).
+
+    q: [B, T, H, D]; k/v_pool: [P, page, H_kv, D]; page_table: int32
+    [B, NP]; q_offset/kv_len: int32 [B].
+    """
+    B = q.shape[0]
+    P, page, Hkv, D = k_pool.shape
+    NP = page_table.shape[1]
+    k = k_pool[page_table].reshape(B, NP * page, Hkv, D)
+    v = v_pool[page_table].reshape(B, NP * page, Hkv, D)
+    return mha_reference(q, k, v, q_offset, kv_len)
+
+
+def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
+                  o_ref, m_scr, l_scr, acc_scr, *, block_q, page, group,
+                  scale):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    j = pl.program_id(3)  # page slot within the sequence
+    num_j = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # skip pages entirely beyond this sequence's length
+    @pl.when(j * page < kv_len_ref[b])
+    def _():
+        q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)  # [page, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (group * block_q, page), 0) % block_q)
+        kpos = (j * page + jax.lax.broadcasted_iota(
+            jnp.int32, (group * block_q, page), 1))
+        mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when(j == num_j - 1)
+    def _():
+        l = l_scr[:]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
+        o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def paged_attention(
+    q: jax.Array,
+    k_pool: jax.Array,
+    v_pool: jax.Array,
+    page_table: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attention over paged KV.
+
+    Args:
+        q: [B, T, H, D] queries (decode: T == 1).
+        k_pool, v_pool: [P, page_size, H_kv, D] global page pools.
+        page_table: int32 [B, NP] page ids per sequence (entries past the
+            sequence's pages may be any valid id — they are masked out).
+        q_offset, kv_len: int32 [B] as in ops.attention.flash_attention.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, D = q.shape
+    P, page, Hkv, _ = k_pool.shape
+    NP = page_table.shape[1]
+    if H % Hkv:
+        raise ValueError(f"H ({H}) must divide into H_kv ({Hkv})")
+    group = H // Hkv
+    scale = 1.0 / (D**0.5)
+
+    bq = min(block_q, _round_up(T, 16))
+    Tp = _round_up(T, bq)
+    qh = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    # head-major pools: [P, H_kv, page, D] -> one sequential DMA per page
+    kp = k_pool.transpose(0, 2, 1, 3)
+    vp = v_pool.transpose(0, 2, 1, 3)
+
+    grid = (B, Hkv, Tp // bq, NP)
+    kernel = functools.partial(_paged_kernel, block_q=bq, page=page,
+                               group=group, scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # page_table, q_offset, kv_len
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, group, bq, D),
+                             lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, page, D),
+                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
+                pl.BlockSpec((1, 1, page, D),
+                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, group, bq, D),
+                                   lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
+      kv_len.astype(jnp.int32), qh, kp, vp)
+    return out[:, :, :T].transpose(0, 2, 1, 3)

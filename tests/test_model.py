@@ -135,3 +135,67 @@ def test_matches_huggingface():
                               use_pallas=False)
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_matches_huggingface_qwen2():
+    """Qwen family (QKV bias) parity with transformers' Qwen2ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(vocab_size=128, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=256, rms_norm_eps=1e-5,
+                         rope_theta=10000.0, tie_word_embeddings=False,
+                         attention_dropout=0.0)
+    torch.manual_seed(1)
+    hf_model = Qwen2ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.self_attn.q_proj.bias" in sd  # family trait
+
+    cfg = llama.LlamaConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, hidden_dim=128, max_seq_len=256,
+                            dtype="float32", attention_bias=True)
+
+    def t(name):
+        return np.asarray(sd[name].numpy().T)
+
+    def stack(fmt):
+        return jnp.asarray(np.stack([t(fmt.format(i)) for i in range(2)]))
+
+    def stack_vec(fmt):
+        return jnp.asarray(
+            np.stack([np.asarray(sd[fmt.format(i)].numpy())
+                      for i in range(2)]))
+
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy()),
+        "layers": {
+            "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "bq": stack_vec("model.layers.{}.self_attn.q_proj.bias"),
+            "bk": stack_vec("model.layers.{}.self_attn.k_proj.bias"),
+            "bv": stack_vec("model.layers.{}.self_attn.v_proj.bias"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm":
+            stack_vec("model.layers.{}.post_attention_layernorm.weight"),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy()),
+        "lm_head": jnp.asarray(sd["lm_head.weight"].numpy().T),
+    }
+
+    B, T = 2, 13
+    ids = np.random.default_rng(5).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
