@@ -66,13 +66,14 @@ class APIServer:
 
     # -- request handling ---------------------------------------------------
 
-    def _submit(self, prompt, sampling: SamplingParams) -> Request:
+    def _submit(self, prompt, sampling: SamplingParams,
+                context_chunks=None) -> Request:
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError(
                     "string prompts need a tokenizer; pass token ids")
             prompt = self.tokenizer(prompt)
-        req = Request(prompt, sampling)
+        req = Request(prompt, sampling, context_chunks=context_chunks)
         with self._lock:
             self.engine.add_request(req)
         return req
@@ -116,7 +117,9 @@ class APIServer:
                     temperature=float(body.get("temperature", 0.0)),
                     stop_token_ids=tuple(body.get("stop_token_ids", ())),
                 )
-                req = self._submit(body.get("prompt", []), sampling)
+                req = self._submit(
+                    body.get("prompt", []), sampling,
+                    context_chunks=body.get("context_chunks"))
             except ValueError as e:
                 return web.json_response({"error": str(e)}, status=400)
 

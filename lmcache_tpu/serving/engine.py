@@ -58,6 +58,7 @@ class ServingEngine:
         use_pallas: Optional[bool] = None,
         mesh=None,
         kv_dtype: str = "native",  # "native" (model dtype) | "int8"
+        blend_recompute_ratio: float = 0.15,
     ):
         self.cfg = cfg
         self.params = params
@@ -172,6 +173,22 @@ class ServingEngine:
         self._read_slot = read_slot
         self._sample = sample
 
+        # CacheBlend path (non-prefix reuse for chunked RAG prompts);
+        # built lazily on the first context_chunks request
+        self._blend_ratio = blend_recompute_ratio
+        self._blender = None
+
+    def _get_blender(self):
+        if self._blender is None:
+            if self.cache_engine is None:
+                raise ValueError(
+                    "context_chunks requests need a cache_engine")
+            from lmcache_tpu.blend import CacheBlender
+            self._blender = CacheBlender(self.cfg, self.params,
+                                         self.cache_engine,
+                                         recompute_ratio=self._blend_ratio)
+        return self._blender
+
     # -- public API ---------------------------------------------------------
 
     def add_request(self, req: Request) -> Request:
@@ -222,6 +239,10 @@ class ServingEngine:
         req.slot = slot
         req.state = RequestState.RUNNING
 
+        if req.context_chunks is not None:
+            self._admit_blend(req)
+            return
+
         prompt = req.prompt_tokens
         cached = 0
         if self.cache_engine is not None:
@@ -245,6 +266,27 @@ class ServingEngine:
             self.params, jnp.asarray(padded)[None, :],
             jnp.asarray([cached], jnp.int32), self.kv_pool,
             jnp.asarray(slot, jnp.int32), jnp.asarray(T - 1, jnp.int32))
+        tok = int(
+            self._sample(logits, jnp.float32(req.sampling.temperature),
+                         self._next_rng()))
+        req.output_tokens.append(tok)
+        req.ttft_s = time.perf_counter() - req.arrival_s
+        self.running.append(req)
+        self._maybe_finish(req)
+
+    def _admit_blend(self, req: Request) -> None:
+        """Admit a chunked-context request via CacheBlend: reuse each
+        chunk's independently-cached KV (any position), heal a selected
+        fraction, and start decoding immediately — no full prefill."""
+        blender = self._get_blender()
+        logits, kv_blob, info = blender.blend(req.context_chunks)
+        req.blended_tokens_recomputed = info["recomputed_tokens"]
+        req.cached_prefix_len = info["total_tokens"] - info[
+            "recomputed_tokens"]
+        self.kv_pool = self._inject(self.kv_pool,
+                                    kv_blob.astype(jnp.dtype(
+                                        self.cfg.dtype)),
+                                    jnp.asarray(req.slot, jnp.int32))
         tok = int(
             self._sample(logits, jnp.float32(req.sampling.temperature),
                          self._next_rng()))

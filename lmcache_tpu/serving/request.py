@@ -35,11 +35,24 @@ class Request:
     output_tokens: List[int] = field(default_factory=list)
     slot: Optional[int] = None  # KV-pool slot while RUNNING
     cached_prefix_len: int = 0  # tokens reused from the cache engine
+    # CacheBlend: the prompt as independently-cached text chunks (RAG
+    # docs + question). When set, admission blends their KV instead of
+    # prefix-matching (lmcache_tpu/blend.py); prompt_tokens may be empty
+    # and is derived from the chunks.
+    context_chunks: Optional[List[np.ndarray]] = None
+    blended_tokens_recomputed: Optional[int] = None
     arrival_s: float = field(default_factory=time.perf_counter)
     ttft_s: Optional[float] = None  # set when the first token lands
     finish_s: Optional[float] = None
 
     def __post_init__(self):
+        if self.context_chunks is not None:
+            self.context_chunks = [
+                np.asarray(c, dtype=np.int32).reshape(-1)
+                for c in self.context_chunks
+            ]
+            if len(np.asarray(self.prompt_tokens).reshape(-1)) == 0:
+                self.prompt_tokens = np.concatenate(self.context_chunks)
         self.prompt_tokens = np.asarray(self.prompt_tokens,
                                         dtype=np.int32).reshape(-1)
 

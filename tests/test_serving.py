@@ -103,3 +103,32 @@ def test_eos_and_stop_tokens(setup):
         SamplingParams(max_new_tokens=10,
                        stop_token_ids=(golden[2],)))
     assert req.output_tokens == golden[:3]
+
+
+def test_blend_request(setup):
+    """context_chunks requests admit via CacheBlend and keep decoding."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu"),
+        LMCacheEngineMetadata(model_name="tiny-blend", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                        cache_engine=ce, use_pallas=False,
+                        blend_recompute_ratio=1.0)  # exact blend
+
+    docs = [rng.integers(0, cfg.vocab_size, 24, dtype=np.int32)
+            for _ in range(3)]
+    req = Request(np.empty(0, np.int32),
+                  SamplingParams(max_new_tokens=5),
+                  context_chunks=docs)
+    eng.add_request(req)
+    eng.run()
+
+    # ratio=1.0 blending is an exact prefill, so greedy output must match
+    # the plain path
+    golden = naive_greedy(cfg, params, np.concatenate(docs), 5)
+    assert req.output_tokens == golden
+    assert req.blended_tokens_recomputed == 72
+    assert req.num_prompt_tokens == 72
+    ce.close()
