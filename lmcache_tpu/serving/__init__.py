@@ -10,5 +10,9 @@ skip, and asynchronous chunk store-back into the cache tiers.
 
 from lmcache_tpu.serving.request import Request, RequestState, SamplingParams
 from lmcache_tpu.serving.engine import ServingEngine
+from lmcache_tpu.serving.paged_engine import PagedServingEngine
 
-__all__ = ["Request", "RequestState", "SamplingParams", "ServingEngine"]
+__all__ = [
+    "Request", "RequestState", "SamplingParams", "ServingEngine",
+    "PagedServingEngine"
+]

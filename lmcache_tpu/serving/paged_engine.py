@@ -1,0 +1,211 @@
+"""Paged serving engine: continuous batching over a shared page arena.
+
+The dense engine (serving/engine.py) reserves ``S_max`` tokens of HBM per
+slot; this variant allocates fixed-size pages on demand from one global
+pool (models/paged.py + the Pallas paged-attention kernel), so memory is
+bounded by tokens actually resident and admission applies backpressure
+when the arena is full — the vLLM memory model, TPU-native.
+
+Page size divides the cache-engine chunk_size, so a retrieved cache
+chunk is written as whole pages with one scatter.
+"""
+
+import functools
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lmcache_tpu.cache_engine import LMCacheEngine
+from lmcache_tpu.logging_utils import init_logger
+from lmcache_tpu.models import llama
+from lmcache_tpu.models.paged import (PageAllocator, forward_paged,
+                                      new_paged_kv_pool, pages_needed)
+from lmcache_tpu.serving.engine import ServingEngine, _bucket
+from lmcache_tpu.serving.request import Request, RequestState
+
+logger = init_logger(__name__)
+
+
+class PagedServingEngine(ServingEngine):
+
+    def __init__(
+        self,
+        cfg: llama.LlamaConfig,
+        params,
+        *,
+        max_batch: int = 8,
+        max_seq: Optional[int] = None,
+        num_pages: int = 256,
+        page_size: int = 64,
+        cache_engine: Optional[LMCacheEngine] = None,
+        eos_token_id: Optional[int] = None,
+        save_decode_cache: bool = False,
+        use_pallas: Optional[bool] = None,
+    ):
+        super().__init__(cfg, params, max_batch=max_batch, max_seq=max_seq,
+                         cache_engine=cache_engine,
+                         eos_token_id=eos_token_id,
+                         save_decode_cache=save_decode_cache,
+                         use_pallas=use_pallas)
+        if (cache_engine is not None
+                and cache_engine.chunk_size % page_size != 0):
+            raise ValueError("page_size must divide the cache chunk_size")
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.NP = -(-self.S // page_size)  # page-table width per sequence
+
+        # replace the dense pool with the page arena
+        self.kv_pool = new_paged_kv_pool(cfg, num_pages, page_size)
+        self.allocator = PageAllocator(num_pages)
+        # host-side page tables; row per slot, null page 0 as padding
+        self.page_tables = np.zeros((self.B, self.NP), np.int32)
+        self._req_pages = {}  # request_id -> List[int]
+
+        fwd = functools.partial(forward_paged, cfg=cfg,
+                                use_pallas=self.use_pallas)
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def prefill_paged(params, tokens, start, pool, table, last_idx):
+            logits, pool = fwd(params, tokens=tokens, start_pos=start,
+                               kv_pool=pool, page_table=table)
+            return logits[0, last_idx], pool
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def decode_paged(params, tokens, start, pool, tables):
+            logits, pool = fwd(params, tokens=tokens, start_pos=start,
+                               kv_pool=pool, page_table=tables)
+            return logits[:, 0], pool
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def inject_pages(pool, blob, pages):
+            # blob [L, 2, n*page, H, D] -> whole pages named by `pages`
+            L = blob.shape[0]
+            n = pages.shape[0]
+            paged = blob.reshape(L, 2, n, self.page_size, *blob.shape[3:])
+            return pool.at[:, :, pages].set(paged.astype(pool.dtype))
+
+        @jax.jit
+        def read_pages(pool, pages):
+            # gather whole pages -> [L, 2, n*page, H, D]
+            L = pool.shape[0]
+            g = pool[:, :, pages]  # [L, 2, n, page, H, D]
+            return g.reshape(L, 2, -1, *pool.shape[4:])
+
+        self._prefill_paged = prefill_paged
+        self._decode_paged = decode_paged
+        self._inject_pages = inject_pages
+        self._read_pages = read_pages
+
+    # -- scheduler ----------------------------------------------------------
+
+    def step(self) -> None:
+        if self.waiting and self.free_slots:
+            req = self.waiting[0]
+            needed = pages_needed(
+                req.num_prompt_tokens + req.sampling.max_new_tokens,
+                self.page_size)
+            if needed <= self.allocator.num_free:
+                self._admit(self.waiting.pop(0))
+                return
+            if not self.running:
+                raise MemoryError(
+                    f"request {req.request_id} needs {needed} pages; arena "
+                    f"has {self.allocator.num_free} and nothing is running")
+            # backpressure: keep decoding until pages free up
+        if self.running:
+            self._decode_all()
+
+    # -- internals ----------------------------------------------------------
+
+    def _admit(self, req: Request) -> None:
+        if req.context_chunks is not None:
+            raise NotImplementedError(
+                "CacheBlend requests use the dense engine for now")
+        slot = self.free_slots.pop(0)
+        req.slot = slot
+        req.state = RequestState.RUNNING
+
+        prompt = req.prompt_tokens
+        total = req.num_prompt_tokens + req.sampling.max_new_tokens
+        pages = self.allocator.alloc(pages_needed(total, self.page_size))
+        self._req_pages[req.request_id] = pages
+        self.page_tables[slot] = 0
+        self.page_tables[slot, :len(pages)] = pages
+
+        cached = 0
+        if self.cache_engine is not None:
+            blob, mask = self.cache_engine.retrieve(prompt,
+                                                    return_tuple=False)
+            cached = int(np.asarray(mask).sum())
+            cached = min(cached, len(prompt) - 1)
+            # whole pages only: the retrieved prefix lands page-aligned
+            cached = (cached // self.page_size) * self.page_size
+            if cached > 0:
+                n_pages = cached // self.page_size
+                self.kv_pool = self._inject_pages(
+                    self.kv_pool, jnp.asarray(blob[:, :, :cached]),
+                    jnp.asarray(pages[:n_pages], jnp.int32))
+        req.cached_prefix_len = cached
+
+        suffix = prompt[cached:]
+        T = len(suffix)
+        Tp = _bucket(T)
+        padded = np.zeros(Tp, np.int32)
+        padded[:T] = suffix
+        table = jnp.asarray(self.page_tables[slot:slot + 1], jnp.int32)
+        logits, self.kv_pool = self._prefill_paged(
+            self.params, jnp.asarray(padded)[None, :],
+            jnp.asarray([cached], jnp.int32), self.kv_pool, table,
+            jnp.asarray(T - 1, jnp.int32))
+        tok = int(
+            self._sample(logits, jnp.float32(req.sampling.temperature),
+                         self._next_rng()))
+        req.output_tokens.append(tok)
+        req.ttft_s = time.perf_counter() - req.arrival_s
+        self.running.append(req)
+        self._maybe_finish(req)
+
+    def _decode_all(self) -> None:
+        last = np.zeros((self.B, 1), np.int32)
+        start = np.zeros(self.B, np.int32)
+        temps = np.zeros(self.B, np.float32)
+        for r in self.running:
+            last[r.slot, 0] = r.output_tokens[-1]
+            start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
+            temps[r.slot] = r.sampling.temperature
+
+        logits, self.kv_pool = self._decode_paged(
+            self.params, jnp.asarray(last), jnp.asarray(start),
+            self.kv_pool, jnp.asarray(self.page_tables, jnp.int32))
+        toks = np.asarray(
+            self._sample(logits, jnp.asarray(temps), self._next_rng()))
+        for r in list(self.running):
+            r.output_tokens.append(int(toks[r.slot]))
+            self._maybe_finish(r)
+
+    def _store_back(self, req: Request) -> None:
+        if self.cache_engine is None:
+            self._release(req)
+            return
+        n = (req.total_len
+             if self.save_decode_cache else req.num_prompt_tokens)
+        n = min(n, req.total_len - 1)
+        if n > 0:
+            pages = self._req_pages[req.request_id]
+            n_pages = pages_needed(n, self.page_size)
+            blob = self._read_pages(
+                self.kv_pool, jnp.asarray(pages[:n_pages],
+                                          jnp.int32))[:, :, :n]
+            self.cache_engine.store(req.all_tokens[:n], blob,
+                                    blocking=False)
+        self._release(req)
+
+    def _release(self, req: Request) -> None:
+        pages = self._req_pages.pop(req.request_id, None)
+        if pages:
+            self.allocator.free(pages)
+            self.page_tables[req.slot] = 0

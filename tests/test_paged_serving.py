@@ -1,0 +1,93 @@
+"""Paged serving engine: greedy parity with the dense engine, page-
+aligned cache reuse, and arena backpressure."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from lmcache_tpu.cache_engine import LMCacheEngine  # noqa: E402
+from lmcache_tpu.config import (LMCacheEngineConfig,  # noqa: E402
+                                LMCacheEngineMetadata)
+from lmcache_tpu.models import llama  # noqa: E402
+from lmcache_tpu.serving import SamplingParams, ServingEngine  # noqa: E402
+from lmcache_tpu.serving.paged_engine import PagedServingEngine  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(7), cfg)
+    return cfg, params
+
+
+def test_paged_matches_dense(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, cfg.vocab_size, n, dtype=np.int32)
+               for n in (21, 45, 9)]
+    dense = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                          use_pallas=False)
+    golden = dense.generate(prompts, SamplingParams(max_new_tokens=6))
+
+    paged = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                               num_pages=32, page_size=16,
+                               use_pallas=False)
+    out = paged.generate(prompts, SamplingParams(max_new_tokens=6))
+    for g, o in zip(golden, out):
+        assert o.output_tokens == g.output_tokens
+    # all pages returned to the arena
+    assert paged.allocator.num_free == 31
+
+
+def test_paged_cache_reuse(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, cfg.vocab_size, 70, dtype=np.int32)
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny-paged", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             num_pages=64, page_size=16, cache_engine=ce,
+                             use_pallas=False)
+    [first] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    ce.engine_.flush()
+    [second] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    # 70 tokens cached; capped to 69 then page-aligned down to 64
+    assert second.cached_prefix_len == 64
+    assert second.output_tokens == first.output_tokens
+    ce.close()
+
+
+def test_arena_backpressure(setup):
+    """More work than pages: requests run (partly) sequentially but all
+    finish, and the arena never double-allocates."""
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, cfg.vocab_size, 40, dtype=np.int32)
+               for _ in range(4)]
+    # each request needs ceil((40+8)/16) = 3 pages; arena has 7 usable
+    eng = PagedServingEngine(cfg, params, max_batch=4, max_seq=128,
+                             num_pages=8, page_size=16, use_pallas=False)
+    golden = ServingEngine(cfg, params, max_batch=4, max_seq=128,
+                           use_pallas=False)
+    g = golden.generate(prompts, SamplingParams(max_new_tokens=8))
+    out = eng.generate(prompts, SamplingParams(max_new_tokens=8))
+    for a, b in zip(g, out):
+        assert a.output_tokens == b.output_tokens
+    assert eng.allocator.num_free == 7
+
+
+def test_arena_too_small_raises(setup):
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=1, max_seq=128,
+                             num_pages=2, page_size=16, use_pallas=False)
+    prompt = np.arange(40, dtype=np.int32)
+    eng.add_request(__import__("lmcache_tpu.serving",
+                               fromlist=["Request"]).Request(
+                                   prompt,
+                                   SamplingParams(max_new_tokens=8)))
+    with pytest.raises(MemoryError):
+        eng.run()
