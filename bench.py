@@ -28,10 +28,12 @@ def main():
     from lmcache_tpu.config import (LMCacheEngineConfig, LMCacheEngineMetadata)
     from lmcache_tpu.models import llama
 
-    CTX, SUFFIX = 3840, 256
+    # the reference's TTFT demo shape: a 16k-token context reused across
+    # requests (measuring_improvements.rst:70-87)
+    CTX, SUFFIX = 15872, 512
     TOTAL = CTX + SUFFIX
     cfg = llama.LlamaConfig.tinyllama_1_1b()
-    S = 4096
+    S = 16384
 
     rng = np.random.default_rng(0)
     tokens_np = rng.integers(0, cfg.vocab_size, TOTAL, dtype=np.int32)

@@ -14,7 +14,7 @@ TPU/JAX:
 """
 
 import time
-from typing import Dict, Iterable, Optional, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import numpy as np
 

@@ -10,7 +10,7 @@ Page size should divide the cache-engine chunk_size so retrieved chunks
 land on whole pages.
 """
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ back to the pure-Python socket client when the toolchain is missing
 import ctypes
 import os
 import threading
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -59,6 +59,7 @@ class ServingEngine:
         mesh=None,
         kv_dtype: str = "native",  # "native" (model dtype) | "int8"
         blend_recompute_ratio: float = 0.15,
+        decode_block: int = 1,
     ):
         self.cfg = cfg
         self.params = params
@@ -125,6 +126,27 @@ class ServingEngine:
                                 kv_cache=cache)
             return logits[:, 0], cache
 
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def decode_block_step(params, tokens, start, cache, temps, rng):
+            # run `decode_block` steps fully on device — sampling included
+            # — so the host round-trip cost amortizes over the block.
+            # Requests that hit a stop mid-block produce extra tokens the
+            # scheduler truncates; their KV writes are garbage past the
+            # stop, which the next slot occupant's prefill overwrites.
+            def body(carry, _):
+                tokens, start, cache, rng = carry
+                logits, cache = fwd(params, tokens=tokens, start_pos=start,
+                                    kv_cache=cache)
+                rng, sub = jax.random.split(rng)
+                toks = sample(logits[:, 0], temps, sub)  # [B]
+                return (toks[:, None].astype(jnp.int32), start + 1, cache,
+                        rng), toks
+
+            (_, _, cache, _), toks = jax.lax.scan(
+                body, (tokens, start, cache, rng), None,
+                length=decode_block)
+            return toks.T, cache  # [B, decode_block]
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject(cache, blob, slot):
             # blob [L, 2, t, H, D] (model dtype) -> cache[:, :, slot, :t]
@@ -169,6 +191,8 @@ class ServingEngine:
 
         self._prefill_step = prefill_step
         self._decode_step = decode_step
+        self._decode_block_step = decode_block_step
+        self.decode_block = decode_block
         self._inject = inject
         self._read_slot = read_slot
         self._sample = sample
@@ -307,6 +331,19 @@ class ServingEngine:
             last[r.slot, 0] = r.output_tokens[-1]
             start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
             temps[r.slot] = r.sampling.temperature
+
+        if self.decode_block > 1:
+            toks, self.kv_pool = self._decode_block_step(
+                self.params, jnp.asarray(last), jnp.asarray(start),
+                self.kv_pool, jnp.asarray(temps), self._next_rng())
+            toks = np.asarray(toks)  # [B, decode_block]
+            for r in list(self.running):
+                for j in range(self.decode_block):
+                    r.output_tokens.append(int(toks[r.slot, j]))
+                    if r.is_finished(self.eos_token_id):
+                        break
+                self._maybe_finish(r)
+            return
 
         logits, self.kv_pool = self._decode_step(self.params,
                                                  jnp.asarray(last),

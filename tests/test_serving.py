@@ -132,3 +132,28 @@ def test_blend_request(setup):
     assert req.blended_tokens_recomputed == 72
     assert req.num_prompt_tokens == 72
     ce.close()
+
+
+def test_decode_block_matches_single_step(setup):
+    """decode_block>1 (on-device multi-step decode) must produce the same
+    greedy tokens as step-by-step decode, including mid-block stops."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, cfg.vocab_size, n, dtype=np.int32)
+               for n in (15, 23)]
+    single = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                           use_pallas=False)
+    golden = single.generate(prompts, SamplingParams(max_new_tokens=7))
+
+    blocked = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                            use_pallas=False, decode_block=4)
+    out = blocked.generate(prompts, SamplingParams(max_new_tokens=7))
+    for g, o in zip(golden, out):
+        assert o.output_tokens == g.output_tokens  # 7 = not a multiple of 4
+
+    # stop token mid-block
+    stop = golden[0].output_tokens[2]
+    [r] = blocked.generate([prompts[0]],
+                           SamplingParams(max_new_tokens=7,
+                                          stop_token_ids=(stop,)))
+    assert r.output_tokens == golden[0].output_tokens[:3]

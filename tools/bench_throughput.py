@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--new", type=int, default=64)
     ap.add_argument("--engine", default="dense",
                     choices=["dense", "paged", "int8"])
+    ap.add_argument("--decode-block", type=int, default=1)
     ap.add_argument("--model", default="auto")
     args = ap.parse_args()
 
@@ -49,7 +50,8 @@ def main():
     else:
         eng = ServingEngine(
             cfg, params, max_batch=args.batch, max_seq=max_seq,
-            kv_dtype="int8" if args.engine == "int8" else "native")
+            kv_dtype="int8" if args.engine == "int8" else "native",
+            decode_block=args.decode_block)
 
     rng = np.random.default_rng(0)
     prompts = [
