@@ -46,9 +46,12 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
     return mha_reference(q, k, v, q_offset, kv_len)
 
 
-def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
-                  o_ref, m_scr, l_scr, acc_scr, *, block_q, page, group,
-                  scale):
+def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
+                l_scr, acc_scr, *, block_q, page, group, scale,
+                ks_ref=None, vs_ref=None):
+    """Shared online-softmax body; ks/vs present => fused int8 dequant
+    (per-token scales correct score/probability columns, as in
+    ops/quantized_attention.py)."""
     b = pl.program_id(0)
     iq = pl.program_id(2)
     j = pl.program_id(3)  # page slot within the sequence
@@ -69,6 +72,8 @@ def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if ks_ref is not None:
+            s = s * ks_ref[0].astype(jnp.float32)  # [1, page]
 
         qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (group * block_q, page), 0) % block_q)
@@ -82,6 +87,8 @@ def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[0].astype(jnp.float32)
         acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -93,6 +100,18 @@ def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
         safe = jnp.where(l == 0.0, 1.0, l)
         out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
         o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
+
+
+def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
+                  o_ref, m_scr, l_scr, acc_scr, **kw):
+    _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
+                l_scr, acc_scr, **kw)
+
+
+def _paged_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
+                    ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr, **kw):
+    _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
+                l_scr, acc_scr, ks_ref=ks_ref, vs_ref=vs_ref, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
@@ -163,4 +182,90 @@ def paged_attention(
         interpret=interpret,
     )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
       kv_len.astype(jnp.int32), qh, kp, vp)
+    return out[:, :, :T].transpose(0, 2, 1, 3)
+
+
+def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
+                                        k_scale_pool, v_scale_pool,
+                                        page_table, q_offset, kv_len):
+    """Dequantize pages densely, then dense attention (tests/CPU)."""
+    B = q.shape[0]
+    P, page, Hkv, D = k_sym_pool.shape
+    NP = page_table.shape[1]
+
+    def deq(sym_pool, scale_pool):
+        x = sym_pool[page_table].astype(jnp.float32)  # [B, NP, page, H, D]
+        s = scale_pool[page_table]  # [B, NP, page]
+        return (x * s[..., None, None]).reshape(B, NP * page, Hkv, D)
+
+    return mha_reference(q, deq(k_sym_pool, k_scale_pool),
+                         deq(v_sym_pool, v_scale_pool), q_offset, kv_len)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def quantized_paged_attention(
+    q: jax.Array,
+    k_sym_pool: jax.Array,  # int8 [P, page, H_kv, D]
+    v_sym_pool: jax.Array,
+    k_scale_pool: jax.Array,  # f32 [P, page] per-token scales
+    v_scale_pool: jax.Array,
+    page_table: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Paged attention over an int8 page arena — pages stream from HBM at
+    half the bytes, dequantized in-register via the column-correction
+    trick (ops/quantized_attention.py docstring)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, D = q.shape
+    P, page, Hkv, _ = k_sym_pool.shape
+    NP = page_table.shape[1]
+    group = H // Hkv
+    scale = 1.0 / (D**0.5)
+
+    bq = min(block_q, _round_up(T, 16))
+    Tp = _round_up(T, bq)
+    qh = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kp = k_sym_pool.transpose(0, 2, 1, 3)  # [P, H_kv, page, D]
+    vp = v_sym_pool.transpose(0, 2, 1, 3)
+    ks = k_scale_pool[:, None, :]  # [P, 1, page]
+    vs = v_scale_pool[:, None, :]
+
+    grid = (B, Hkv, Tp // bq, NP)
+    kernel = functools.partial(_paged_kernel_q, block_q=bq, page=page,
+                               group=group, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, group, bq, D),
+                             lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, page, D),
+                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
+                pl.BlockSpec((1, 1, page, D),
+                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
+                pl.BlockSpec((1, 1, page),
+                             lambda b, h, iq, j, pt, *_: (pt[b, j], 0, 0)),
+                pl.BlockSpec((1, 1, page),
+                             lambda b, h, iq, j, pt, *_: (pt[b, j], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, group, bq, D),
+                                   lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, 1), jnp.float32),
+                pltpu.VMEM((group * bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
+      kv_len.astype(jnp.int32), qh, kp, vp, ks, vs)
     return out[:, :, :T].transpose(0, 2, 1, 3)

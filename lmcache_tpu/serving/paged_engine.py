@@ -122,20 +122,21 @@ class PagedServingEngine(ServingEngine):
     # -- internals ----------------------------------------------------------
 
     def _admit(self, req: Request) -> None:
-        if req.context_chunks is not None:
-            raise NotImplementedError(
-                "CacheBlend requests use the dense engine for now")
         slot = self.free_slots.pop(0)
         req.slot = slot
         req.state = RequestState.RUNNING
 
-        prompt = req.prompt_tokens
         total = req.num_prompt_tokens + req.sampling.max_new_tokens
         pages = self.allocator.alloc(pages_needed(total, self.page_size))
         self._req_pages[req.request_id] = pages
         self.page_tables[slot] = 0
         self.page_tables[slot, :len(pages)] = pages
 
+        if req.context_chunks is not None:
+            self._admit_blend_paged(req, pages)
+            return
+
+        prompt = req.prompt_tokens
         cached = 0
         if self.cache_engine is not None:
             blob, mask = self.cache_engine.retrieve(prompt,
@@ -161,6 +162,33 @@ class PagedServingEngine(ServingEngine):
             self.params, jnp.asarray(padded)[None, :],
             jnp.asarray([cached], jnp.int32), self.kv_pool, table,
             jnp.asarray(T - 1, jnp.int32))
+        tok = int(
+            self._sample(logits, jnp.float32(req.sampling.temperature),
+                         self._next_rng()))
+        req.output_tokens.append(tok)
+        req.ttft_s = time.perf_counter() - req.arrival_s
+        self.running.append(req)
+        self._maybe_finish(req)
+
+    def _admit_blend_paged(self, req: Request, pages) -> None:
+        """CacheBlend admission onto pages: blend the chunk KV, pad the
+        blob to whole pages (the tail garbage sits past kv_len and is
+        masked), scatter it in, and start decoding."""
+        blender = self._get_blender()
+        logits, kv_blob, info = blender.blend(req.context_chunks)
+        T = info["total_tokens"]
+        req.blended_tokens_recomputed = info["recomputed_tokens"]
+        req.cached_prefix_len = T - info["recomputed_tokens"]
+
+        n_pages = pages_needed(T, self.page_size)
+        pad = n_pages * self.page_size - T
+        if pad:
+            kv_blob = jnp.pad(kv_blob,
+                              ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        self.kv_pool = self._inject_pages(
+            self.kv_pool, kv_blob.astype(jnp.dtype(self.cfg.dtype)),
+            jnp.asarray(pages[:n_pages], jnp.int32))
+
         tok = int(
             self._sample(logits, jnp.float32(req.sampling.temperature),
                          self._next_rng()))

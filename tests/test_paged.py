@@ -95,3 +95,28 @@ def test_forward_paged_matches_dense():
             np.testing.assert_allclose(
                 k_pool[:, int(pt[b, j]), :hi - lo], k_dense[:, b, lo:hi],
                 atol=1e-5)
+
+
+def test_quantized_paged_kernel():
+    from lmcache_tpu.ops.paged_attention import (
+        quantized_paged_attention, quantized_paged_attention_reference)
+    rng = np.random.default_rng(4)
+    B, T, H, D, Hkv = 2, 1, 4, 64, 2
+    P, page, NP = 10, 32, 3
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k_sym = jnp.asarray(rng.integers(-127, 128, (P, page, Hkv, D)),
+                        jnp.int8)
+    v_sym = jnp.asarray(rng.integers(-127, 128, (P, page, Hkv, D)),
+                        jnp.int8)
+    k_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)
+    v_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)
+    pt = jnp.asarray([[3, 7, 1], [2, 9, 5]], jnp.int32)
+    kv_len = jnp.asarray([80, 50], jnp.int32)
+    q_off = kv_len - 1
+
+    ref = quantized_paged_attention_reference(q, k_sym, v_sym, k_sc, v_sc,
+                                              pt, q_off, kv_len)
+    out = quantized_paged_attention(q, k_sym, v_sym, k_sc, v_sc, pt,
+                                    q_off, kv_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)

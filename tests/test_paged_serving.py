@@ -91,3 +91,35 @@ def test_arena_too_small_raises(setup):
                                    SamplingParams(max_new_tokens=8)))
     with pytest.raises(MemoryError):
         eng.run()
+
+
+def test_paged_blend_request(setup):
+    """CacheBlend admission on the paged engine (ratio=1.0 = exact)."""
+    from lmcache_tpu.serving import Request
+
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny-pb", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             num_pages=32, page_size=16, cache_engine=ce,
+                             use_pallas=False)
+    eng._blend_ratio = 1.0  # exact blend for the parity check
+
+    docs = [rng.integers(0, cfg.vocab_size, 24, dtype=np.int32)
+            for _ in range(3)]  # 72 tokens -> 4.5 -> 5 pages w/ decode
+    req = Request(np.empty(0, np.int32), SamplingParams(max_new_tokens=5),
+                  context_chunks=docs)
+    eng.add_request(req)
+    eng.run()
+
+    dense = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                          use_pallas=False)
+    [golden] = dense.generate([np.concatenate(docs)],
+                              SamplingParams(max_new_tokens=5))
+    assert req.output_tokens == golden.output_tokens
+    assert eng.allocator.num_free == 31  # all pages returned
+    ce.close()

@@ -13,9 +13,12 @@ number the judge's longchat-7b-16k run slots into.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
