@@ -60,6 +60,7 @@ class ServingEngine:
         kv_dtype: str = "native",  # "native" (model dtype) | "int8"
         blend_recompute_ratio: float = 0.15,
         decode_block: int = 1,
+        prefill_chunk: int = 512,
     ):
         self.cfg = cfg
         self.params = params
@@ -193,6 +194,7 @@ class ServingEngine:
         self._decode_step = decode_step
         self._decode_block_step = decode_block_step
         self.decode_block = decode_block
+        self.prefill_chunk = prefill_chunk
         self._inject = inject
         self._read_slot = read_slot
         self._sample = sample
@@ -280,16 +282,7 @@ class ServingEngine:
                 self.kv_pool = self._inject(self.kv_pool, jnp.asarray(blob),
                                             slot)
         req.cached_prefix_len = cached
-
-        suffix = prompt[cached:]
-        T = len(suffix)
-        Tp = _bucket(T)
-        padded = np.zeros(Tp, np.int32)
-        padded[:T] = suffix
-        logits, self.kv_pool = self._prefill_step(
-            self.params, jnp.asarray(padded)[None, :],
-            jnp.asarray([cached], jnp.int32), self.kv_pool,
-            jnp.asarray(slot, jnp.int32), jnp.asarray(T - 1, jnp.int32))
+        logits = self._chunked_prefill(prompt, cached, slot)
         tok = int(
             self._sample(logits, jnp.float32(req.sampling.temperature),
                          self._next_rng()))
@@ -297,6 +290,29 @@ class ServingEngine:
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
         self._maybe_finish(req)
+
+    def _chunked_prefill(self, prompt: np.ndarray, cached: int,
+                         slot: int):
+        """Prefill the uncached suffix in fixed-size chunks so XLA
+        compiles at most two prefill programs (chunk-sized and the
+        bucketed tail) regardless of prompt length. Intermediate chunks'
+        dispatches pipeline; only the final one's logits are used."""
+        PC = self.prefill_chunk
+        pos = cached
+        n = len(prompt)
+        logits = None
+        while pos < n:
+            seg = prompt[pos:pos + PC]
+            T = len(seg)
+            Tp = PC if T == PC else _bucket(T)
+            padded = np.zeros(Tp, np.int32)
+            padded[:T] = seg
+            logits, self.kv_pool = self._prefill_step(
+                self.params, jnp.asarray(padded)[None, :],
+                jnp.asarray([pos], jnp.int32), self.kv_pool,
+                jnp.asarray(slot, jnp.int32), jnp.asarray(T - 1, jnp.int32))
+            pos += T
+        return logits
 
     def _admit_blend(self, req: Request) -> None:
         """Admit a chunked-context request via CacheBlend: reuse each

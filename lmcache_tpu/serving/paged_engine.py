@@ -45,12 +45,15 @@ class PagedServingEngine(ServingEngine):
         eos_token_id: Optional[int] = None,
         save_decode_cache: bool = False,
         use_pallas: Optional[bool] = None,
+        decode_block: int = 1,
+        prefill_chunk: int = 512,
     ):
         super().__init__(cfg, params, max_batch=max_batch, max_seq=max_seq,
                          cache_engine=cache_engine,
                          eos_token_id=eos_token_id,
                          save_decode_cache=save_decode_cache,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, decode_block=decode_block,
+                         prefill_chunk=prefill_chunk)
         if (cache_engine is not None
                 and cache_engine.chunk_size % page_size != 0):
             raise ValueError("page_size must divide the cache chunk_size")
@@ -80,6 +83,25 @@ class PagedServingEngine(ServingEngine):
                                kv_pool=pool, page_table=tables)
             return logits[:, 0], pool
 
+        sample = self._sample
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def decode_block_paged(params, tokens, start, pool, tables, temps,
+                               rng):
+            def body(carry, _):
+                tokens, start, pool, rng = carry
+                logits, pool = fwd(params, tokens=tokens, start_pos=start,
+                                   kv_pool=pool, page_table=tables)
+                rng, sub = jax.random.split(rng)
+                toks = sample(logits[:, 0], temps, sub)
+                return (toks[:, None].astype(jnp.int32), start + 1, pool,
+                        rng), toks
+
+            (_, _, pool, _), toks = jax.lax.scan(
+                body, (tokens, start, pool, rng), None,
+                length=decode_block)
+            return toks.T, pool
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject_pages(pool, blob, pages):
             # blob [L, 2, n*page, H, D] -> whole pages named by `pages`
@@ -97,6 +119,7 @@ class PagedServingEngine(ServingEngine):
 
         self._prefill_paged = prefill_paged
         self._decode_paged = decode_paged
+        self._decode_block_paged = decode_block_paged
         self._inject_pages = inject_pages
         self._read_pages = read_pages
 
@@ -152,16 +175,21 @@ class PagedServingEngine(ServingEngine):
                     jnp.asarray(pages[:n_pages], jnp.int32))
         req.cached_prefix_len = cached
 
-        suffix = prompt[cached:]
-        T = len(suffix)
-        Tp = _bucket(T)
-        padded = np.zeros(Tp, np.int32)
-        padded[:T] = suffix
+        # chunked prefill: fixed-size segments, one compiled program
+        PC = self.prefill_chunk
         table = jnp.asarray(self.page_tables[slot:slot + 1], jnp.int32)
-        logits, self.kv_pool = self._prefill_paged(
-            self.params, jnp.asarray(padded)[None, :],
-            jnp.asarray([cached], jnp.int32), self.kv_pool, table,
-            jnp.asarray(T - 1, jnp.int32))
+        pos, n, logits = cached, len(prompt), None
+        while pos < n:
+            seg = prompt[pos:pos + PC]
+            T = len(seg)
+            Tp = PC if T == PC else _bucket(T)
+            padded = np.zeros(Tp, np.int32)
+            padded[:T] = seg
+            logits, self.kv_pool = self._prefill_paged(
+                self.params, jnp.asarray(padded)[None, :],
+                jnp.asarray([pos], jnp.int32), self.kv_pool, table,
+                jnp.asarray(T - 1, jnp.int32))
+            pos += T
         tok = int(
             self._sample(logits, jnp.float32(req.sampling.temperature),
                          self._next_rng()))
@@ -206,9 +234,23 @@ class PagedServingEngine(ServingEngine):
             start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
             temps[r.slot] = r.sampling.temperature
 
+        tables = jnp.asarray(self.page_tables, jnp.int32)
+        if self.decode_block > 1:
+            toks, self.kv_pool = self._decode_block_paged(
+                self.params, jnp.asarray(last), jnp.asarray(start),
+                self.kv_pool, tables, jnp.asarray(temps), self._next_rng())
+            toks = np.asarray(toks)
+            for r in list(self.running):
+                for j in range(self.decode_block):
+                    r.output_tokens.append(int(toks[r.slot, j]))
+                    if r.is_finished(self.eos_token_id):
+                        break
+                self._maybe_finish(r)
+            return
+
         logits, self.kv_pool = self._decode_paged(
             self.params, jnp.asarray(last), jnp.asarray(start),
-            self.kv_pool, jnp.asarray(self.page_tables, jnp.int32))
+            self.kv_pool, tables)
         toks = np.asarray(
             self._sample(logits, jnp.asarray(temps), self._next_rng()))
         for r in list(self.running):

@@ -123,3 +123,21 @@ def test_paged_blend_request(setup):
     assert req.output_tokens == golden.output_tokens
     assert eng.allocator.num_free == 31  # all pages returned
     ce.close()
+
+
+def test_paged_decode_block_and_chunked_prefill(setup):
+    """decode_block>1 + small prefill_chunk on the paged engine must
+    reproduce the plain engine's greedy output."""
+    cfg, params = setup
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, cfg.vocab_size, n, dtype=np.int32)
+               for n in (37, 70)]
+    golden = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                           use_pallas=False).generate(
+                               prompts, SamplingParams(max_new_tokens=9))
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             num_pages=64, page_size=16, use_pallas=False,
+                             decode_block=4, prefill_chunk=32)
+    out = eng.generate(prompts, SamplingParams(max_new_tokens=9))
+    for g, o in zip(golden, out):
+        assert o.output_tokens == g.output_tokens

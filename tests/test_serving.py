@@ -157,3 +157,17 @@ def test_decode_block_matches_single_step(setup):
                            SamplingParams(max_new_tokens=7,
                                           stop_token_ids=(stop,)))
     assert r.output_tokens == golden[0].output_tokens[:3]
+
+
+def test_chunked_prefill_matches(setup):
+    """Small prefill_chunk (multiple segments) = same greedy output."""
+    cfg, params = setup
+    prompt = np.random.default_rng(6).integers(0, cfg.vocab_size, 75,
+                                               dtype=np.int32)
+    golden = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                           use_pallas=False).generate(
+                               [prompt], SamplingParams(max_new_tokens=5))
+    chunked = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                            use_pallas=False, prefill_chunk=32)
+    out = chunked.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert out[0].output_tokens == golden[0].output_tokens
