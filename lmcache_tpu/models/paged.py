@@ -10,7 +10,7 @@ Page size should divide the cache-engine chunk_size so retrieved chunks
 land on whole pages.
 """
 
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,8 +18,9 @@ import numpy as np
 
 from lmcache_tpu.models import llama
 from lmcache_tpu.models.llama import _qkv, _rms_norm, _rope
-from lmcache_tpu.ops.paged_attention import (paged_attention,
-                                             paged_attention_reference)
+from lmcache_tpu.ops.paged_attention import (
+    paged_attention, paged_attention_reference, quantized_paged_attention,
+    quantized_paged_attention_reference)
 
 
 def new_paged_kv_pool(cfg: llama.LlamaConfig, num_pages: int,
@@ -111,6 +112,87 @@ def forward_paged(
         up = (h @ lp["w_up"]).astype(jnp.float32)
         x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
         return x, pool_l
+
+    x, new_pool = jax.lax.scan(layer, x, (params["layers"], kv_pool))
+    if last_logit_only:
+        x = x[:, -1:]
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_pool
+
+
+def new_quantized_paged_pool(cfg: llama.LlamaConfig, num_pages: int,
+                             page_size: int) -> Dict[str, jax.Array]:
+    """Int8 page arena: {"sym" [L,2,P,page,H,D] i8, "scale" [L,2,P,page]}.
+
+    Half the HBM of the bf16 arena; consumed by the fused int8 paged
+    kernel (ops/paged_attention.quantized_paged_attention)."""
+    shape = (cfg.n_layers, 2, num_pages, page_size, cfg.n_kv_heads,
+             cfg.head_dim)
+    return {
+        "sym": jnp.zeros(shape, jnp.int8),
+        "scale": jnp.ones(shape[:4], jnp.float32),
+    }
+
+
+def forward_paged_quantized(
+    params: llama.Params,
+    cfg: llama.LlamaConfig,
+    tokens: jax.Array,  # int32 [B, T]
+    start_pos: jax.Array,  # int32 [B]
+    kv_pool: Dict[str, jax.Array],  # new_quantized_paged_pool()
+    page_table: jax.Array,  # int32 [B, NP]
+    *,
+    use_pallas: bool = True,
+    last_logit_only: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """:func:`forward_paged` over the int8 page arena: per-(layer, token)
+    quantization on write, fused dequant on read."""
+    B, T = tokens.shape
+    page = kv_pool["sym"].shape[3]
+    positions = start_pos[:, None] + jnp.arange(T)[None, :]
+    kv_len = start_pos + T
+    attend = (quantized_paged_attention
+              if use_pallas else quantized_paged_attention_reference)
+
+    pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
+    poff = positions % page
+
+    x = params["embed"][tokens]
+
+    def quant_tokens(t):  # [B, T, H_kv, D] -> i8 sym + [B, T] scale
+        t32 = t.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(t32), axis=(2, 3))
+        scale = jnp.where(absmax == 0.0, 1.0, absmax) / 127.0
+        sym = jnp.round(t32 / scale[:, :, None, None])
+        return jnp.clip(sym, -127, 127).astype(jnp.int8), scale
+
+    def layer(x, scanned):
+        lp, pool_l = scanned  # {"sym" [2,P,page,H,D], "scale" [2,P,page]}
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        q, k, v = _qkv(h, lp, cfg)
+        q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
+                  cfg.rope_theta)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+
+        k_sym, k_scale = quant_tokens(k)
+        v_sym, v_scale = quant_tokens(v)
+        sym = pool_l["sym"].at[0, pidx, poff].set(k_sym)
+        sym = sym.at[1, pidx, poff].set(v_sym)
+        scl = pool_l["scale"].at[0, pidx, poff].set(k_scale)
+        scl = scl.at[1, pidx, poff].set(v_scale)
+
+        attn = attend(q, sym[0], sym[1], scl[0], scl[1], page_table,
+                      start_pos, kv_len)
+        x = x + attn.reshape(B, T, -1).astype(x.dtype) @ lp["wo"]
+
+        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+        up = (h @ lp["w_up"]).astype(jnp.float32)
+        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
+        return x, {"sym": sym, "scale": scl}
 
     x, new_pool = jax.lax.scan(layer, x, (params["layers"], kv_pool))
     if last_logit_only:

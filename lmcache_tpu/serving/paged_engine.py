@@ -47,6 +47,7 @@ class PagedServingEngine(ServingEngine):
         use_pallas: Optional[bool] = None,
         decode_block: int = 1,
         prefill_chunk: int = 512,
+        kv_dtype: str = "native",  # "native" | "int8" (half-size arena)
     ):
         super().__init__(cfg, params, max_batch=max_batch, max_seq=max_seq,
                          cache_engine=cache_engine,
@@ -57,19 +58,28 @@ class PagedServingEngine(ServingEngine):
         if (cache_engine is not None
                 and cache_engine.chunk_size % page_size != 0):
             raise ValueError("page_size must divide the cache chunk_size")
+        if kv_dtype not in ("native", "int8"):
+            raise ValueError(f"Invalid kv_dtype: {kv_dtype}")
+        self.kv_dtype = kv_dtype
+        quantized = kv_dtype == "int8"
         self.page_size = page_size
         self.num_pages = num_pages
         self.NP = -(-self.S // page_size)  # page-table width per sequence
 
         # replace the dense pool with the page arena
-        self.kv_pool = new_paged_kv_pool(cfg, num_pages, page_size)
+        from lmcache_tpu.models.paged import (forward_paged_quantized,
+                                              new_quantized_paged_pool)
+        self.kv_pool = (new_quantized_paged_pool(cfg, num_pages, page_size)
+                        if quantized else
+                        new_paged_kv_pool(cfg, num_pages, page_size))
         self.allocator = PageAllocator(num_pages)
         # host-side page tables; row per slot, null page 0 as padding
         self.page_tables = np.zeros((self.B, self.NP), np.int32)
         self._req_pages = {}  # request_id -> List[int]
 
-        fwd = functools.partial(forward_paged, cfg=cfg,
-                                use_pallas=self.use_pallas)
+        fwd = functools.partial(
+            forward_paged_quantized if quantized else forward_paged,
+            cfg=cfg, use_pallas=self.use_pallas)
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill_paged(params, tokens, start, pool, table, last_idx):
@@ -104,15 +114,33 @@ class PagedServingEngine(ServingEngine):
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject_pages(pool, blob, pages):
-            # blob [L, 2, n*page, H, D] -> whole pages named by `pages`
+            # blob [L, 2, n*page, H, D] (model dtype) -> whole pages
             L = blob.shape[0]
             n = pages.shape[0]
+            if quantized:
+                b32 = blob.astype(jnp.float32)
+                absmax = jnp.max(jnp.abs(b32), axis=(3, 4))  # [L,2,n*page]
+                scl = jnp.where(absmax == 0.0, 1.0, absmax) / 127.0
+                sym = jnp.clip(jnp.round(b32 / scl[..., None, None]), -127,
+                               127).astype(jnp.int8)
+                sym = sym.reshape(L, 2, n, self.page_size, *blob.shape[3:])
+                scl = scl.reshape(L, 2, n, self.page_size)
+                return {
+                    "sym": pool["sym"].at[:, :, pages].set(sym),
+                    "scale": pool["scale"].at[:, :, pages].set(scl),
+                }
             paged = blob.reshape(L, 2, n, self.page_size, *blob.shape[3:])
             return pool.at[:, :, pages].set(paged.astype(pool.dtype))
 
         @jax.jit
         def read_pages(pool, pages):
-            # gather whole pages -> [L, 2, n*page, H, D]
+            # gather whole pages -> [L, 2, n*page, H, D] in model dtype
+            if quantized:
+                g = pool["sym"][:, :, pages].astype(jnp.float32)
+                s = pool["scale"][:, :, pages]
+                g = (g * s[..., None, None]).astype(jnp.dtype(cfg.dtype))
+                L = g.shape[0]
+                return g.reshape(L, 2, -1, *g.shape[4:])
             L = pool.shape[0]
             g = pool[:, :, pages]  # [L, 2, n, page, H, D]
             return g.reshape(L, 2, -1, *pool.shape[4:])

@@ -141,3 +141,34 @@ def test_paged_decode_block_and_chunked_prefill(setup):
     out = eng.generate(prompts, SamplingParams(max_new_tokens=9))
     for g, o in zip(golden, out):
         assert o.output_tokens == g.output_tokens
+
+
+def test_paged_int8_matches_dense_int8(setup):
+    """int8 page arena: greedy parity with the dense int8 engine (same
+    quantized representation), plus cache reuse through
+    quantize-on-inject."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, cfg.vocab_size, 70, dtype=np.int32)
+
+    dense_i8 = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             use_pallas=False, kv_dtype="int8")
+    [gn] = dense_i8.generate([prompt], SamplingParams(max_new_tokens=6))
+
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny-pq", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             num_pages=32, page_size=16, cache_engine=ce,
+                             use_pallas=False, kv_dtype="int8")
+    assert eng.kv_pool["sym"].dtype.name == "int8"
+    [r1] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
+    assert r1.output_tokens == gn.output_tokens
+    ce.engine_.flush()
+    [r2] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
+    assert r2.cached_prefix_len == 64
+    assert r2.output_tokens == r1.output_tokens
+    assert eng.allocator.num_free == 31
+    ce.close()
