@@ -20,6 +20,7 @@ Design (idiomatic JAX, not a torch translation):
 """
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -47,6 +48,8 @@ class LlamaConfig:
     # qkv projection bias (Qwen family; reference CacheGen family table
     # includes Qwen-7B, cachegen_basics.py:36)
     attention_bias: bool = False
+    # sliding-window attention (Mistral family); None = full causal
+    sliding_window: "Optional[int]" = None
 
     @property
     def head_dim(self) -> int:
@@ -82,7 +85,8 @@ class LlamaConfig:
     def mistral_7b() -> "LlamaConfig":
         return LlamaConfig(vocab_size=32000, dim=4096, n_layers=32,
                            n_heads=32, n_kv_heads=8, hidden_dim=14336,
-                           rope_theta=1000000.0, max_seq_len=32768)
+                           rope_theta=1000000.0, max_seq_len=32768,
+                           sliding_window=4096)
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
@@ -117,6 +121,7 @@ class LlamaConfig:
             attention_bias=bool(
                 getattr(hc, "attention_bias", False)
                 or getattr(hc, "model_type", "") == "qwen2"),
+            sliding_window=getattr(hc, "sliding_window", None),
         )
 
 
@@ -283,7 +288,9 @@ def forward(
     B, T = tokens.shape
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
-    attend = flash_attention if use_pallas else mha_reference
+    attend = functools.partial(
+        flash_attention if use_pallas else mha_reference,
+        sliding_window=cfg.sliding_window)
 
     x = params["embed"][tokens]  # [B, T, dim]
 

@@ -36,8 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def mha_reference(q, k, v, q_offset, kv_len) -> jax.Array:
-    """jnp reference (and CPU fallback). Shapes as module docstring."""
+def mha_reference(q, k, v, q_offset, kv_len,
+                  sliding_window=None) -> jax.Array:
+    """jnp reference (and CPU fallback). Shapes as module docstring.
+    ``sliding_window``: keys older than ``window`` positions behind the
+    query are masked (Mistral-family attention)."""
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
@@ -54,6 +57,8 @@ def mha_reference(q, k, v, q_offset, kv_len) -> jax.Array:
     kpos = jnp.arange(S)[None, :]  # [1, S]
     mask = (kpos[:, None, :] <= qpos[:, :, None]) & (
         kpos[:, None, :] < kv_len[:, None, None])  # [B, T, S]
+    if sliding_window is not None:
+        mask &= kpos[:, None, :] > qpos[:, :, None] - sliding_window
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -62,7 +67,8 @@ def mha_reference(q, k, v, q_offset, kv_len) -> jax.Array:
 
 
 def _flash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, block_q, block_k, group, scale):
+                  m_scr, l_scr, acc_scr, *, block_q, block_k, group, scale,
+                  sliding_window=None):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -87,6 +93,8 @@ def _flash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref,
     kpos = (ik * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (group * block_q, block_k), 1))
     mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+    if sliding_window is not None:
+        mask &= kpos > qpos - sliding_window
     s = jnp.where(mask, s, _NEG_INF)
 
     m_prev = m_scr[:]  # [group*bq, 1]
@@ -118,7 +126,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "interpret"),
+    static_argnames=("block_q", "block_k", "interpret", "sliding_window"),
 )
 def flash_attention(
     q: jax.Array,
@@ -130,6 +138,7 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 2048,
     interpret: Optional[bool] = None,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Pallas flash attention. See module docstring for shapes/semantics.
 
@@ -163,7 +172,8 @@ def flash_attention(
     grid = (B, Hkv, Tp // bq, Sp // bk)
 
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
-                               group=group, scale=scale)
+                               group=group, scale=scale,
+                               sliding_window=sliding_window)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -128,7 +128,8 @@ class ServingEngine:
             return logits[:, 0], cache
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def decode_block_step(params, tokens, start, cache, temps, rng):
+        def decode_block_step(params, tokens, start, cache, temps, topks,
+                              rng):
             # run `decode_block` steps fully on device — sampling included
             # — so the host round-trip cost amortizes over the block.
             # Requests that hit a stop mid-block produce extra tokens the
@@ -139,7 +140,7 @@ class ServingEngine:
                 logits, cache = fwd(params, tokens=tokens, start_pos=start,
                                     kv_cache=cache)
                 rng, sub = jax.random.split(rng)
-                toks = sample(logits[:, 0], temps, sub)  # [B]
+                toks = sample(logits[:, 0], temps, sub, topks)  # [B]
                 return (toks[:, None].astype(jnp.int32), start + 1, cache,
                         rng), toks
 
@@ -182,11 +183,22 @@ class ServingEngine:
             return cache[:, :, slot]
 
         @jax.jit
-        def sample(logits, temperature, rng):
-            # logits [..., V]; temperature 0 => greedy
+        def sample(logits, temperature, rng, top_k=0):
+            # logits [..., V]; temperature 0 => greedy; top_k > 0 limits
+            # sampling to the k highest-probability tokens per position
             greedy = jnp.argmax(logits, axis=-1)
             t = jnp.asarray(temperature, jnp.float32)
-            scaled = logits / jnp.expand_dims(jnp.maximum(t, 1e-6), -1)
+            k = jnp.asarray(top_k, jnp.int32)
+            # k-th largest value per row as the cutoff (k=0 -> no cutoff)
+            sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+            idx = jnp.clip(k - 1, 0, logits.shape[-1] - 1)
+            cutoff = jnp.take_along_axis(
+                sorted_desc,
+                jnp.broadcast_to(jnp.expand_dims(idx, -1),
+                                 logits.shape[:-1] + (1,)), -1)
+            restricted = jnp.where(logits >= cutoff, logits, -jnp.inf)
+            eff = jnp.where(jnp.expand_dims(k, -1) > 0, restricted, logits)
+            scaled = eff / jnp.expand_dims(jnp.maximum(t, 1e-6), -1)
             drawn = jax.random.categorical(rng, scaled, axis=-1)
             return jnp.where(t > 0.0, drawn, greedy)
 
@@ -285,7 +297,7 @@ class ServingEngine:
         logits = self._chunked_prefill(prompt, cached, slot)
         tok = int(
             self._sample(logits, jnp.float32(req.sampling.temperature),
-                         self._next_rng()))
+                         self._next_rng(), req.sampling.top_k))
         req.output_tokens.append(tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
@@ -329,7 +341,7 @@ class ServingEngine:
                                     jnp.asarray(req.slot, jnp.int32))
         tok = int(
             self._sample(logits, jnp.float32(req.sampling.temperature),
-                         self._next_rng()))
+                         self._next_rng(), req.sampling.top_k))
         req.output_tokens.append(tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
@@ -339,6 +351,7 @@ class ServingEngine:
         last = np.zeros((self.B, 1), np.int32)
         start = np.zeros(self.B, np.int32)
         temps = np.zeros(self.B, np.float32)
+        topks = np.zeros(self.B, np.int32)
         # KV state: prefill wrote the prompt; each decode step writes its
         # input token. After n sampled tokens the pool holds
         # prompt + (n - 1) of them, so the next write position is
@@ -347,11 +360,13 @@ class ServingEngine:
             last[r.slot, 0] = r.output_tokens[-1]
             start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
             temps[r.slot] = r.sampling.temperature
+            topks[r.slot] = r.sampling.top_k
 
         if self.decode_block > 1:
             toks, self.kv_pool = self._decode_block_step(
                 self.params, jnp.asarray(last), jnp.asarray(start),
-                self.kv_pool, jnp.asarray(temps), self._next_rng())
+                self.kv_pool, jnp.asarray(temps), jnp.asarray(topks),
+                self._next_rng())
             toks = np.asarray(toks)  # [B, decode_block]
             for r in list(self.running):
                 for j in range(self.decode_block):
@@ -366,7 +381,8 @@ class ServingEngine:
                                                  jnp.asarray(start),
                                                  self.kv_pool)
         toks = np.asarray(
-            self._sample(logits, jnp.asarray(temps), self._next_rng()))
+            self._sample(logits, jnp.asarray(temps), self._next_rng(),
+                         jnp.asarray(topks)))
         for r in list(self.running):
             r.output_tokens.append(int(toks[r.slot]))
             self._maybe_finish(r)

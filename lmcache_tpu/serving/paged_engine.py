@@ -97,13 +97,13 @@ class PagedServingEngine(ServingEngine):
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def decode_block_paged(params, tokens, start, pool, tables, temps,
-                               rng):
+                               topks, rng):
             def body(carry, _):
                 tokens, start, pool, rng = carry
                 logits, pool = fwd(params, tokens=tokens, start_pos=start,
                                    kv_pool=pool, page_table=tables)
                 rng, sub = jax.random.split(rng)
-                toks = sample(logits[:, 0], temps, sub)
+                toks = sample(logits[:, 0], temps, sub, topks)
                 return (toks[:, None].astype(jnp.int32), start + 1, pool,
                         rng), toks
 
@@ -247,7 +247,7 @@ class PagedServingEngine(ServingEngine):
 
         tok = int(
             self._sample(logits, jnp.float32(req.sampling.temperature),
-                         self._next_rng()))
+                         self._next_rng(), req.sampling.top_k))
         req.output_tokens.append(tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
@@ -257,16 +257,19 @@ class PagedServingEngine(ServingEngine):
         last = np.zeros((self.B, 1), np.int32)
         start = np.zeros(self.B, np.int32)
         temps = np.zeros(self.B, np.float32)
+        topks = np.zeros(self.B, np.int32)
         for r in self.running:
             last[r.slot, 0] = r.output_tokens[-1]
             start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
             temps[r.slot] = r.sampling.temperature
+            topks[r.slot] = r.sampling.top_k
 
         tables = jnp.asarray(self.page_tables, jnp.int32)
         if self.decode_block > 1:
             toks, self.kv_pool = self._decode_block_paged(
                 self.params, jnp.asarray(last), jnp.asarray(start),
-                self.kv_pool, tables, jnp.asarray(temps), self._next_rng())
+                self.kv_pool, tables, jnp.asarray(temps),
+                jnp.asarray(topks), self._next_rng())
             toks = np.asarray(toks)
             for r in list(self.running):
                 for j in range(self.decode_block):
@@ -280,7 +283,8 @@ class PagedServingEngine(ServingEngine):
             self.params, jnp.asarray(last), jnp.asarray(start),
             self.kv_pool, tables)
         toks = np.asarray(
-            self._sample(logits, jnp.asarray(temps), self._next_rng()))
+            self._sample(logits, jnp.asarray(temps), self._next_rng(),
+                         jnp.asarray(topks)))
         for r in list(self.running):
             r.output_tokens.append(int(toks[r.slot]))
             self._maybe_finish(r)

@@ -199,3 +199,37 @@ def test_matches_huggingface_qwen2():
                               use_pallas=False)
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_sliding_window_attention():
+    """Sliding-window masking: kernel vs reference vs manual dense mask,
+    and a full forward on a windowed config."""
+    from lmcache_tpu.ops.attention import flash_attention, mha_reference
+    rng = np.random.default_rng(11)
+    B, T, H, D, Hkv, S, W = 1, 48, 4, 64, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    zero = jnp.zeros(B, jnp.int32)
+    kvl = jnp.full((B,), T, jnp.int32)
+
+    ref_w = mha_reference(q, k, v, zero, kvl, sliding_window=W)
+    out_w = flash_attention(q, k, v, zero, kvl, sliding_window=W)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w),
+                               atol=2e-5, rtol=2e-5)
+    # windowed != full attention once T > W
+    ref_full = mha_reference(q, k, v, zero, kvl)
+    assert np.abs(np.asarray(ref_w) - np.asarray(ref_full)).max() > 1e-3
+    # token positions < W see no difference
+    np.testing.assert_allclose(np.asarray(ref_w[:, :W]),
+                               np.asarray(ref_full[:, :W]), atol=1e-6)
+
+    cfg = llama.LlamaConfig.tiny(n_layers=2, sliding_window=16)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 40)),
+                         jnp.int32)
+    cache = llama.new_kv_cache(cfg, 1, 64)
+    logits, _ = llama.forward(params, cfg, tokens,
+                              jnp.zeros(1, jnp.int32), cache,
+                              use_pallas=False)
+    assert logits.shape == (1, 40, cfg.vocab_size)

@@ -171,3 +171,30 @@ def test_chunked_prefill_matches(setup):
                             use_pallas=False, prefill_chunk=32)
     out = chunked.generate([prompt], SamplingParams(max_new_tokens=5))
     assert out[0].output_tokens == golden[0].output_tokens
+
+
+def test_top_k_sampling(setup):
+    """top_k=1 must equal greedy even at high temperature; top_k>1 stays
+    within the top-k set of the step distribution."""
+    cfg, params = setup
+    prompt = np.random.default_rng(8).integers(0, cfg.vocab_size, 14,
+                                               dtype=np.int32)
+    greedy = ServingEngine(cfg, params, max_batch=1, max_seq=128,
+                           use_pallas=False).generate(
+                               [prompt],
+                               SamplingParams(max_new_tokens=6))[0]
+
+    eng = ServingEngine(cfg, params, max_batch=1, max_seq=128,
+                        use_pallas=False)
+    [r] = eng.generate([prompt],
+                       SamplingParams(max_new_tokens=6, temperature=5.0,
+                                      top_k=1))
+    assert r.output_tokens == greedy.output_tokens
+
+    # with unrestricted high temperature sampling, output should differ
+    # from greedy with overwhelming probability (vocab 512, temp 5)
+    eng2 = ServingEngine(cfg, params, max_batch=1, max_seq=128,
+                         use_pallas=False)
+    [r2] = eng2.generate([prompt],
+                         SamplingParams(max_new_tokens=6, temperature=5.0))
+    assert r2.output_tokens != greedy.output_tokens
