@@ -69,7 +69,7 @@ def main():
     engine.store(tokens_np[:CTX], ctx_blob)
 
     # ---- measure ---------------------------------------------------------
-    def timeit(fn, n=5):
+    def timeit(fn, n=3):
         fn()  # warmup (compile)
         best = float("inf")
         for _ in range(n):

@@ -53,3 +53,32 @@ def test_unknown_serde_type():
     config = LMCacheEngineConfig.from_legacy(backend="cpu")
     with pytest.raises(ValueError):
         CreateSerde("bogus", config, _metadata())
+
+
+def test_debug_wrappers_installed():
+    """GlobalConfig debug mode wraps serdes with timing wrappers
+    (reference: serde/__init__.py:38-41) and they stay transparent."""
+    import numpy as np
+
+    from lmcache_tpu.config import (GlobalConfig, LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+    from lmcache_tpu.storage.serde import CreateSerde
+    from lmcache_tpu.storage.serde.serde import (DeserializerDebugWrapper,
+                                                 SerializerDebugWrapper)
+
+    cfg = LMCacheEngineConfig.from_defaults()
+    meta = LMCacheEngineMetadata(model_name="m", world_size=1, worker_id=0,
+                                 fmt="vllm", dtype="float32")
+    try:
+        GlobalConfig.set_debug(True)
+        s, d = CreateSerde("raw", cfg, meta)
+        assert isinstance(s, SerializerDebugWrapper)
+        assert isinstance(d, DeserializerDebugWrapper)
+        blob = np.random.default_rng(0).standard_normal(
+            (2, 2, 8, 2, 4)).astype(np.float32)
+        out = d.from_bytes(s.to_bytes(blob))
+        np.testing.assert_array_equal(out, blob)
+    finally:
+        GlobalConfig.set_debug(False)
+    s2, _ = CreateSerde("raw", cfg, meta)
+    assert not isinstance(s2, SerializerDebugWrapper)
