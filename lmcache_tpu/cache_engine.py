@@ -84,8 +84,12 @@ class LMCacheEngine:
 
         start_chunk = 0
         if skip_existing:
-            for h in chunk_hashes:
-                if not self.engine_.contains(self._make_key(h, fmt)):
+            # one batched metadata round trip for the whole prefix (the
+            # per-chunk contains() loop cost one remote RTT per chunk)
+            hits = self.engine_.batched_contains(
+                self._make_key(h, fmt) for h in chunk_hashes)
+            for hit in hits:
+                if not hit:
                     break
                 start_chunk += 1
 
@@ -105,6 +109,54 @@ class LMCacheEngine:
         return n_chunks
 
     # -- retrieve -----------------------------------------------------------
+
+    @_lmcache_trace_annotate
+    def retrieve_stream(self, tokens, mask: Optional[np.ndarray] = None):
+        """Stream the longest cached KV prefix chunk by chunk.
+
+        Generator of ``(chunk_blob, start_tok, num_toks)`` — each chunk is
+        yielded the moment its storage tier delivers it, so the caller can
+        overlap device upload / partial prefill of chunk ``i`` with the
+        fetch + decode of chunk ``i+1`` (the pipelined remote backend
+        streams stage-wise; the reference — remote_backend.py:249-258 —
+        could not hand chunks to the consumer before its whole batch was
+        queued). Closing the generator early cancels in-flight fetches.
+
+        ``start_tok`` is the chunk's first token position in ``tokens``;
+        consecutive yields are contiguous. Terminates at the first miss.
+        """
+        fmt = self.metadata.fmt
+        tokens = tokens_to_numpy(tokens)
+
+        num_skip_tok = 0
+        num_skip_chunk = 0
+        if mask is not None:
+            mask = np.asarray(mask, dtype=bool)
+            num_skip_tok = int(len(mask) - mask.sum())
+            num_skip_chunk = num_skip_tok // self.chunk_size
+
+        chunk_hashes = prefix_chunk_hashes(tokens, self.chunk_size,
+                                           num_skip_chunk)
+        gen = self.engine_.batched_get(
+            self._make_key(h, fmt) for h in chunk_hashes)
+        pos = num_skip_chunk * self.chunk_size
+        first = True
+        try:
+            for chunk in gen:
+                if chunk is None:
+                    break
+                if first:
+                    # drop tokens of the first chunk the caller already has
+                    extra = num_skip_tok - num_skip_chunk * self.chunk_size
+                    if extra:
+                        chunk = kv.slice_blob_tokens(chunk, fmt, extra)
+                        pos += extra
+                    first = False
+                n = kv.num_tokens_in_blob(chunk, fmt)
+                yield chunk, pos, n
+                pos += n
+        finally:
+            gen.close()  # cancel any in-flight pipelined fetches
 
     @_lmcache_trace_annotate
     def retrieve(
@@ -133,33 +185,20 @@ class LMCacheEngine:
         tokens = tokens_to_numpy(tokens)
 
         num_skip_tok = 0
-        num_skip_chunk = 0
         ret_mask = np.ones(len(tokens), dtype=bool)
         if mask is not None:
-            mask = np.asarray(mask, dtype=bool)
-            num_skip_tok = int(len(mask) - mask.sum())
-            num_skip_chunk = num_skip_tok // self.chunk_size
+            num_skip_tok = int(len(mask) - np.asarray(mask,
+                                                      dtype=bool).sum())
         ret_mask[:num_skip_tok] = False
 
-        chunk_hashes = prefix_chunk_hashes(tokens, self.chunk_size,
-                                           num_skip_chunk)
-        keys = (self._make_key(h, fmt) for h in chunk_hashes)
-
-        retrieved = []
-        for chunk in self.engine_.batched_get(keys):
-            if chunk is None:
-                break
-            retrieved.append(chunk)
+        retrieved = [
+            chunk for chunk, _, _ in self.retrieve_stream(tokens, mask)
+        ]
 
         if not retrieved:
             ret_mask[:] = False
             metrics.inc("lmcache_retrieve_misses")
             return ((), ret_mask) if return_tuple else (None, ret_mask)
-
-        # drop tokens of the first chunk that the caller already has
-        extra = num_skip_tok - num_skip_chunk * self.chunk_size
-        if extra:
-            retrieved[0] = kv.slice_blob_tokens(retrieved[0], fmt, extra)
 
         blob = (retrieved[0]
                 if len(retrieved) == 1 else kv.concat_blobs(retrieved, fmt))
@@ -184,8 +223,11 @@ class LMCacheEngine:
         tokens = tokens_to_numpy(tokens)
         fmt = self.metadata.fmt
         n = 0
-        for i, h in enumerate(prefix_chunk_hashes(tokens, self.chunk_size)):
-            if not self.engine_.contains(self._make_key(h, fmt)):
+        hits = self.engine_.batched_contains(
+            self._make_key(h, fmt)
+            for h in prefix_chunk_hashes(tokens, self.chunk_size))
+        for i, hit in enumerate(hits):
+            if not hit:
                 break
             n = min((i + 1) * self.chunk_size, len(tokens))
         return n

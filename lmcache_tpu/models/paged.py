@@ -10,6 +10,7 @@ Page size should divide the cache-engine chunk_size so retrieved chunks
 land on whole pages.
 """
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -81,7 +82,9 @@ def forward_paged(
     page = kv_pool.shape[3]
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
-    attend = paged_attention if use_pallas else paged_attention_reference
+    attend = functools.partial(
+        paged_attention if use_pallas else paged_attention_reference,
+        sliding_window=cfg.sliding_window)
 
     # per-(batch, new-token) page id and in-page offset
     pidx = jnp.take_along_axis(page_table, positions // page,
@@ -152,8 +155,10 @@ def forward_paged_quantized(
     page = kv_pool["sym"].shape[3]
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     kv_len = start_pos + T
-    attend = (quantized_paged_attention
-              if use_pallas else quantized_paged_attention_reference)
+    attend = functools.partial(
+        quantized_paged_attention
+        if use_pallas else quantized_paged_attention_reference,
+        sliding_window=cfg.sliding_window)
 
     pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
     poff = positions % page

@@ -32,7 +32,7 @@ from lmcache_tpu.ops.attention import _NEG_INF, _round_up, mha_reference
 
 
 def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
-                              kv_len) -> jax.Array:
+                              kv_len, sliding_window=None) -> jax.Array:
     """Gather pages densely, then dense attention (tests / CPU path).
 
     q: [B, T, H, D]; k/v_pool: [P, page, H_kv, D]; page_table: int32
@@ -43,12 +43,13 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
     NP = page_table.shape[1]
     k = k_pool[page_table].reshape(B, NP * page, Hkv, D)
     v = v_pool[page_table].reshape(B, NP * page, Hkv, D)
-    return mha_reference(q, k, v, q_offset, kv_len)
+    return mha_reference(q, k, v, q_offset, kv_len,
+                         sliding_window=sliding_window)
 
 
 def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
                 l_scr, acc_scr, *, block_q, page, group, scale,
-                ks_ref=None, vs_ref=None):
+                sliding_window=None, ks_ref=None, vs_ref=None):
     """Shared online-softmax body; ks/vs present => fused int8 dequant
     (per-token scales correct score/probability columns, as in
     ops/quantized_attention.py)."""
@@ -63,8 +64,14 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # skip pages entirely beyond this sequence's length
-    @pl.when(j * page < kv_len_ref[b])
+    # skip pages entirely beyond this sequence's length (and, with a
+    # sliding window, pages entirely older than the oldest query's window)
+    live = j * page < kv_len_ref[b]
+    if sliding_window is not None:
+        live &= ((j + 1) * page
+                 > q_off_ref[b] + iq * block_q - sliding_window)
+
+    @pl.when(live)
     def _():
         q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)  # [page, D]
@@ -80,6 +87,8 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
         kpos = (j * page + jax.lax.broadcasted_iota(
             jnp.int32, (group * block_q, page), 1))
         mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+        if sliding_window is not None:
+            mask &= kpos > qpos - sliding_window
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:]
@@ -114,7 +123,8 @@ def _paged_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
                 l_scr, acc_scr, ks_ref=ks_ref, vs_ref=vs_ref, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
 def paged_attention(
     q: jax.Array,
     k_pool: jax.Array,
@@ -125,6 +135,7 @@ def paged_attention(
     *,
     block_q: int = 128,
     interpret: Optional[bool] = None,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Attention over paged KV.
 
@@ -155,7 +166,8 @@ def paged_attention(
 
     grid = (B, Hkv, Tp // bq, NP)
     kernel = functools.partial(_paged_kernel, block_q=bq, page=page,
-                               group=group, scale=scale)
+                               group=group, scale=scale,
+                               sliding_window=sliding_window)
 
     out = pl.pallas_call(
         kernel,
@@ -187,7 +199,8 @@ def paged_attention(
 
 def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
                                         k_scale_pool, v_scale_pool,
-                                        page_table, q_offset, kv_len):
+                                        page_table, q_offset, kv_len,
+                                        sliding_window=None):
     """Dequantize pages densely, then dense attention (tests/CPU)."""
     B = q.shape[0]
     P, page, Hkv, D = k_sym_pool.shape
@@ -199,10 +212,12 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
         return (x * s[..., None, None]).reshape(B, NP * page, Hkv, D)
 
     return mha_reference(q, deq(k_sym_pool, k_scale_pool),
-                         deq(v_sym_pool, v_scale_pool), q_offset, kv_len)
+                         deq(v_sym_pool, v_scale_pool), q_offset, kv_len,
+                         sliding_window=sliding_window)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
 def quantized_paged_attention(
     q: jax.Array,
     k_sym_pool: jax.Array,  # int8 [P, page, H_kv, D]
@@ -215,6 +230,7 @@ def quantized_paged_attention(
     *,
     block_q: int = 128,
     interpret: Optional[bool] = None,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Paged attention over an int8 page arena — pages stream from HBM at
     half the bytes, dequantized in-register via the column-correction
@@ -238,7 +254,8 @@ def quantized_paged_attention(
 
     grid = (B, Hkv, Tp // bq, NP)
     kernel = functools.partial(_paged_kernel_q, block_q=bq, page=page,
-                               group=group, scale=scale)
+                               group=group, scale=scale,
+                               sliding_window=sliding_window)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -10,11 +10,16 @@ Client request frame (little endian):
 
     magic   u16  0xC7C0
     version u8   = 1
-    command u8   PUT / GET / EXIST / LIST / DEL / PING / HEALTH
+    command u8   PUT / GET / EXIST / LIST / DEL / PING / HEALTH / MEXIST
     key_len u32
     payload u64  payload byte length
     key     key_len bytes (utf-8 key string; LIST: prefix filter, may be "")
-    payload payload bytes (PUT only)
+    payload payload bytes (PUT: blob; MEXIST: '\\n'-joined key strings)
+
+MEXIST batches existence checks into ONE round trip (the reference —
+remote_backend.py:98-117 — and our r1 protocol probed per chunk: a
+62-chunk store at this environment's 33 ms RTT burned ~2 s in EXISTs).
+The response payload is one byte per key, 1 = present, in request order.
 
 Server response frame:
 
@@ -51,6 +56,7 @@ class Command(enum.IntEnum):
     DEL = 5
     PING = 6
     HEALTH = 7
+    MEXIST = 8
 
 
 class Code(enum.IntEnum):

@@ -75,6 +75,13 @@ class LMCacheServer:
         if command == Command.EXIST:
             return (Code.OK, b"") if self.storage.contains(key) \
                 else (Code.NOT_FOUND, b"")
+        if command == Command.MEXIST:
+            # one byte per '\n'-separated key: 1 = present
+            if not payload:
+                return Code.OK, b""
+            ks = payload.decode("utf-8").split("\n")
+            return Code.OK, bytes(
+                1 if self.storage.contains(k) else 0 for k in ks)
         if command == Command.LIST:
             keys = self.storage.list_keys()
             if key:  # optional prefix filter

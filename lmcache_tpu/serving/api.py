@@ -115,6 +115,9 @@ class APIServer:
                 sampling = SamplingParams(
                     max_new_tokens=int(body.get("max_tokens", 16)),
                     temperature=float(body.get("temperature", 0.0)),
+                    top_k=int(body.get("top_k", 0)),
+                    top_p=float(body.get("top_p", 1.0)),
+                    seed=int(body.get("seed", 0)),
                     stop_token_ids=tuple(body.get("stop_token_ids", ())),
                 )
                 req = self._submit(

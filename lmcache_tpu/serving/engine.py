@@ -43,6 +43,46 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+@jax.jit
+def _sample_tokens(logits, temps, keys, steps, topks, topps):
+    """Per-row sampling: temperature / top-k / top-p, reproducible per
+    request (row key is fixed at admission — ``SamplingParams.seed`` —
+    and folded with the row's draw counter, so resampling a request with
+    the same seed replays its exact token stream regardless of what else
+    shares the batch).
+
+    Args:
+        logits: [B, V] float32.
+        temps: [B] float32; 0 => greedy.
+        keys: [B, 2] uint32 per-slot PRNG keys.
+        steps: [B] int32 draw counter per row (tokens generated so far).
+        topks: [B] int32; 0 => no top-k restriction.
+        topps: [B] float32; 1.0 => no nucleus restriction.
+    """
+    V = logits.shape[-1]
+
+    def row(lg, t, key, step, k, p):
+        greedy = jnp.argmax(lg)
+        sorted_desc = jnp.sort(lg)[::-1]
+        # top-k: k-th largest value as the cutoff (k == 0 -> none)
+        kcut = sorted_desc[jnp.clip(k - 1, 0, V - 1)]
+        lg_k = jnp.where((k > 0) & (lg < kcut), -jnp.inf, lg)
+        # top-p over the k-restricted distribution: keep the smallest
+        # descending-prob prefix whose mass reaches p
+        sorted_k = jnp.sort(lg_k)[::-1]
+        probs = jax.nn.softmax(sorted_k)
+        csum = jnp.cumsum(probs)
+        keep = (csum - probs) < p
+        pcut = jnp.min(jnp.where(keep, sorted_k, jnp.inf))
+        lg_kp = jnp.where((p < 1.0) & (lg_k < pcut), -jnp.inf, lg_k)
+        scaled = lg_kp / jnp.maximum(t, 1e-6)
+        drawn = jax.random.categorical(jax.random.fold_in(key, step),
+                                       scaled)
+        return jnp.where(t > 0.0, drawn, greedy)
+
+    return jax.vmap(row)(logits, temps, keys, steps, topks, topps)
+
+
 class ServingEngine:
 
     def __init__(
@@ -78,28 +118,15 @@ class ServingEngine:
         self.kv_dtype = kv_dtype
         quantized = kv_dtype == "int8"
 
-        self.kv_pool = (llama.new_quantized_kv_cache(cfg, self.B, self.S)
-                        if quantized else
-                        llama.new_kv_cache(cfg, self.B, self.S))
-        if mesh is not None:
-            from lmcache_tpu.parallel import kv_cache_sharding
-            if quantized:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                self.kv_pool = {
-                    "sym": jax.device_put(self.kv_pool["sym"],
-                                          kv_cache_sharding(mesh)),
-                    "scale": jax.device_put(
-                        self.kv_pool["scale"],
-                        NamedSharding(mesh, P(None, None, "data", None))),
-                }
-            else:
-                self.kv_pool = jax.device_put(self.kv_pool,
-                                              kv_cache_sharding(mesh))
+        self.kv_pool = self._alloc_pool()
         self.free_slots = list(range(self.B))
         self.waiting: List[Request] = []
         self.running: List[Request] = []
         self.finished: List[Request] = []
         self._rng = jax.random.PRNGKey(0)
+        # per-slot PRNG keys: fixed at admission (from SamplingParams.seed
+        # when set), folded with the per-row draw counter at each sample
+        self._slot_keys = np.zeros((self.B, 2), np.uint32)
 
         fwd = functools.partial(
             llama.forward_quantized if quantized else llama.forward,
@@ -128,30 +155,32 @@ class ServingEngine:
             return logits[:, 0], cache
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def decode_block_step(params, tokens, start, cache, temps, topks,
-                              rng):
+        def decode_block_step(params, tokens, start, cache, temps, keys,
+                              steps0, topks, topps):
             # run `decode_block` steps fully on device — sampling included
             # — so the host round-trip cost amortizes over the block.
             # Requests that hit a stop mid-block produce extra tokens the
             # scheduler truncates; their KV writes are garbage past the
             # stop, which the next slot occupant's prefill overwrites.
-            def body(carry, _):
-                tokens, start, cache, rng = carry
+            def body(carry, i):
+                tokens, start, cache = carry
                 logits, cache = fwd(params, tokens=tokens, start_pos=start,
                                     kv_cache=cache)
-                rng, sub = jax.random.split(rng)
-                toks = sample(logits[:, 0], temps, sub, topks)  # [B]
-                return (toks[:, None].astype(jnp.int32), start + 1, cache,
-                        rng), toks
+                toks = _sample_tokens(logits[:, 0], temps, keys, steps0 + i,
+                                      topks, topps)  # [B]
+                return (toks[:, None].astype(jnp.int32), start + 1,
+                        cache), toks
 
-            (_, _, cache, _), toks = jax.lax.scan(
-                body, (tokens, start, cache, rng), None,
-                length=decode_block)
+            (_, _, cache), toks = jax.lax.scan(
+                body, (tokens, start, cache),
+                jnp.arange(decode_block, dtype=jnp.int32))
             return toks.T, cache  # [B, decode_block]
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def inject(cache, blob, slot):
-            # blob [L, 2, t, H, D] (model dtype) -> cache[:, :, slot, :t]
+        def inject(cache, blob, slot, pos):
+            # blob [L, 2, t, H, D] (model dtype) -> cache[:, :, slot,
+            # pos:pos+t]; pos is traced so streamed chunks of one shape
+            # share a single compiled program
             if quantized:
                 b32 = blob.astype(jnp.float32)
                 absmax = jnp.max(jnp.abs(b32), axis=(3, 4))  # [L, 2, t]
@@ -162,15 +191,15 @@ class ServingEngine:
                     "sym":
                     jax.lax.dynamic_update_slice(cache["sym"],
                                                  sym[:, :, None],
-                                                 (0, 0, slot, 0, 0, 0)),
+                                                 (0, 0, slot, pos, 0, 0)),
                     "scale":
                     jax.lax.dynamic_update_slice(cache["scale"],
                                                  scl[:, :, None],
-                                                 (0, 0, slot, 0)),
+                                                 (0, 0, slot, pos)),
                 }
             return jax.lax.dynamic_update_slice(
                 cache, blob[:, :, None].astype(cache.dtype),
-                (0, 0, slot, 0, 0, 0))
+                (0, 0, slot, pos, 0, 0))
 
         @jax.jit
         def read_slot(cache, slot):
@@ -182,26 +211,6 @@ class ServingEngine:
                         scl[..., None, None]).astype(jnp.dtype(cfg.dtype))
             return cache[:, :, slot]
 
-        @jax.jit
-        def sample(logits, temperature, rng, top_k=0):
-            # logits [..., V]; temperature 0 => greedy; top_k > 0 limits
-            # sampling to the k highest-probability tokens per position
-            greedy = jnp.argmax(logits, axis=-1)
-            t = jnp.asarray(temperature, jnp.float32)
-            k = jnp.asarray(top_k, jnp.int32)
-            # k-th largest value per row as the cutoff (k=0 -> no cutoff)
-            sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
-            idx = jnp.clip(k - 1, 0, logits.shape[-1] - 1)
-            cutoff = jnp.take_along_axis(
-                sorted_desc,
-                jnp.broadcast_to(jnp.expand_dims(idx, -1),
-                                 logits.shape[:-1] + (1,)), -1)
-            restricted = jnp.where(logits >= cutoff, logits, -jnp.inf)
-            eff = jnp.where(jnp.expand_dims(k, -1) > 0, restricted, logits)
-            scaled = eff / jnp.expand_dims(jnp.maximum(t, 1e-6), -1)
-            drawn = jax.random.categorical(rng, scaled, axis=-1)
-            return jnp.where(t > 0.0, drawn, greedy)
-
         self._prefill_step = prefill_step
         self._decode_step = decode_step
         self._decode_block_step = decode_block_step
@@ -209,12 +218,36 @@ class ServingEngine:
         self.prefill_chunk = prefill_chunk
         self._inject = inject
         self._read_slot = read_slot
-        self._sample = sample
 
         # CacheBlend path (non-prefix reuse for chunked RAG prompts);
         # built lazily on the first context_chunks request
         self._blend_ratio = blend_recompute_ratio
         self._blender = None
+
+    def _alloc_pool(self):
+        """Allocate the engine's KV residence (dense slot pool). Overridden
+        by PagedServingEngine to build the page arena instead — keeping the
+        full ``[L, 2, B, S_max, H, D]`` pool out of paged startup (at 7B /
+        B=8 / S=16k the dense pool is tens of GB of HBM)."""
+        quantized = self.kv_dtype == "int8"
+        pool = (llama.new_quantized_kv_cache(self.cfg, self.B, self.S)
+                if quantized else
+                llama.new_kv_cache(self.cfg, self.B, self.S))
+        if self.mesh is not None:
+            from lmcache_tpu.parallel import kv_cache_sharding
+            if quantized:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                pool = {
+                    "sym": jax.device_put(pool["sym"],
+                                          kv_cache_sharding(self.mesh)),
+                    "scale": jax.device_put(
+                        pool["scale"],
+                        NamedSharding(self.mesh,
+                                      P(None, None, "data", None))),
+                }
+            else:
+                pool = jax.device_put(pool, kv_cache_sharding(self.mesh))
+        return pool
 
     def _get_blender(self):
         if self._blender is None:
@@ -272,6 +305,26 @@ class ServingEngine:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _assign_slot_key(self, req: Request) -> None:
+        """Pin the slot's PRNG key: explicit seed when given (reproducible
+        stream), else a fresh split of the engine rng."""
+        key = (jax.random.PRNGKey(req.sampling.seed)
+               if req.sampling.seed else self._next_rng())
+        self._slot_keys[req.slot] = np.asarray(key, np.uint32)
+
+    def _sample_row(self, logits, req: Request) -> int:
+        """Sample one token for ``req`` from a [V] logits vector; the draw
+        counter is the number of tokens generated so far."""
+        s = req.sampling
+        slot = req.slot
+        return int(
+            _sample_tokens(
+                logits[None], jnp.asarray([s.temperature], jnp.float32),
+                jnp.asarray(self._slot_keys[slot:slot + 1]),
+                jnp.asarray([len(req.output_tokens)], jnp.int32),
+                jnp.asarray([s.top_k], jnp.int32),
+                jnp.asarray([s.top_p], jnp.float32))[0])
+
     def _admit(self, req: Request) -> None:
         slot = self.free_slots.pop(0)
         req.slot = slot
@@ -282,26 +335,44 @@ class ServingEngine:
             return
 
         prompt = req.prompt_tokens
-        cached = 0
-        if self.cache_engine is not None:
-            blob, mask = self.cache_engine.retrieve(prompt,
-                                                    return_tuple=False)
-            cached = int(np.asarray(mask).sum())
-            # always recompute >=1 token so prefill yields the next logits
-            cached = min(cached, len(prompt) - 1)
-            if cached > 0:
-                blob = blob[:, :, :cached]
-                self.kv_pool = self._inject(self.kv_pool, jnp.asarray(blob),
-                                            slot)
+        cached = self._stream_inject(prompt, slot)
         req.cached_prefix_len = cached
         logits = self._chunked_prefill(prompt, cached, slot)
-        tok = int(
-            self._sample(logits, jnp.float32(req.sampling.temperature),
-                         self._next_rng(), req.sampling.top_k))
+        self._assign_slot_key(req)
+        tok = self._sample_row(logits, req)
         req.output_tokens.append(tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
         self._maybe_finish(req)
+
+    def _stream_inject(self, prompt: np.ndarray, slot: int) -> int:
+        """Retrieve the cached prefix as a stream and inject each chunk
+        into the slot as it arrives — the device upload (async dispatch)
+        of chunk ``i`` overlaps the fetch + decode of chunk ``i+1``.
+        Returns the number of cached tokens injected."""
+        if self.cache_engine is None:
+            return 0
+        # always recompute >= 1 token so prefill yields the next logits
+        limit = len(prompt) - 1
+        cached = 0
+        stream = self.cache_engine.retrieve_stream(prompt)
+        try:
+            for blob, pos, n in stream:
+                take = min(n, limit - pos)
+                if take <= 0:
+                    break
+                if take < n:
+                    blob = blob[:, :, :take]
+                self.kv_pool = self._inject(self.kv_pool,
+                                            jnp.asarray(blob),
+                                            jnp.asarray(slot, jnp.int32),
+                                            jnp.asarray(pos, jnp.int32))
+                cached = pos + take
+                if take < n:
+                    break
+        finally:
+            stream.close()
+        return cached
 
     def _chunked_prefill(self, prompt: np.ndarray, cached: int,
                          slot: int):
@@ -338,20 +409,23 @@ class ServingEngine:
         self.kv_pool = self._inject(self.kv_pool,
                                     kv_blob.astype(jnp.dtype(
                                         self.cfg.dtype)),
-                                    jnp.asarray(req.slot, jnp.int32))
-        tok = int(
-            self._sample(logits, jnp.float32(req.sampling.temperature),
-                         self._next_rng(), req.sampling.top_k))
+                                    jnp.asarray(req.slot, jnp.int32),
+                                    jnp.asarray(0, jnp.int32))
+        self._assign_slot_key(req)
+        tok = self._sample_row(logits, req)
         req.output_tokens.append(tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
         self._maybe_finish(req)
 
-    def _decode_all(self) -> None:
+    def _gather_sampling_rows(self):
+        """Per-slot sampling state arrays for the batched decode step."""
         last = np.zeros((self.B, 1), np.int32)
         start = np.zeros(self.B, np.int32)
         temps = np.zeros(self.B, np.float32)
+        steps = np.zeros(self.B, np.int32)
         topks = np.zeros(self.B, np.int32)
+        topps = np.ones(self.B, np.float32)
         # KV state: prefill wrote the prompt; each decode step writes its
         # input token. After n sampled tokens the pool holds
         # prompt + (n - 1) of them, so the next write position is
@@ -360,13 +434,21 @@ class ServingEngine:
             last[r.slot, 0] = r.output_tokens[-1]
             start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
             temps[r.slot] = r.sampling.temperature
+            steps[r.slot] = len(r.output_tokens)
             topks[r.slot] = r.sampling.top_k
+            topps[r.slot] = r.sampling.top_p
+        return last, start, temps, steps, topks, topps
+
+    def _decode_all(self) -> None:
+        last, start, temps, steps, topks, topps = \
+            self._gather_sampling_rows()
+        keys = jnp.asarray(self._slot_keys)
 
         if self.decode_block > 1:
             toks, self.kv_pool = self._decode_block_step(
                 self.params, jnp.asarray(last), jnp.asarray(start),
-                self.kv_pool, jnp.asarray(temps), jnp.asarray(topks),
-                self._next_rng())
+                self.kv_pool, jnp.asarray(temps), keys,
+                jnp.asarray(steps), jnp.asarray(topks), jnp.asarray(topps))
             toks = np.asarray(toks)  # [B, decode_block]
             for r in list(self.running):
                 for j in range(self.decode_block):
@@ -381,8 +463,9 @@ class ServingEngine:
                                                  jnp.asarray(start),
                                                  self.kv_pool)
         toks = np.asarray(
-            self._sample(logits, jnp.asarray(temps), self._next_rng(),
-                         jnp.asarray(topks)))
+            _sample_tokens(logits, jnp.asarray(temps), keys,
+                           jnp.asarray(steps), jnp.asarray(topks),
+                           jnp.asarray(topps)))
         for r in list(self.running):
             r.output_tokens.append(int(toks[r.slot]))
             self._maybe_finish(r)
@@ -401,6 +484,11 @@ class ServingEngine:
         """Store the finished request's KV into the cache tiers
         (asynchronously; reference lmcache_store_kv semantics)."""
         if self.cache_engine is None:
+            return
+        if req.context_chunks is not None:
+            # CacheBlend KV is approximately healed — storing it under the
+            # exact prefix-chunk hashes would let later prompts reuse it as
+            # exact KV and compound the approximation across generations
             return
         n = req.total_len if self.save_decode_cache else req.num_prompt_tokens
         # the pool holds KV for total_len - 1 tokens (the newest sampled

@@ -49,33 +49,23 @@ class PagedServingEngine(ServingEngine):
         prefill_chunk: int = 512,
         kv_dtype: str = "native",  # "native" | "int8" (half-size arena)
     ):
+        if (cache_engine is not None
+                and cache_engine.chunk_size % page_size != 0):
+            raise ValueError("page_size must divide the cache chunk_size")
+        # _alloc_pool (called from super().__init__) reads these to build
+        # the page arena — the dense [L, 2, B, S_max, H, D] pool is never
+        # materialized
+        self.page_size = page_size
+        self.num_pages = num_pages
         super().__init__(cfg, params, max_batch=max_batch, max_seq=max_seq,
                          cache_engine=cache_engine,
                          eos_token_id=eos_token_id,
                          save_decode_cache=save_decode_cache,
                          use_pallas=use_pallas, decode_block=decode_block,
-                         prefill_chunk=prefill_chunk)
-        if (cache_engine is not None
-                and cache_engine.chunk_size % page_size != 0):
-            raise ValueError("page_size must divide the cache chunk_size")
-        if kv_dtype not in ("native", "int8"):
-            raise ValueError(f"Invalid kv_dtype: {kv_dtype}")
-        self.kv_dtype = kv_dtype
+                         prefill_chunk=prefill_chunk, kv_dtype=kv_dtype)
         quantized = kv_dtype == "int8"
-        self.page_size = page_size
-        self.num_pages = num_pages
-        self.NP = -(-self.S // page_size)  # page-table width per sequence
 
-        # replace the dense pool with the page arena
-        from lmcache_tpu.models.paged import (forward_paged_quantized,
-                                              new_quantized_paged_pool)
-        self.kv_pool = (new_quantized_paged_pool(cfg, num_pages, page_size)
-                        if quantized else
-                        new_paged_kv_pool(cfg, num_pages, page_size))
-        self.allocator = PageAllocator(num_pages)
-        # host-side page tables; row per slot, null page 0 as padding
-        self.page_tables = np.zeros((self.B, self.NP), np.int32)
-        self._req_pages = {}  # request_id -> List[int]
+        from lmcache_tpu.models.paged import forward_paged_quantized
 
         fwd = functools.partial(
             forward_paged_quantized if quantized else forward_paged,
@@ -93,23 +83,23 @@ class PagedServingEngine(ServingEngine):
                                kv_pool=pool, page_table=tables)
             return logits[:, 0], pool
 
-        sample = self._sample
+        from lmcache_tpu.serving.engine import _sample_tokens
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def decode_block_paged(params, tokens, start, pool, tables, temps,
-                               topks, rng):
-            def body(carry, _):
-                tokens, start, pool, rng = carry
+                               keys, steps0, topks, topps):
+            def body(carry, i):
+                tokens, start, pool = carry
                 logits, pool = fwd(params, tokens=tokens, start_pos=start,
                                    kv_pool=pool, page_table=tables)
-                rng, sub = jax.random.split(rng)
-                toks = sample(logits[:, 0], temps, sub, topks)
-                return (toks[:, None].astype(jnp.int32), start + 1, pool,
-                        rng), toks
+                toks = _sample_tokens(logits[:, 0], temps, keys, steps0 + i,
+                                      topks, topps)
+                return (toks[:, None].astype(jnp.int32), start + 1,
+                        pool), toks
 
-            (_, _, pool, _), toks = jax.lax.scan(
-                body, (tokens, start, pool, rng), None,
-                length=decode_block)
+            (_, _, pool), toks = jax.lax.scan(
+                body, (tokens, start, pool),
+                jnp.arange(decode_block, dtype=jnp.int32))
             return toks.T, pool
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -151,6 +141,20 @@ class PagedServingEngine(ServingEngine):
         self._inject_pages = inject_pages
         self._read_pages = read_pages
 
+    def _alloc_pool(self):
+        """Build the page arena instead of the dense slot pool (ADVICE r1:
+        the transient dense allocation defeated the paged memory model)."""
+        from lmcache_tpu.models.paged import new_quantized_paged_pool
+        self.NP = -(-self.S // self.page_size)  # page-table width
+        self.allocator = PageAllocator(self.num_pages)
+        # host-side page tables; row per slot, null page 0 as padding
+        self.page_tables = np.zeros((self.B, self.NP), np.int32)
+        self._req_pages = {}  # request_id -> List[int]
+        if self.kv_dtype == "int8":
+            return new_quantized_paged_pool(self.cfg, self.num_pages,
+                                            self.page_size)
+        return new_paged_kv_pool(self.cfg, self.num_pages, self.page_size)
+
     # -- scheduler ----------------------------------------------------------
 
     def step(self) -> None:
@@ -188,19 +192,7 @@ class PagedServingEngine(ServingEngine):
             return
 
         prompt = req.prompt_tokens
-        cached = 0
-        if self.cache_engine is not None:
-            blob, mask = self.cache_engine.retrieve(prompt,
-                                                    return_tuple=False)
-            cached = int(np.asarray(mask).sum())
-            cached = min(cached, len(prompt) - 1)
-            # whole pages only: the retrieved prefix lands page-aligned
-            cached = (cached // self.page_size) * self.page_size
-            if cached > 0:
-                n_pages = cached // self.page_size
-                self.kv_pool = self._inject_pages(
-                    self.kv_pool, jnp.asarray(blob[:, :, :cached]),
-                    jnp.asarray(pages[:n_pages], jnp.int32))
+        cached = self._stream_inject_pages(prompt, pages)
         req.cached_prefix_len = cached
 
         # chunked prefill: fixed-size segments, one compiled program
@@ -218,13 +210,45 @@ class PagedServingEngine(ServingEngine):
                 jnp.asarray([pos], jnp.int32), self.kv_pool, table,
                 jnp.asarray(T - 1, jnp.int32))
             pos += T
-        tok = int(
-            self._sample(logits, jnp.float32(req.sampling.temperature),
-                         self._next_rng()))
+        self._assign_slot_key(req)
+        tok = self._sample_row(logits, req)
         req.output_tokens.append(tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
         self._maybe_finish(req)
+
+    def _stream_inject_pages(self, prompt: np.ndarray, pages) -> int:
+        """Streamed cache retrieval onto whole pages: each chunk is
+        scattered into its pages the moment it arrives, overlapping the
+        device upload with the fetch + decode of the next chunk.
+        page_size divides chunk_size, so every streamed chunk starts
+        page-aligned; a trailing partial page is dropped (prefill
+        recomputes it). Returns the number of cached tokens injected."""
+        if self.cache_engine is None:
+            return 0
+        limit = len(prompt) - 1  # always recompute >= 1 token
+        cached = 0
+        stream = self.cache_engine.retrieve_stream(prompt)
+        try:
+            for blob, pos, n in stream:
+                take = min(n, limit - pos)
+                if take <= 0:
+                    break
+                aligned = (take // self.page_size) * self.page_size
+                if aligned <= 0:
+                    break
+                first_page = pos // self.page_size
+                n_pages = aligned // self.page_size
+                self.kv_pool = self._inject_pages(
+                    self.kv_pool, jnp.asarray(blob[:, :, :aligned]),
+                    jnp.asarray(pages[first_page:first_page + n_pages],
+                                jnp.int32))
+                cached = pos + aligned
+                if aligned < n:
+                    break
+        finally:
+            stream.close()
+        return cached
 
     def _admit_blend_paged(self, req: Request, pages) -> None:
         """CacheBlend admission onto pages: blend the chunk KV, pad the
@@ -245,31 +269,25 @@ class PagedServingEngine(ServingEngine):
             self.kv_pool, kv_blob.astype(jnp.dtype(self.cfg.dtype)),
             jnp.asarray(pages[:n_pages], jnp.int32))
 
-        tok = int(
-            self._sample(logits, jnp.float32(req.sampling.temperature),
-                         self._next_rng(), req.sampling.top_k))
+        self._assign_slot_key(req)
+        tok = self._sample_row(logits, req)
         req.output_tokens.append(tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
         self._maybe_finish(req)
 
     def _decode_all(self) -> None:
-        last = np.zeros((self.B, 1), np.int32)
-        start = np.zeros(self.B, np.int32)
-        temps = np.zeros(self.B, np.float32)
-        topks = np.zeros(self.B, np.int32)
-        for r in self.running:
-            last[r.slot, 0] = r.output_tokens[-1]
-            start[r.slot] = r.num_prompt_tokens + len(r.output_tokens) - 1
-            temps[r.slot] = r.sampling.temperature
-            topks[r.slot] = r.sampling.top_k
+        from lmcache_tpu.serving.engine import _sample_tokens
+        last, start, temps, steps, topks, topps = \
+            self._gather_sampling_rows()
+        keys = jnp.asarray(self._slot_keys)
 
         tables = jnp.asarray(self.page_tables, jnp.int32)
         if self.decode_block > 1:
             toks, self.kv_pool = self._decode_block_paged(
                 self.params, jnp.asarray(last), jnp.asarray(start),
-                self.kv_pool, tables, jnp.asarray(temps),
-                jnp.asarray(topks), self._next_rng())
+                self.kv_pool, tables, jnp.asarray(temps), keys,
+                jnp.asarray(steps), jnp.asarray(topks), jnp.asarray(topps))
             toks = np.asarray(toks)
             for r in list(self.running):
                 for j in range(self.decode_block):
@@ -283,14 +301,17 @@ class PagedServingEngine(ServingEngine):
             self.params, jnp.asarray(last), jnp.asarray(start),
             self.kv_pool, tables)
         toks = np.asarray(
-            self._sample(logits, jnp.asarray(temps), self._next_rng(),
-                         jnp.asarray(topks)))
+            _sample_tokens(logits, jnp.asarray(temps), keys,
+                           jnp.asarray(steps), jnp.asarray(topks),
+                           jnp.asarray(topps)))
         for r in list(self.running):
             r.output_tokens.append(int(toks[r.slot]))
             self._maybe_finish(r)
 
     def _store_back(self, req: Request) -> None:
-        if self.cache_engine is None:
+        if self.cache_engine is None or req.context_chunks is not None:
+            # blend KV is approximately healed — never store it under
+            # exact prefix-chunk hashes (see ServingEngine._store_back)
             self._release(req)
             return
         n = (req.total_len

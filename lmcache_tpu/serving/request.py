@@ -22,8 +22,9 @@ class SamplingParams:
     max_new_tokens: int = 64
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => no top-k restriction
+    top_p: float = 1.0  # 1.0 => no nucleus restriction
     stop_token_ids: tuple = ()
-    seed: int = 0
+    seed: int = 0  # != 0 => reproducible per-request sample stream
 
 
 @dataclass

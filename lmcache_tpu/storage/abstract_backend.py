@@ -8,7 +8,7 @@ the longest-contiguous-prefix retrieval contract.
 """
 
 import abc
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator, List, Optional, Tuple
 
 from lmcache_tpu.utils import CacheEngineKey
 
@@ -24,6 +24,11 @@ class LMCBackendInterface(metaclass=abc.ABCMeta):
     @abc.abstractmethod
     def contains(self, key: CacheEngineKey) -> bool:
         raise NotImplementedError
+
+    def batched_contains(self, keys: Iterable[CacheEngineKey]) -> List[bool]:
+        """Existence of many keys in order. Remote-tier backends override
+        this with a single MEXIST round trip; local tiers loop dict hits."""
+        return [self.contains(k) for k in keys]
 
     @abc.abstractmethod
     def get(self, key: CacheEngineKey):

@@ -32,6 +32,11 @@ class RemoteConnector(metaclass=abc.ABCMeta):
         """All keys currently held by the remote store."""
         raise NotImplementedError
 
+    def batched_exists(self, keys: List[str]) -> List[bool]:
+        """Existence of many keys. Connectors override this with a single
+        round trip (MEXIST / pipelining); the default loops."""
+        return [self.exists(k) for k in keys]
+
     @abc.abstractmethod
     def close(self) -> None:
         raise NotImplementedError
@@ -64,6 +69,13 @@ class RemoteConnectorDebugWrapper(RemoteConnector):
 
     def list(self) -> List[str]:
         return self._connector.list()
+
+    def batched_exists(self, keys: List[str]) -> List[bool]:
+        with Timer() as t:
+            ret = self._connector.batched_exists(keys)
+        logger.debug("Remote mexist of %d keys in %.2f ms (%d hits)",
+                     len(keys), t.ms, sum(ret))
+        return ret
 
     def close(self) -> None:
         return self._connector.close()

@@ -114,6 +114,20 @@ class LMCServerConnector(RemoteConnector):
             return []
         return body.decode("utf-8").split("\n")
 
+    def batched_exists(self, keys: List[str]) -> List[bool]:
+        """One MEXIST round trip for the whole batch (vs one 33 ms-class
+        RTT per key); degrades to per-key EXIST against servers that
+        answer FAIL for the unknown command."""
+        if not keys:
+            return []
+        code, body = self._request(Command.MEXIST, "",
+                                   "\n".join(keys).encode("utf-8"))
+        if code == Code.OK and len(body) == len(keys):
+            return [b == 1 for b in body]
+        logger.warning("MEXIST unsupported by server; falling back to "
+                       "per-key EXIST")
+        return [self.exists(k) for k in keys]
+
     def ping(self) -> bool:
         try:
             code, _ = self._request(Command.PING, "")

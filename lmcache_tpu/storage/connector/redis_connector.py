@@ -35,6 +35,14 @@ class RedisConnector(RemoteConnector):
     def exists(self, key: str) -> bool:
         return bool(self.connection.exists(key))
 
+    def batched_exists(self, keys: List[str]) -> List[bool]:
+        if not keys:
+            return []
+        pipe = self.connection.pipeline(transaction=False)
+        for k in keys:
+            pipe.exists(k)
+        return [bool(r) for r in pipe.execute()]
+
     def get(self, key: str) -> Optional[bytes]:
         return self.connection.get(key)
 
@@ -77,6 +85,14 @@ class RedisSentinelConnector(RemoteConnector):
 
     def exists(self, key: str) -> bool:
         return bool(self.slave.exists(key))
+
+    def batched_exists(self, keys: List[str]) -> List[bool]:
+        if not keys:
+            return []
+        pipe = self.slave.pipeline(transaction=False)
+        for k in keys:
+            pipe.exists(k)
+        return [bool(r) for r in pipe.execute()]
 
     def get(self, key: str) -> Optional[bytes]:
         return self.slave.get(key)

@@ -48,6 +48,17 @@ class LMCHybridBackend(LMCBackendInterface):
     def contains(self, key: CacheEngineKey) -> bool:
         return self.local.contains(key) or self.remote.contains(key)
 
+    def batched_contains(self, keys) -> List[bool]:
+        key_list = list(keys)
+        out = self.local.batched_contains(key_list)
+        miss_idx = [i for i, hit in enumerate(out) if not hit]
+        if miss_idx:
+            remote_hits = self.remote.batched_contains(
+                [key_list[i] for i in miss_idx])
+            for i, hit in zip(miss_idx, remote_hits):
+                out[i] = hit
+        return out
+
     @_lmcache_trace_annotate
     def put(self, key: CacheEngineKey, blob, blocking: bool = True) -> None:
         # write-through: local synchronously (it is the serving tier),

@@ -67,6 +67,31 @@ class LMCRemoteBackend(LMCBackendInterface):
             return True
         return False
 
+    def batched_contains(self, keys) -> List[bool]:
+        """All keys in ONE metadata round trip: client key-cache hits are
+        answered locally, the rest ride a single MEXIST frame (vs one
+        33 ms-class EXIST RTT per chunk — reference flaw,
+        remote_backend.py:98-117)."""
+        key_list = list(keys)
+        out = [False] * len(key_list)
+        ask, ask_idx = [], []
+        with self.lock:
+            for i, key in enumerate(key_list):
+                if key in self.existing_keys:
+                    out[i] = True
+                else:
+                    ask.append(key)
+                    ask_idx.append(i)
+        if ask:
+            hits = self.connection.batched_exists(
+                [k.to_string() for k in ask])
+            with self.lock:
+                for key, i, hit in zip(ask, ask_idx, hits):
+                    if hit:
+                        out[i] = True
+                        self.existing_keys.add(key)
+        return out
+
     @_lmcache_trace_annotate
     def put(self, key: CacheEngineKey, blob, blocking: bool = True) -> None:
         if blocking:
@@ -111,15 +136,24 @@ class LMCRemoteBackend(LMCBackendInterface):
 
 
 class LMCPipelinedRemoteBackend(LMCRemoteBackend):
-    """Overlaps network fetch with deserialization for batched gets.
+    """Streaming three-stage retrieval pipeline.
 
-    Stage 1 (network thread) streams raw bytes per key in order; stage 2
-    (deserialize thread) decodes them. For the cachegen serde stage 2 is the
-    entropy decode + dequant, so a chunk is decompressing while the next one
-    is on the wire (reference: remote_backend.py:183-275).
+    Stage 1 (network thread) fetches raw bytes for the *hit prefix only*
+    (one MEXIST round trip decides it — no fetches past the first miss);
+    stage 2 (deserialize thread) decodes them — for the cachegen serde
+    that is the entropy decode + dequant; stage 3 is the consumer, which
+    receives chunk ``i`` the moment it is decoded, while chunk ``i+1``
+    decodes and chunk ``i+2`` is on the wire. First-chunk availability is
+    therefore ≈ one-chunk RTT, not whole-batch latency, and the caller
+    can overlap device upload / prefill with the rest of the stream.
+
+    Matches-and-beats reference remote_backend.py:183-275, whose queue
+    pipeline still fetched every key regardless of misses; breaking out
+    of this generator cancels the remaining fetches.
     """
 
     _SENTINEL = object()
+    PREFETCH_DEPTH = 4  # bounded buffering between stages
 
     def __init__(self, config: LMCacheEngineConfig,
                  metadata: LMCacheEngineMetadata):
@@ -130,28 +164,75 @@ class LMCPipelinedRemoteBackend(LMCRemoteBackend):
         keys: Iterable[CacheEngineKey],
     ) -> Iterator[Optional[object]]:
         key_list = list(keys)
-        results: List[Optional[object]] = [None] * len(key_list)
-        bytes_q: "queue.Queue" = queue.Queue(maxsize=8)
+        if not key_list:
+            return
+        # hit-prefix length in ONE metadata round trip; the retrieval
+        # contract is longest-contiguous-prefix, so nothing past the
+        # first miss is ever fetched
+        hits = self.batched_contains(key_list)
+        n_fetch = 0
+        for hit in hits:
+            if not hit:
+                break
+            n_fetch += 1
+
+        stop = threading.Event()
+        bytes_q: "queue.Queue" = queue.Queue(maxsize=self.PREFETCH_DEPTH)
+        blob_q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def network_worker():
             try:
-                for idx, key in enumerate(key_list):
-                    if not self.contains(key):
-                        bytes_q.put((idx, None))
-                        continue
-                    bs = self.connection.get(key.to_string())
+                for idx in range(n_fetch):
+                    if stop.is_set():
+                        break
+                    bs = self.connection.get(key_list[idx].to_string())
                     bytes_q.put((idx, bs if bs else None))
             finally:
                 bytes_q.put(self._SENTINEL)
 
-        t = threading.Thread(target=network_worker, daemon=True)
-        t.start()
-        while True:
-            item = bytes_q.get()
-            if item is self._SENTINEL:
-                break
-            idx, bs = item
-            if bs is not None:
-                results[idx] = self.deserializer.from_bytes(bs)
-        t.join()
-        yield from results
+        def deserialize_worker():
+            try:
+                while not stop.is_set():
+                    item = bytes_q.get()
+                    if item is self._SENTINEL:
+                        break
+                    idx, bs = item
+                    blob = (self.deserializer.from_bytes(bs)
+                            if bs is not None else None)
+                    blob_q.put(blob)
+            finally:
+                blob_q.put(self._SENTINEL)
+
+        t_net = threading.Thread(target=network_worker, daemon=True)
+        t_de = threading.Thread(target=deserialize_worker, daemon=True)
+        t_net.start()
+        t_de.start()
+        try:
+            served = 0
+            while served < n_fetch:
+                blob = blob_q.get()
+                if blob is self._SENTINEL or blob is None:
+                    break  # evicted between MEXIST and GET
+                yield blob
+                served += 1
+            for _ in range(served, len(key_list)):
+                yield None
+        finally:
+            # cancel in-flight stages (the consumer may have broken out
+            # early); drain both queues so neither worker deadlocks on a
+            # full put, and re-inject a sentinel in case the drain stole
+            # the one the deserialize worker is blocked waiting for
+            stop.set()
+
+            def _drain(q):
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+
+            _drain(blob_q)
+            _drain(bytes_q)
+            bytes_q.put(self._SENTINEL)
+            t_net.join(timeout=30)
+            t_de.join(timeout=30)

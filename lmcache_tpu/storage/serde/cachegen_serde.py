@@ -154,6 +154,15 @@ class CacheGenDeserializer(Deserializer):
         lens = np.frombuffer(bs, np.uint32, 2 * L * C, off).reshape(2, L * C)
         off += lens.nbytes
 
+        # validate the stream-length table against the container size
+        # before handing the payload to the C++ decoder — a truncated or
+        # corrupt container must fail here, not as an out-of-bounds read
+        if off + int(lens.sum()) > len(bs):
+            raise ValueError(
+                f"Corrupt LMCG container: streams claim "
+                f"{int(lens.sum())} payload bytes but only "
+                f"{len(bs) - off} remain")
+
         halves = []
         for i, bins in enumerate((key_bins, value_bins)):
             n = int(lens[i].sum())

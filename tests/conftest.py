@@ -36,6 +36,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # ---------------------------------------------------------------------------
 # fake redis (the real package is absent in this environment)
 # ---------------------------------------------------------------------------
+class FakePipeline:
+
+    def __init__(self, store):
+        self.store = store
+        self.ops = []
+
+    def exists(self, key):
+        self.ops.append(key)
+        return self
+
+    def execute(self):
+        out = [k in self.store for k in self.ops]
+        self.ops = []
+        return out
+
+
 class FakeRedis:
     _stores = {}  # shared per (host, port) so reconnects see the same data
 
@@ -44,6 +60,9 @@ class FakeRedis:
 
     def exists(self, key):
         return key in self.store
+
+    def pipeline(self, transaction=True):
+        return FakePipeline(self.store)
 
     def get(self, key):
         return self.store.get(key)

@@ -183,3 +183,33 @@ def test_token_kv_length_mismatch(autorelease):
     engine = autorelease(make_engine("cpu"))
     with pytest.raises(ValueError):
         engine.store(generate_tokens(10), generate_kv_tuples(12))
+
+
+def test_retrieve_stream_chunks(autorelease):
+    """retrieve_stream yields contiguous chunks equal to the one-shot
+    retrieve blob, and respects the suffix mask."""
+    from lmcache_tpu import kv as kvmod
+    engine = autorelease(
+        LMCacheEngine(
+            LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                              chunk_size=CHUNK),
+            LMCacheEngineMetadata("stream-model", 1, 0, "vllm")))
+    n = 3 * CHUNK + 7
+    tokens = generate_tokens(n, seed=30)
+    kv = generate_kv_tuples(n, seed=30)
+    engine.store(tokens, kv)
+
+    chunks = list(engine.retrieve_stream(tokens))
+    assert [p for _, p, _ in chunks] == [0, CHUNK, 2 * CHUNK, 3 * CHUNK]
+    assert [t for _, _, t in chunks] == [CHUNK, CHUNK, CHUNK, 7]
+    blob = kvmod.concat_blobs([c for c, _, _ in chunks], "vllm")
+    one_shot, mask = engine.retrieve(tokens, return_tuple=False)
+    assert mask.all()
+    np.testing.assert_array_equal(np.asarray(blob), np.asarray(one_shot))
+
+    # suffix mask: caller already has the first 1.5 chunks
+    mask = np.ones(n, bool)
+    mask[:CHUNK + CHUNK // 2] = False
+    chunks = list(engine.retrieve_stream(tokens, mask=mask))
+    assert chunks[0][1] == CHUNK + CHUNK // 2
+    assert chunks[0][2] == CHUNK // 2

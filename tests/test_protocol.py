@@ -44,3 +44,17 @@ def test_bad_magic_rejected():
         RequestHeader.unpack_fixed(bad)
     with pytest.raises(ValueError):
         ResponseHeader.unpack(b"\x00" * RESPONSE_HEADER_SIZE)
+
+
+def test_mexist_dispatch():
+    """Server answers MEXIST with one presence byte per key."""
+    from lmcache_tpu.protocol import Code, Command
+    from lmcache_tpu.server import LMCacheServer
+    srv = LMCacheServer("localhost", 0, "cpu")
+    srv.storage.put("k1", b"a")
+    srv.storage.put("k3", b"c")
+    code, body = srv._dispatch(Command.MEXIST, "", b"k1\nk2\nk3")
+    assert code == Code.OK
+    assert body == b"\x01\x00\x01"
+    code, body = srv._dispatch(Command.MEXIST, "", b"")
+    assert code == Code.OK and body == b""

@@ -1,0 +1,214 @@
+"""Round-2 sampling + engine fixes: top-p, per-request seeds, paged
+first-token top-k (ADVICE r1 #1), paged startup without the dense pool
+(ADVICE r1 #2), paged sliding window (ADVICE r1 #3), blend store-back
+skip (ADVICE r1 #5), CacheGen container validation (ADVICE r1 #4)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from lmcache_tpu.cache_engine import LMCacheEngine  # noqa: E402
+from lmcache_tpu.config import (LMCacheEngineConfig,  # noqa: E402
+                                LMCacheEngineMetadata)
+from lmcache_tpu.models import llama  # noqa: E402
+from lmcache_tpu.serving import (Request, SamplingParams,  # noqa: E402
+                                 ServingEngine)
+from lmcache_tpu.serving.paged_engine import PagedServingEngine  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(7), cfg)
+    return cfg, params
+
+
+def _prompt(cfg, n, seed=0):
+    return np.random.default_rng(seed).integers(0, cfg.vocab_size, n,
+                                                dtype=np.int32)
+
+
+def test_top_p_tiny_equals_greedy(setup):
+    """A vanishing nucleus keeps only the argmax — equal to greedy even at
+    high temperature."""
+    cfg, params = setup
+    prompt = _prompt(cfg, 14, seed=8)
+    greedy = ServingEngine(cfg, params, max_batch=1, max_seq=128,
+                           use_pallas=False).generate(
+                               [prompt],
+                               SamplingParams(max_new_tokens=6))[0]
+    eng = ServingEngine(cfg, params, max_batch=1, max_seq=128,
+                        use_pallas=False)
+    [r] = eng.generate([prompt],
+                       SamplingParams(max_new_tokens=6, temperature=5.0,
+                                      top_p=1e-9))
+    assert r.output_tokens == greedy.output_tokens
+
+
+def test_paged_first_token_top_k(setup):
+    """Regression (ADVICE r1 #1): the paged engine dropped top_k on the
+    first sampled token; top_k=1 at high temperature must equal greedy."""
+    cfg, params = setup
+    prompt = _prompt(cfg, 18, seed=11)
+    greedy = PagedServingEngine(cfg, params, max_batch=1, max_seq=128,
+                                num_pages=16, page_size=16,
+                                use_pallas=False).generate(
+                                    [prompt],
+                                    SamplingParams(max_new_tokens=1))[0]
+    eng = PagedServingEngine(cfg, params, max_batch=1, max_seq=128,
+                             num_pages=16, page_size=16, use_pallas=False)
+    [r] = eng.generate([prompt],
+                       SamplingParams(max_new_tokens=1, temperature=9.0,
+                                      top_k=1))
+    assert r.output_tokens == greedy.output_tokens
+
+
+def test_seed_reproducible_and_batch_independent(setup):
+    """A seeded request replays the same token stream in a fresh engine
+    and regardless of what shares the batch; a different seed diverges."""
+    cfg, params = setup
+    prompt = _prompt(cfg, 10, seed=3)
+    sp = SamplingParams(max_new_tokens=8, temperature=1.5, seed=42)
+
+    eng1 = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                         use_pallas=False)
+    [a] = eng1.generate([prompt], sp)
+
+    # same seed, different engine, sharing the batch with another request
+    eng2 = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                         use_pallas=False)
+    other = _prompt(cfg, 25, seed=4)
+    reqs = [Request(prompt, sp),
+            Request(other, SamplingParams(max_new_tokens=8,
+                                          temperature=0.7, seed=7))]
+    for r in reqs:
+        eng2.add_request(r)
+    eng2.run()
+    assert reqs[0].output_tokens == a.output_tokens
+
+    eng3 = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                         use_pallas=False)
+    [c] = eng3.generate([prompt],
+                        SamplingParams(max_new_tokens=8, temperature=1.5,
+                                       seed=43))
+    assert c.output_tokens != a.output_tokens
+
+
+def test_paged_engine_never_allocates_dense_pool(setup, monkeypatch):
+    """Regression (ADVICE r1 #2): paged startup must not transiently
+    materialize the [L, 2, B, S_max, H, D] dense pool."""
+    cfg, params = setup
+
+    def boom(*a, **kw):
+        raise AssertionError("dense pool allocated by the paged engine")
+
+    monkeypatch.setattr(llama, "new_kv_cache", boom)
+    monkeypatch.setattr(llama, "new_quantized_kv_cache", boom)
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                             num_pages=16, page_size=16, use_pallas=False)
+    monkeypatch.undo()
+    prompt = _prompt(cfg, 9, seed=5)
+    [r] = eng.generate([prompt], SamplingParams(max_new_tokens=3))
+    assert len(r.output_tokens) == 3
+
+
+def test_blend_storeback_skipped(setup):
+    """Regression (ADVICE r1 #5): blended (approximately healed) KV must
+    not be stored back under exact prefix-chunk hashes."""
+    cfg, params = setup
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu"),
+        LMCacheEngineMetadata(model_name="tiny-blend-sb", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    stored_lengths = []
+    orig_store = ce.store
+
+    def spy(tokens, kv, **kw):
+        stored_lengths.append(len(np.asarray(tokens).reshape(-1)))
+        return orig_store(tokens, kv, **kw)
+
+    ce.store = spy
+    eng = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                        cache_engine=ce, use_pallas=False,
+                        blend_recompute_ratio=1.0)
+    docs = [_prompt(cfg, 24, seed=20 + i) for i in range(3)]
+    req = Request(np.empty(0, np.int32), SamplingParams(max_new_tokens=4),
+                  context_chunks=docs)
+    eng.add_request(req)
+    eng.run()
+    # the blender writes chunk KV at the backend level; engine-level
+    # store-back of the healed prompt must never run for blend requests
+    assert stored_lengths == []
+    assert req.output_tokens and len(req.output_tokens) == 4
+    ce.close()
+
+
+def test_cachegen_truncated_container_raises(setup):
+    from lmcache_tpu.storage.serde.cachegen_serde import (
+        CacheGenDeserializer, CacheGenSerializer)
+    cfg_e = LMCacheEngineConfig.from_defaults(local_device="cpu")
+    meta = LMCacheEngineMetadata(model_name="tiny", world_size=1,
+                                 worker_id=0, fmt="vllm", dtype="float32")
+    ser = CacheGenSerializer(cfg_e, meta)
+    de = CacheGenDeserializer(cfg_e, meta)
+    rng = np.random.default_rng(0)
+    blob = jnp.asarray(rng.standard_normal((2, 2, 16, 2, 64)), jnp.float32)
+    bs = ser.to_bytes(blob)
+    de.from_bytes(bs)  # intact container round-trips
+    with pytest.raises(ValueError, match="Corrupt LMCG"):
+        de.from_bytes(bs[:-10])
+
+
+def test_paged_sliding_window_kernel():
+    """Paged kernel with a sliding window = windowed dense reference."""
+    from lmcache_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_reference)
+    rng = np.random.default_rng(2)
+    B, T, H, D, Hkv = 2, 16, 4, 64, 2
+    P, page = 12, 32
+    W = 24
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+                         jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+                         jnp.float32)
+    pt = jnp.asarray([[3, 7, 1, 9], [2, 11, 5, 4]], jnp.int32)
+    q_off = jnp.asarray([70, 40], jnp.int32)
+    kv_len = q_off + T
+
+    ref = paged_attention_reference(q, k_pool, v_pool, pt, q_off, kv_len,
+                                    sliding_window=W)
+    out = paged_attention(q, k_pool, v_pool, pt, q_off, kv_len,
+                          sliding_window=W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    # the window must actually change the result
+    full = paged_attention_reference(q, k_pool, v_pool, pt, q_off, kv_len)
+    assert not np.allclose(np.asarray(full), np.asarray(ref))
+
+
+def test_forward_paged_sliding_window(setup):
+    """Regression (ADVICE r1 #3): Mistral-family models on the paged path
+    must honor cfg.sliding_window — parity with the dense forward."""
+    cfg = llama.LlamaConfig.tiny(n_layers=2, sliding_window=16)
+    params = llama.init_params(jax.random.PRNGKey(7), cfg)
+    from lmcache_tpu.models.paged import (PageAllocator, forward_paged,
+                                          new_paged_kv_pool)
+    rng = np.random.default_rng(6)
+    B, T, page, NP = 2, 40, 8, 5
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    zero = jnp.zeros(B, jnp.int32)
+
+    dense_logits, _ = llama.forward(
+        params, cfg, tokens, zero, llama.new_kv_cache(cfg, B, NP * page),
+        use_pallas=False)
+    pool = new_paged_kv_pool(cfg, num_pages=16, page_size=page)
+    alloc = PageAllocator(16)
+    pt = jnp.asarray([alloc.alloc(NP) for _ in range(B)], jnp.int32)
+    paged_logits, _ = forward_paged(params, cfg, tokens, zero, pool, pt,
+                                    use_pallas=False)
+    np.testing.assert_allclose(np.asarray(paged_logits),
+                               np.asarray(dense_logits), atol=2e-3,
+                               rtol=2e-3)
