@@ -32,29 +32,59 @@ def new_paged_kv_pool(cfg: llama.LlamaConfig, num_pages: int,
 
 
 class PageAllocator:
-    """Host-side free-list of page ids (page 0 is reserved as the null
-    page that padding page-table entries point at)."""
+    """Host-side refcounted free-list of page ids (page 0 is reserved as
+    the null page that padding page-table entries point at).
+
+    Refcounts enable prefix sharing: requests with a common prompt
+    prefix reference the SAME physical pages (``share``); a page returns
+    to the free list only when its last referent releases it. Shared
+    prefix pages are immutable by construction (each request writes only
+    at positions past its shared prefix), so no copy-on-write copy is
+    ever needed — sharing is always safe until divergence."""
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        self._rc: Dict[int, int] = {}
 
     @property
     def num_free(self) -> int:
         return len(self._free)
+
+    def refcount(self, page: int) -> int:
+        return self._rc.get(page, 0)
 
     def alloc(self, n: int) -> List[int]:
         if n > len(self._free):
             raise MemoryError(
                 f"paged pool exhausted: want {n}, free {len(self._free)}")
         pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._rc[p] = 1
         return pages
 
-    def free(self, pages: List[int]) -> None:
+    def share(self, pages: List[int]) -> None:
+        """Take an additional reference on already-allocated pages."""
+        for p in pages:
+            if self._rc.get(p, 0) <= 0:
+                raise ValueError(f"page {p} is not allocated")
+            self._rc[p] += 1
+
+    def free(self, pages: List[int]) -> List[int]:
+        """Drop one reference per page; returns the pages that actually
+        reached refcount 0 and went back to the free list."""
+        freed = []
         for p in pages:
             if not 0 < p < self.num_pages:
                 raise ValueError(f"bad page id {p}")
-            self._free.append(p)
+            rc = self._rc.get(p, 1) - 1
+            if rc <= 0:
+                self._rc.pop(p, None)
+                self._free.append(p)
+                freed.append(p)
+            else:
+                self._rc[p] = rc
+        return freed
 
 
 def pages_needed(num_tokens: int, page_size: int) -> int:

@@ -145,90 +145,181 @@ class PagedServingEngine(ServingEngine):
         """Build the page arena instead of the dense slot pool (ADVICE r1:
         the transient dense allocation defeated the paged memory model)."""
         from lmcache_tpu.models.paged import new_quantized_paged_pool
-        self.NP = -(-self.S // self.page_size)  # page-table width
+        # page-table width covers S + decode_block positions: idle rows
+        # park decode writes at >= S (engine.py _gather_sampling_rows);
+        # those land in the null page or masked in-page slack
+        self.NP = -(-(self.S + self.decode_block) // self.page_size)
         self.allocator = PageAllocator(self.num_pages)
         # host-side page tables; row per slot, null page 0 as padding
         self.page_tables = np.zeros((self.B, self.NP), np.int32)
         self._req_pages = {}  # request_id -> List[int]
+        # prefix sharing: rolling page-granularity prefix hash -> resident
+        # page id (registered once a request's prefill completes; removed
+        # when the page's last referent frees it)
+        self._resident = {}  # hash -> page id
+        self._page_hash = {}  # page id -> hash (reverse index)
+        self._req_shared = {}  # request_id -> tokens served by shared pages
         if self.kv_dtype == "int8":
             return new_quantized_paged_pool(self.cfg, self.num_pages,
                                             self.page_size)
         return new_paged_kv_pool(self.cfg, self.num_pages, self.page_size)
 
-    # -- scheduler ----------------------------------------------------------
+    # -- scheduler hooks -----------------------------------------------------
 
-    def step(self) -> None:
-        if self.waiting and self.free_slots:
-            req = self.waiting[0]
-            needed = pages_needed(
-                req.num_prompt_tokens + req.sampling.max_new_tokens,
-                self.page_size)
-            if needed <= self.allocator.num_free:
-                self._admit(self.waiting.pop(0))
-                return
-            if not self.running:
-                raise MemoryError(
-                    f"request {req.request_id} needs {needed} pages; arena "
-                    f"has {self.allocator.num_free} and nothing is running")
-            # backpressure: keep decoding until pages free up
-        if self.running:
-            self._decode_all()
+    def _match_resident_prefix(self, tokens: np.ndarray):
+        """Longest run of already-resident pages whose rolling prefix
+        hash matches this prompt. Capped so at least one token is always
+        recomputed (the prefill must yield next-token logits)."""
+        if tokens is None or len(tokens) < 2:
+            return []
+        from lmcache_tpu.chunks import prefix_chunk_hashes
+        max_pages = (len(tokens) - 1) // self.page_size
+        shared = []
+        for h in prefix_chunk_hashes(tokens, self.page_size)[:max_pages]:
+            page = self._resident.get(h)
+            if page is None:
+                break
+            shared.append(page)
+        return shared
+
+    def _can_admit(self, req: Request) -> bool:
+        """Admission needs FRESH pages for the unshared part of the
+        prompt only — the shared-prefix pages are already resident, and
+        decode pages are allocated on demand (with preemption when the
+        arena is full). Occupancy is bounded by distinct tokens actually
+        resident, not by worst-case ``max_new_tokens`` reservations."""
+        tokens = req.all_tokens
+        fresh = (pages_needed(len(tokens), self.page_size)
+                 - len(self._match_resident_prefix(tokens)))
+        return fresh <= self.allocator.num_free
+
+    def _on_admission_stall(self, req: Request) -> None:
+        raise MemoryError(
+            f"request {req.request_id} needs "
+            f"{pages_needed(len(req.all_tokens), self.page_size)} pages; "
+            f"arena has {self.allocator.num_free} and nothing is running")
+
+    def _on_slot_assigned(self, req: Request) -> None:
+        tokens = req.all_tokens
+        shared = ([] if req.context_chunks is not None
+                  else self._match_resident_prefix(tokens))
+        if shared:
+            self.allocator.share(shared)
+        own = self.allocator.alloc(
+            pages_needed(len(tokens), self.page_size) - len(shared))
+        pages = shared + own
+        self._req_pages[req.request_id] = pages
+        self._req_shared[req.request_id] = len(shared) * self.page_size
+        self.page_tables[req.slot] = 0
+        self.page_tables[req.slot, :len(pages)] = pages
+
+    def _prefill_segment(self, req: Request, pos: int, seg: np.ndarray):
+        T = len(seg)
+        Tp = T if T == self.prefill_chunk else _bucket(T)
+        padded = np.zeros(Tp, np.int32)
+        padded[:T] = seg
+        table = jnp.asarray(self.page_tables[req.slot:req.slot + 1],
+                            jnp.int32)
+        logits, self.kv_pool = self._prefill_paged(
+            self.params, jnp.asarray(padded)[None, :],
+            jnp.asarray([pos], jnp.int32), self.kv_pool, table,
+            jnp.asarray(T - 1, jnp.int32))
+        return logits
+
+    # -- decode-page growth + preemption -------------------------------------
+
+    def _pick_victim(self, requester: Request) -> Optional[Request]:
+        """Latest-admitted running request — possibly the requester
+        itself (the newest request yields so older ones finish; vLLM's
+        priority order). Blend requests are never preempted (their
+        healed KV cannot be stored and restored exactly)."""
+        for r in reversed(self.running):
+            if r.context_chunks is not None:
+                continue
+            return r
+        return None
+
+    def _preempt(self, victim: Request) -> None:
+        """Evict a running request: persist its computed KV (prompt +
+        decoded tokens) to the cache tiers, free its pages and slot, and
+        push it to the FRONT of the waiting queue. On re-admission the
+        prefix is restored via retrieve and at most one token-equivalent
+        is recomputed, so greedy output is unchanged."""
+        n = victim.total_len - 1  # pool holds KV for total-1 tokens
+        pages = self._req_pages[victim.request_id]
+        n_pages = pages_needed(n, self.page_size)
+        blob = self._read_pages(
+            self.kv_pool, jnp.asarray(pages[:n_pages], jnp.int32))[:, :, :n]
+        # durable before the pages are reused
+        self.cache_engine.store(victim.all_tokens[:n], blob, blocking=True)
+        self.running.remove(victim)
+        self._release(victim)
+        self.free_slots.append(victim.slot)
+        victim.slot = None
+        victim.state = RequestState.WAITING
+        victim.num_preemptions += 1
+        self.waiting.insert(0, victim)
+        logger.info("Preempted request %s at %d tokens (arena full)",
+                    victim.request_id, n)
+
+    def _ensure_decode_pages(self) -> None:
+        """Before a decode step, grow every running request's page list
+        to cover the tokens the step will write; when the arena cannot
+        satisfy a growth, preempt victims until it can."""
+        db = self.decode_block
+        for r in list(self.running):
+            if r not in self.running:  # preempted by an earlier growth
+                continue
+            cap = r.num_prompt_tokens + r.sampling.max_new_tokens
+            target = min(
+                r.num_prompt_tokens + len(r.output_tokens) - 1 + db, cap)
+            pages = self._req_pages[r.request_id]
+            need = pages_needed(target, self.page_size) - len(pages)
+            if need <= 0:
+                continue
+            preempted_self = False
+            while need > self.allocator.num_free:
+                victim = self._pick_victim(r)
+                if victim is None or self.cache_engine is None:
+                    raise MemoryError(
+                        f"arena exhausted: request {r.request_id} needs "
+                        f"{need} more pages, {self.allocator.num_free} "
+                        f"free, and no preemptable victim"
+                        + ("" if self.cache_engine is not None
+                           else " (no cache engine to evict into)"))
+                self._preempt(victim)
+                if victim is r:
+                    preempted_self = True
+                    break  # the requester yielded; skip its growth
+            if preempted_self:
+                continue
+            start_idx = len(pages)
+            new = self.allocator.alloc(need)
+            self.page_tables[r.slot, start_idx:start_idx + need] = new
+            pages.extend(new)
 
     # -- internals ----------------------------------------------------------
 
-    def _admit(self, req: Request) -> None:
-        slot = self.free_slots.pop(0)
-        req.slot = slot
-        req.state = RequestState.RUNNING
-
-        total = req.num_prompt_tokens + req.sampling.max_new_tokens
-        pages = self.allocator.alloc(pages_needed(total, self.page_size))
-        self._req_pages[req.request_id] = pages
-        self.page_tables[slot] = 0
-        self.page_tables[slot, :len(pages)] = pages
-
-        if req.context_chunks is not None:
-            self._admit_blend_paged(req, pages)
-            return
-
-        prompt = req.prompt_tokens
-        cached = self._stream_inject_pages(prompt, pages)
-        req.cached_prefix_len = cached
-
-        # chunked prefill: fixed-size segments, one compiled program
-        PC = self.prefill_chunk
-        table = jnp.asarray(self.page_tables[slot:slot + 1], jnp.int32)
-        pos, n, logits = cached, len(prompt), None
-        while pos < n:
-            seg = prompt[pos:pos + PC]
-            T = len(seg)
-            Tp = PC if T == PC else _bucket(T)
-            padded = np.zeros(Tp, np.int32)
-            padded[:T] = seg
-            logits, self.kv_pool = self._prefill_paged(
-                self.params, jnp.asarray(padded)[None, :],
-                jnp.asarray([pos], jnp.int32), self.kv_pool, table,
-                jnp.asarray(T - 1, jnp.int32))
-            pos += T
-        self._assign_slot_key(req)
-        tok = self._sample_row(logits, req)
-        req.output_tokens.append(tok)
-        req.ttft_s = time.perf_counter() - req.arrival_s
-        self.running.append(req)
-        self._maybe_finish(req)
-
-    def _stream_inject_pages(self, prompt: np.ndarray, pages) -> int:
+    def _stream_inject(self, req: Request, tokens: np.ndarray) -> int:
         """Streamed cache retrieval onto whole pages: each chunk is
         scattered into its pages the moment it arrives, overlapping the
         device upload with the fetch + decode of the next chunk.
         page_size divides chunk_size, so every streamed chunk starts
         page-aligned; a trailing partial page is dropped (prefill
         recomputes it). Returns the number of cached tokens injected."""
+        shared_tok = self._req_shared.get(req.request_id, 0)
         if self.cache_engine is None:
-            return 0
-        limit = len(prompt) - 1  # always recompute >= 1 token
-        cached = 0
-        stream = self.cache_engine.retrieve_stream(prompt)
+            return shared_tok
+        pages = self._req_pages[req.request_id]
+        limit = len(tokens) - 1  # always recompute >= 1 token
+        cached = shared_tok
+        mask = None
+        if shared_tok:
+            # the shared-prefix pages already hold live KV — skip their
+            # tokens in the cache-tier stream (zero-copy beats retrieve)
+            mask = np.ones(len(tokens), bool)
+            mask[:shared_tok] = False
+        stream = self.cache_engine.retrieve_stream(tokens, mask=mask)
         try:
             for blob, pos, n in stream:
                 take = min(n, limit - pos)
@@ -250,10 +341,11 @@ class PagedServingEngine(ServingEngine):
             stream.close()
         return cached
 
-    def _admit_blend_paged(self, req: Request, pages) -> None:
+    def _admit_blend(self, req: Request) -> None:
         """CacheBlend admission onto pages: blend the chunk KV, pad the
         blob to whole pages (the tail garbage sits past kv_len and is
         masked), scatter it in, and start decoding."""
+        pages = self._req_pages[req.request_id]
         blender = self._get_blender()
         logits, kv_blob, info = blender.blend(req.context_chunks)
         T = info["total_tokens"]
@@ -278,6 +370,7 @@ class PagedServingEngine(ServingEngine):
 
     def _decode_all(self) -> None:
         from lmcache_tpu.serving.engine import _sample_tokens
+        self._ensure_decode_pages()
         last, start, temps, steps, topks, topps = \
             self._gather_sampling_rows()
         keys = jnp.asarray(self._slot_keys)
@@ -327,8 +420,31 @@ class PagedServingEngine(ServingEngine):
                                     blocking=False)
         self._release(req)
 
+    def _on_prefill_complete(self, req: Request) -> None:
+        """Register the request's fully-written prompt pages in the
+        resident-prefix index so later same-prefix requests share them
+        (page i is immutable once positions [(i)*page, (i+1)*page) are
+        prefilled: decode writes only past the prompt)."""
+        if req.context_chunks is not None:
+            return  # blend KV is approximate — never share it as exact
+        from lmcache_tpu.chunks import prefix_chunk_hashes
+        tokens = req.all_tokens
+        pages = self._req_pages[req.request_id]
+        hashes = prefix_chunk_hashes(tokens, self.page_size)
+        for i in range(len(tokens) // self.page_size):
+            p = pages[i]
+            if p in self._page_hash:
+                continue  # already registered (a shared page)
+            self._page_hash[p] = hashes[i]
+            self._resident.setdefault(hashes[i], p)
+
     def _release(self, req: Request) -> None:
         pages = self._req_pages.pop(req.request_id, None)
+        self._req_shared.pop(req.request_id, None)
         if pages:
-            self.allocator.free(pages)
+            for p in self.allocator.free(pages):
+                # last referent gone: drop the page from the prefix index
+                h = self._page_hash.pop(p, None)
+                if h is not None and self._resident.get(h) == p:
+                    del self._resident[h]
             self.page_tables[req.slot] = 0

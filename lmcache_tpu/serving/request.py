@@ -27,7 +27,7 @@ class SamplingParams:
     seed: int = 0  # != 0 => reproducible per-request sample stream
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: requests live in scheduler lists
 class Request:
     prompt_tokens: np.ndarray
     sampling: SamplingParams = field(default_factory=SamplingParams)
@@ -36,6 +36,8 @@ class Request:
     output_tokens: List[int] = field(default_factory=list)
     slot: Optional[int] = None  # KV-pool slot while RUNNING
     cached_prefix_len: int = 0  # tokens reused from the cache engine
+    prefill_pos: Optional[int] = None  # next token to prefill (in-flight)
+    num_preemptions: int = 0  # times evicted to the cache tiers
     # CacheBlend: the prompt as independently-cached text chunks (RAG
     # docs + question). When set, admission blends their KV instead of
     # prefix-matching (lmcache_tpu/blend.py); prompt_tokens may be empty

@@ -1,0 +1,216 @@
+"""Round-2 continuous-batching scheduler: multi-admission, decode
+progress during long prefills, incremental page allocation, and
+preemption to the cache tiers with exact resume (VERDICT r1 next #2)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from lmcache_tpu.cache_engine import LMCacheEngine  # noqa: E402
+from lmcache_tpu.config import (LMCacheEngineConfig,  # noqa: E402
+                                LMCacheEngineMetadata)
+from lmcache_tpu.models import llama  # noqa: E402
+from lmcache_tpu.serving import (Request, SamplingParams,  # noqa: E402
+                                 ServingEngine)
+from lmcache_tpu.serving.paged_engine import PagedServingEngine  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(7), cfg)
+    return cfg, params
+
+
+def _prompt(cfg, n, seed):
+    return np.random.default_rng(seed).integers(0, cfg.vocab_size, n,
+                                                dtype=np.int32)
+
+
+def test_multi_admission(setup):
+    """One scheduler step admits every waiting request a slot can take
+    (the r1 scheduler admitted one per step)."""
+    cfg, params = setup
+    eng = ServingEngine(cfg, params, max_batch=4, max_seq=128,
+                        use_pallas=False)
+    for i in range(4):
+        eng.add_request(Request(_prompt(cfg, 12, i),
+                                SamplingParams(max_new_tokens=4)))
+    eng.step()
+    assert not eng.waiting
+    assert not eng.free_slots
+    eng.run()
+    assert len(eng.finished) == 4
+
+
+def test_decode_progress_during_long_prefill(setup):
+    """A long-prompt admission must not starve running decodes: every
+    scheduler step advances one prefill segment AND one decode step."""
+    cfg, params = setup
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                        use_pallas=False, prefill_chunk=8)
+    a = Request(_prompt(cfg, 10, 1), SamplingParams(max_new_tokens=40))
+    eng.add_request(a)
+    while not a.output_tokens:
+        eng.step()
+
+    b = Request(_prompt(cfg, 64, 2), SamplingParams(max_new_tokens=4))
+    eng.add_request(b)
+    got_before = len(a.output_tokens)
+    steps_while_prefilling = 0
+    while b in eng.prefilling or b in eng.waiting:
+        eng.step()
+        steps_while_prefilling += 1
+        if steps_while_prefilling > 64:
+            pytest.fail("prefill never completed")
+    # 64-token prompt at prefill_chunk=8 = 8 segments; a decoded a token
+    # in every one of those steps
+    assert steps_while_prefilling >= 8
+    assert len(a.output_tokens) - got_before >= steps_while_prefilling - 1
+
+    eng.run()
+    # outputs equal the solo greedy runs (mixed scheduling is transparent)
+    solo = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                         use_pallas=False)
+    [ga] = solo.generate([a.prompt_tokens], SamplingParams(max_new_tokens=40))
+    [gb] = solo.generate([b.prompt_tokens], SamplingParams(max_new_tokens=4))
+    assert a.output_tokens == ga.output_tokens
+    assert b.output_tokens == gb.output_tokens
+
+
+def test_incremental_pages_admit_on_prompt_only(setup):
+    """Admission reserves pages for the prompt, not prompt+max_new —
+    requests that could not co-reside under worst-case reservation now
+    run concurrently."""
+    cfg, params = setup
+    # prompts of 32 tokens = 2 pages each; max_new=64 would have demanded
+    # 6 pages each under r1's upfront reservation (13 > 11 usable for 2)
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                             num_pages=12, page_size=16, use_pallas=False)
+    p1, p2 = _prompt(cfg, 32, 3), _prompt(cfg, 32, 4)
+    eng.add_request(Request(p1, SamplingParams(max_new_tokens=8)))
+    eng.add_request(Request(p2, SamplingParams(max_new_tokens=8)))
+    eng.step()
+    # both admitted together on prompt-only pages
+    assert len(eng.prefilling) + len(eng.running) == 2
+    eng.run()
+    assert eng.allocator.num_free == 11
+
+
+def test_preemption_exact_resume(setup):
+    """When decode growth exhausts the arena, the newest request is
+    evicted to the cache tiers and later resumes with identical greedy
+    output (VERDICT r1 next #2 'Done' criterion)."""
+    cfg, params = setup
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny-preempt", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                             num_pages=8, page_size=16, cache_engine=ce,
+                             use_pallas=False)
+    pa, pb = _prompt(cfg, 40, 5), _prompt(cfg, 40, 6)
+    a = Request(pa, SamplingParams(max_new_tokens=40))
+    b = Request(pb, SamplingParams(max_new_tokens=40))
+    eng.add_request(a)
+    eng.add_request(b)
+    eng.run()
+
+    assert b.num_preemptions >= 1  # the arena cannot hold both at 80 tok
+    assert a.num_preemptions == 0
+    assert len(a.output_tokens) == 40 and len(b.output_tokens) == 40
+    assert eng.allocator.num_free == 7  # all pages returned
+
+    solo = ServingEngine(cfg, params, max_batch=1, max_seq=128,
+                         use_pallas=False)
+    [ga] = solo.generate([pa], SamplingParams(max_new_tokens=40))
+    [gb] = solo.generate([pb], SamplingParams(max_new_tokens=40))
+    assert a.output_tokens == ga.output_tokens
+    assert b.output_tokens == gb.output_tokens  # exact across preemption
+    ce.close()
+
+
+def test_preemption_without_cache_engine_raises(setup):
+    """With no cache tier to evict into, arena exhaustion is a hard
+    error rather than silent corruption."""
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                             num_pages=8, page_size=16, use_pallas=False)
+    eng.add_request(Request(_prompt(cfg, 40, 7),
+                            SamplingParams(max_new_tokens=40)))
+    eng.add_request(Request(_prompt(cfg, 40, 8),
+                            SamplingParams(max_new_tokens=40)))
+    with pytest.raises(MemoryError):
+        eng.run()
+
+
+def test_prefix_sharing_pages(setup):
+    """Two concurrent requests with a common prompt prefix occupy the
+    SAME physical pages until divergence; pages are refcounted and only
+    freed by the last referent (VERDICT r1 next #3)."""
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             num_pages=32, page_size=16, use_pallas=False)
+    common = _prompt(cfg, 64, 10)  # 4 pages
+    pa = np.concatenate([common, _prompt(cfg, 16, 11)])  # 80 tokens
+    pb = np.concatenate([common, _prompt(cfg, 16, 12)])
+    a = Request(pa, SamplingParams(max_new_tokens=30))
+    eng.add_request(a)
+    while not a.output_tokens:
+        eng.step()
+    pages_a = list(eng._req_pages[a.request_id])
+
+    b = Request(pb, SamplingParams(max_new_tokens=4))
+    eng.add_request(b)
+    eng.step()  # admits b
+    pages_b = eng._req_pages[b.request_id]
+    assert pages_b[:4] == pages_a[:4]  # shared physical pages
+    assert pages_b[4] not in pages_a  # divergent suffix gets fresh pages
+    assert eng._req_shared[b.request_id] == 64
+    assert b.cached_prefix_len == 64  # zero-copy reuse, no cache tier
+    for p in pages_a[:4]:
+        assert eng.allocator.refcount(p) == 2
+
+    eng.run()
+    assert eng.allocator.num_free == 31  # everything freed exactly once
+
+    solo = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                         use_pallas=False)
+    [ga] = solo.generate([pa], SamplingParams(max_new_tokens=30))
+    [gb] = solo.generate([pb], SamplingParams(max_new_tokens=4))
+    assert a.output_tokens == ga.output_tokens
+    assert b.output_tokens == gb.output_tokens
+
+
+def test_prefix_sharing_survives_owner_release(setup):
+    """The first owner finishing must not free pages a sharer still
+    references; the index entry survives until the last referent."""
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             num_pages=32, page_size=16, use_pallas=False)
+    common = _prompt(cfg, 48, 13)  # 3 pages
+    a = Request(common.copy(), SamplingParams(max_new_tokens=6))
+    eng.add_request(a)
+    while not a.output_tokens:
+        eng.step()
+    b = Request(np.concatenate([common, _prompt(cfg, 16, 14)]),
+                SamplingParams(max_new_tokens=30))
+    eng.add_request(b)
+    eng.step()
+    shared = eng._req_pages[b.request_id][:3]
+    assert eng._req_shared[b.request_id] == 48  # all 3 common pages
+    # drive a to completion while b still runs
+    while a.state.value != "finished":
+        eng.step()
+    for p in shared:
+        assert eng.allocator.refcount(p) == 1  # b still holds them
+    eng.run()
+    assert eng.allocator.num_free == 31
+
+    solo = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                         use_pallas=False)
+    [gb] = solo.generate([b.prompt_tokens],
+                         SamplingParams(max_new_tokens=30))
+    assert b.output_tokens == gb.output_tokens
