@@ -47,15 +47,24 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
                          sliding_window=sliding_window)
 
 
+def _window_start_page(q_off, iq, *, block_q, page, total_pages, num_j,
+                       sliding_window):
+    """First page slot a windowed (b, iq) program needs; shared by the
+    index_map and the kernel body (ops/attention._window_start_block)."""
+    start = (q_off + iq * block_q - sliding_window + 1) // page
+    return jnp.clip(start, 0, total_pages - num_j)
+
+
 def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
                 l_scr, acc_scr, *, block_q, page, group, scale,
-                sliding_window=None, ks_ref=None, vs_ref=None):
+                sliding_window=None, total_pages=None, ks_ref=None,
+                vs_ref=None):
     """Shared online-softmax body; ks/vs present => fused int8 dequant
     (per-token scales correct score/probability columns, as in
     ops/quantized_attention.py)."""
     b = pl.program_id(0)
     iq = pl.program_id(2)
-    j = pl.program_id(3)  # page slot within the sequence
+    j = pl.program_id(3)  # page slot within the (windowed) grid
     num_j = pl.num_programs(3)
 
     @pl.when(j == 0)
@@ -64,11 +73,23 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # skip pages entirely beyond this sequence's length (and, with a
-    # sliding window, pages entirely older than the oldest query's window)
-    live = j * page < kv_len_ref[b]
+    # absolute page slot: with a sliding window the grid axis is a
+    # window of page slots offset per (batch, q-block) — must match the
+    # index_map in paged_attention()
+    je = j
     if sliding_window is not None:
-        live &= ((j + 1) * page
+        je = j + _window_start_page(
+            q_off_ref[b], iq, block_q=block_q, page=page,
+            total_pages=total_pages, num_j=num_j,
+            sliding_window=sliding_window)
+
+    # pages beyond the sequence (or, with a window, pages entirely older
+    # than the oldest query's window) are skipped: the index_map pinned
+    # their DMA to the previous live block (revisit => no HBM read) and
+    # this guard skips their compute
+    live = je * page < kv_len_ref[b]
+    if sliding_window is not None:
+        live &= ((je + 1) * page
                  > q_off_ref[b] + iq * block_q - sliding_window)
 
     @pl.when(live)
@@ -84,7 +105,7 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
 
         qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (group * block_q, page), 0) % block_q)
-        kpos = (j * page + jax.lax.broadcasted_iota(
+        kpos = (je * page + jax.lax.broadcasted_iota(
             jnp.int32, (group * block_q, page), 1))
         mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
         if sliding_window is not None:
@@ -164,10 +185,32 @@ def paged_attention(
     kp = k_pool.transpose(0, 2, 1, 3)
     vp = v_pool.transpose(0, 2, 1, 3)
 
-    grid = (B, Hkv, Tp // bq, NP)
+    num_j = NP
+    if sliding_window is not None:
+        # the grid's page axis shrinks to the window span; the index_map
+        # slides it per (batch, q-block)
+        num_j = min(NP, (sliding_window + bq - 2) // page + 2)
+    grid = (B, Hkv, Tp // bq, num_j)
+
+    def page_index(b, h, iq, j, pt, q_off, kv_len):
+        # dead slots (beyond the sequence's live pages) pin their DMA to
+        # the last live page: consecutive identical block indices are
+        # recognized by the pipeline as revisits and fetch NOTHING, so
+        # HBM reads scale with live tokens, not table width (r1 gap:
+        # PARITY.md "paged DMA still fetches masked-out pages")
+        je = j
+        if sliding_window is not None:
+            je = j + _window_start_page(
+                q_off[b], iq, block_q=bq, page=page, total_pages=NP,
+                num_j=num_j, sliding_window=sliding_window)
+        live = jnp.maximum((kv_len[b] + page - 1) // page, 1)
+        jm = jnp.minimum(je, live - 1)
+        return (pt[b, jm], h, 0, 0)
+
     kernel = functools.partial(_paged_kernel, block_q=bq, page=page,
                                group=group, scale=scale,
-                               sliding_window=sliding_window)
+                               sliding_window=sliding_window,
+                               total_pages=NP)
 
     out = pl.pallas_call(
         kernel,
@@ -177,10 +220,8 @@ def paged_attention(
             in_specs=[
                 pl.BlockSpec((1, group, bq, D),
                              lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, page, D),
-                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
-                pl.BlockSpec((1, 1, page, D),
-                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
+                pl.BlockSpec((1, 1, page, D), page_index),
+                pl.BlockSpec((1, 1, page, D), page_index),
             ],
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
@@ -252,10 +293,30 @@ def quantized_paged_attention(
     ks = k_scale_pool[:, None, :]  # [P, 1, page]
     vs = v_scale_pool[:, None, :]
 
-    grid = (B, Hkv, Tp // bq, NP)
+    num_j = NP
+    if sliding_window is not None:
+        num_j = min(NP, (sliding_window + bq - 2) // page + 2)
+    grid = (B, Hkv, Tp // bq, num_j)
+
+    def _page_slot(j, iq, pt, q_off, kv_len, b):
+        je = j
+        if sliding_window is not None:
+            je = j + _window_start_page(
+                q_off[b], iq, block_q=bq, page=page, total_pages=NP,
+                num_j=num_j, sliding_window=sliding_window)
+        live = jnp.maximum((kv_len[b] + page - 1) // page, 1)
+        return pt[b, jnp.minimum(je, live - 1)]
+
+    def kv_index(b, h, iq, j, pt, q_off, kv_len):
+        return (_page_slot(j, iq, pt, q_off, kv_len, b), h, 0, 0)
+
+    def scale_index(b, h, iq, j, pt, q_off, kv_len):
+        return (_page_slot(j, iq, pt, q_off, kv_len, b), 0, 0)
+
     kernel = functools.partial(_paged_kernel_q, block_q=bq, page=page,
                                group=group, scale=scale,
-                               sliding_window=sliding_window)
+                               sliding_window=sliding_window,
+                               total_pages=NP)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -264,14 +325,10 @@ def quantized_paged_attention(
             in_specs=[
                 pl.BlockSpec((1, group, bq, D),
                              lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, page, D),
-                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
-                pl.BlockSpec((1, 1, page, D),
-                             lambda b, h, iq, j, pt, *_: (pt[b, j], h, 0, 0)),
-                pl.BlockSpec((1, 1, page),
-                             lambda b, h, iq, j, pt, *_: (pt[b, j], 0, 0)),
-                pl.BlockSpec((1, 1, page),
-                             lambda b, h, iq, j, pt, *_: (pt[b, j], 0, 0)),
+                pl.BlockSpec((1, 1, page, D), kv_index),
+                pl.BlockSpec((1, 1, page, D), kv_index),
+                pl.BlockSpec((1, 1, page), scale_index),
+                pl.BlockSpec((1, 1, page), scale_index),
             ],
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
