@@ -21,12 +21,14 @@ Capability parity with reference lmcache/storage_backend/local_backend.py
 import os
 import re
 import threading
+import time
 from collections import OrderedDict
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import List, Optional
 
 import numpy as np
 
+from lmcache_tpu import metrics
 from lmcache_tpu.logging_utils import init_logger
 from lmcache_tpu.storage.abstract_backend import LMCBackendInterface
 from lmcache_tpu.storage.serde.raw_serde import decode_array, encode_array
@@ -43,6 +45,7 @@ class LMCLocalBackend(LMCBackendInterface):
         if device not in ("tpu", "cpu"):
             raise ValueError(f"Invalid local device: {device}")
         self.device = device
+        self.tier = "hbm" if device == "tpu" else "dram"
         self.capacity_bytes = capacity_bytes
         self.dict: "OrderedDict[CacheEngineKey, object]" = OrderedDict()
         self.lock = threading.Lock()
@@ -51,6 +54,7 @@ class LMCLocalBackend(LMCBackendInterface):
         self._executor = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="lmc-local-put")
         self._pending: List[Future] = []
+        self._pending_lock = threading.Lock()
         self._closed = False
 
     # -- placement ---------------------------------------------------------
@@ -74,11 +78,13 @@ class LMCLocalBackend(LMCBackendInterface):
         if blocking:
             self._put_blocking(key, blob)
         else:
-            self._pending = [f for f in self._pending if not f.done()]
-            self._pending.append(
-                self._executor.submit(self._put_blocking, key, blob))
+            with self._pending_lock:
+                self._pending = [f for f in self._pending if not f.done()]
+                self._pending.append(
+                    self._executor.submit(self._put_blocking, key, blob))
 
     def _put_blocking(self, key: CacheEngineKey, blob) -> None:
+        t0 = time.perf_counter()
         placed = self._place(blob)
         size = nbytes_of(placed)
         with self.lock:
@@ -88,6 +94,9 @@ class LMCLocalBackend(LMCBackendInterface):
             self.dict[key] = placed
             self.total_bytes += size
             self._evict_locked()
+        metrics.observe("lmcache_tier_put_seconds",
+                        time.perf_counter() - t0,
+                        labels={"tier": self.tier})
 
     def _evict_locked(self) -> None:
         if self.capacity_bytes is None:
@@ -96,20 +105,37 @@ class LMCLocalBackend(LMCBackendInterface):
             _, victim = self.dict.popitem(last=False)
             self.total_bytes -= nbytes_of(victim)
             self.evictions += 1
+        if self.total_bytes > self.capacity_bytes and self.dict:
+            # a single chunk larger than the tier budget: enforce the
+            # budget strictly (on HBM, exceeding it risks an OOM that
+            # kills serving — worse than one lost cache entry)
+            key, victim = self.dict.popitem(last=False)
+            self.total_bytes -= nbytes_of(victim)
+            self.evictions += 1
+            logger.warning(
+                "Evicted just-stored %s: chunk (%d B) exceeds the %s "
+                "tier budget (%d B)", key.to_string(), nbytes_of(victim),
+                self.tier, self.capacity_bytes)
 
     @_lmcache_trace_annotate
     def get(self, key: CacheEngineKey):
+        t0 = time.perf_counter()
         with self.lock:
             blob = self.dict.get(key)
             if blob is not None:
                 self.dict.move_to_end(key)  # LRU touch
-            return blob
+        if blob is not None:
+            metrics.observe("lmcache_tier_get_seconds",
+                            time.perf_counter() - t0,
+                            labels={"tier": self.tier})
+        return blob
 
     def flush(self) -> None:
         """Wait for all in-flight non-blocking puts."""
-        for f in list(self._pending):
+        with self._pending_lock:
+            pending, self._pending = self._pending, []
+        for f in pending:
             f.result()
-        self._pending.clear()
 
     def close(self) -> None:
         if self._closed:
@@ -139,6 +165,7 @@ class LMCLocalDiskBackend(LMCBackendInterface):
         self._executor = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="lmc-disk-put")
         self._pending: List[Future] = []
+        self._pending_lock = threading.Lock()
         self._closed = False
         # restart recovery: replay the key index, keeping live entries only
         index_path = os.path.join(path, self._INDEX)
@@ -171,11 +198,13 @@ class LMCLocalDiskBackend(LMCBackendInterface):
         if blocking:
             self._put_blocking(key, blob)
         else:
-            self._pending = [f for f in self._pending if not f.done()]
-            self._pending.append(
-                self._executor.submit(self._put_blocking, key, blob))
+            with self._pending_lock:
+                self._pending = [f for f in self._pending if not f.done()]
+                self._pending.append(
+                    self._executor.submit(self._put_blocking, key, blob))
 
     def _put_blocking(self, key: CacheEngineKey, blob) -> None:
+        t0 = time.perf_counter()
         data = encode_array(blob)
         path = self._key_to_path(key)
         tmp = path + ".tmp"
@@ -187,18 +216,25 @@ class LMCLocalDiskBackend(LMCBackendInterface):
                 with open(os.path.join(self.path, self._INDEX), "a") as f:
                     f.write(key.to_string() + "\n")
             self.existing_keys.add(key)
+        metrics.observe("lmcache_tier_put_seconds",
+                        time.perf_counter() - t0, labels={"tier": "disk"})
 
     @_lmcache_trace_annotate
     def get(self, key: CacheEngineKey):
         if not self.contains(key):
             return None
+        t0 = time.perf_counter()
         with open(self._key_to_path(key), "rb") as f:
-            return decode_array(f.read())
+            blob = decode_array(f.read())
+        metrics.observe("lmcache_tier_get_seconds",
+                        time.perf_counter() - t0, labels={"tier": "disk"})
+        return blob
 
     def flush(self) -> None:
-        for f in list(self._pending):
+        with self._pending_lock:
+            pending, self._pending = self._pending, []
+        for f in pending:
             f.result()
-        self._pending.clear()
 
     def close(self) -> None:
         if self._closed:

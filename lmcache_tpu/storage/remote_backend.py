@@ -15,9 +15,11 @@ Fixes vs the reference:
 
 import queue
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Iterable, Iterator, List, Optional, Tuple
 
+from lmcache_tpu import metrics
 from lmcache_tpu.config import LMCacheEngineConfig, LMCacheEngineMetadata
 from lmcache_tpu.logging_utils import init_logger
 from lmcache_tpu.storage.abstract_backend import LMCBackendInterface
@@ -43,6 +45,7 @@ class LMCRemoteBackend(LMCBackendInterface):
         self._executor = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="lmc-remote-put")
         self._pending: List[Future] = []
+        self._pending_lock = threading.Lock()
         self._closed = False
         # warm the key index from the remote store (restart recovery)
         for key in self.list():
@@ -97,9 +100,10 @@ class LMCRemoteBackend(LMCBackendInterface):
         if blocking:
             self._put_blocking(key, blob)
         else:
-            self._pending = [f for f in self._pending if not f.done()]
-            self._pending.append(
-                self._executor.submit(self._put_safe, key, blob))
+            with self._pending_lock:
+                self._pending = [f for f in self._pending if not f.done()]
+                self._pending.append(
+                    self._executor.submit(self._put_safe, key, blob))
 
     def _put_safe(self, key: CacheEngineKey, blob) -> None:
         try:
@@ -109,22 +113,30 @@ class LMCRemoteBackend(LMCBackendInterface):
                              key.to_string())
 
     def _put_blocking(self, key: CacheEngineKey, blob) -> None:
+        t0 = time.perf_counter()
         bs = self.serializer.to_bytes(blob)
         self.connection.set(key.to_string(), bs)
         with self.lock:
             self.existing_keys.add(key)
+        metrics.observe("lmcache_tier_put_seconds",
+                        time.perf_counter() - t0, labels={"tier": "remote"})
 
     @_lmcache_trace_annotate
     def get(self, key: CacheEngineKey):
+        t0 = time.perf_counter()
         bs = self.connection.get(key.to_string())
         if bs is None or len(bs) == 0:
             return None
-        return self.deserializer.from_bytes(bs)
+        blob = self.deserializer.from_bytes(bs)
+        metrics.observe("lmcache_tier_get_seconds",
+                        time.perf_counter() - t0, labels={"tier": "remote"})
+        return blob
 
     def flush(self) -> None:
-        for f in list(self._pending):
+        with self._pending_lock:
+            pending, self._pending = self._pending, []
+        for f in pending:
             f.result()
-        self._pending.clear()
 
     def close(self) -> None:
         if self._closed:
