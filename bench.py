@@ -59,9 +59,8 @@ def main():
     @jax.jit
     def prefill_suffix(params, tokens, blob):
         # cache materialized inside jit: XLA fuses the zeros + prefix fill
-        cache = llama.new_kv_cache(cfg, 1, S)
-        cache = jax.lax.dynamic_update_slice(
-            cache, blob[:, :, None].astype(cache.dtype), (0, 0, 0, 0, 0, 0))
+        cache = llama.blob_into_cache(llama.new_kv_cache(cfg, 1, S),
+                                      blob)
         return llama.forward(params, cfg, tokens,
                              jnp.full((1,), CTX, jnp.int32), cache,
                              last_logit_only=True)
@@ -74,7 +73,7 @@ def main():
                               worker_id=0, fmt="vllm", dtype=str(cfg.dtype)))
     logits, cache = prefill_full(params, tokens)
     jax.block_until_ready(cache)
-    ctx_blob = cache[:, :, 0, :CTX]  # [L, 2, CTX, H_kv, D], stays on device
+    ctx_blob = llama.cache_to_blob(cache, 0, CTX)  # wire fmt, on device
     engine.store(tokens_np[:CTX], ctx_blob)
 
     # ---- measure ---------------------------------------------------------
@@ -111,10 +110,8 @@ def main():
     # HBM-tier engine above is reused, DRAM/disk get their own.
     @jax.jit
     def inject_only(blob):
-        cache = llama.new_kv_cache(cfg, 1, S)
-        cache = jax.lax.dynamic_update_slice(
-            cache, blob[:, :, None].astype(cache.dtype),
-            (0, 0, 0, 0, 0, 0))
+        cache = llama.blob_into_cache(llama.new_kv_cache(cfg, 1, S),
+                                      blob)
         return cache[0, 0, 0, 0, :1]  # tiny fetchable sync handle
 
     def kv_load_gbps(eng_tier):

@@ -213,7 +213,8 @@ class CacheBlender:
             _, cache = llama.forward(params, cfg_, tokens,
                                      jnp.zeros(1, jnp.int32), cache,
                                      use_pallas=False)
-            return cache[:, :, 0]
+            # head-major pool [L, 2, H, T, D] -> wire blob [L, 2, T, H, D]
+            return cache[:, :, 0].transpose(0, 1, 3, 2, 4)
 
         self._chunk_prefill = chunk_prefill
 

@@ -9,9 +9,10 @@ Design (idiomatic JAX, not a torch translation):
 - parameters are a plain pytree with all layers **stacked** on a leading
   ``[L, ...]`` axis and the layer loop expressed as ``lax.scan`` — one
   traced layer body regardless of depth, fast XLA compiles;
-- the KV cache is a single array ``[L, 2, B, S_max, H_kv, D]`` (vllm-fmt
-  token-major inner layout, so ``cache[:, :, b, :n]`` *is* the cache-engine
-  blob, lmcache_tpu/kv.py) updated functionally and donated under jit;
+- the KV cache is a single array ``[L, 2, B, H_kv, S_max, D]`` —
+  HEAD-major, consumed by the attention kernel with no per-step relayout;
+  ``cache_to_blob``/``blob_into_cache`` convert to/from the token-major
+  cache-engine wire blob (lmcache_tpu/kv.py) at chunk granularity;
 - per-sequence write offsets (continuous batching: every row of the batch
   is at a different position) via ``vmap``-ed ``dynamic_update_slice``;
 - attention is the Pallas flash kernel (ops/attention.py) fed directly
@@ -216,25 +217,52 @@ def load_hf(model_name: str,
 
 
 def new_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> jax.Array:
-    """Fresh KV cache [L, 2, B, S, H_kv, D] (vllm-fmt inner layout)."""
+    """Fresh KV cache [L, 2, B, H_kv, S, D] — HEAD-major.
+
+    The live pool is head-major so the attention kernel consumes it
+    directly: a token-major pool would force a full-KV relayout per
+    layer per decode step (at S = 16k that transpose moves 2x the
+    attention's own HBM bytes). The cache-blob wire format stays
+    token-major ([L, 2, T, H, D], the reference's vllm fmt) — the
+    transpose happens once per chunk at the inject/read boundary, not
+    per step.
+    """
     return jnp.zeros(
-        (cfg.n_layers, 2, batch, max_len, cfg.n_kv_heads, cfg.head_dim),
+        (cfg.n_layers, 2, batch, cfg.n_kv_heads, max_len, cfg.head_dim),
         jnp.dtype(cfg.dtype))
+
+
+def cache_to_blob(cache: jax.Array, b: int = 0, n: "Optional[int]" = None
+                  ) -> jax.Array:
+    """One batch row of the head-major pool as a wire-format cache blob
+    [L, 2, n, H, D] (the reference's vllm fmt)."""
+    g = cache[:, :, b] if n is None else cache[:, :, b, :, :n]
+    return jnp.transpose(g, (0, 1, 3, 2, 4))
+
+
+def blob_into_cache(cache: jax.Array, blob: jax.Array, b: int = 0,
+                    pos=0) -> jax.Array:
+    """Write a wire blob [L, 2, t, H, D] into the head-major pool at
+    token offset ``pos`` of batch row ``b``."""
+    hm = jnp.transpose(blob, (0, 1, 3, 2, 4))[:, :, None]
+    return jax.lax.dynamic_update_slice(cache, hm.astype(cache.dtype),
+                                        (0, 0, b, 0, pos, 0))
 
 
 def new_quantized_kv_cache(cfg: LlamaConfig, batch: int,
                            max_len: int) -> Dict[str, jax.Array]:
-    """Int8 KV pool: {"sym" [L,2,B,S,H_kv,D] i8, "scale" [L,2,B,S] f32}.
+    """Int8 KV pool: {"sym" [L,2,B,H_kv,S,D] i8, "scale" [L,2,B,S] f32}.
 
     Halves KV HBM footprint and decode-attention bandwidth; consumed by
     the fused dequant kernel (ops/quantized_attention.py). Per-(layer,
     token) symmetric scales — the CacheGen quantization granularity
     (reference cachegen_encoder.py:39-61) applied to the live pool.
+    Head-major sym for the same reason as :func:`new_kv_cache`.
     """
-    shape = (cfg.n_layers, 2, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    L, Hkv, D = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
     return {
-        "sym": jnp.zeros(shape, jnp.int8),
-        "scale": jnp.ones(shape[:4], jnp.float32),
+        "sym": jnp.zeros((L, 2, batch, Hkv, max_len, D), jnp.int8),
+        "scale": jnp.ones((L, 2, batch, max_len), jnp.float32),
     }
 
 
@@ -271,7 +299,7 @@ def forward(
     cfg: LlamaConfig,
     tokens: jax.Array,  # int32 [B, T]
     start_pos: jax.Array,  # int32 [B] — write offset / #cached tokens
-    kv_cache: jax.Array,  # [L, 2, B, S, H_kv, D]
+    kv_cache: jax.Array,  # [L, 2, B, H_kv, S, D] (head-major pool)
     *,
     use_pallas: bool = True,
     last_logit_only: bool = False,
@@ -288,20 +316,29 @@ def forward(
     B, T = tokens.shape
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
-    attend = functools.partial(
-        flash_attention if use_pallas else mha_reference,
-        sliding_window=cfg.sliding_window)
+    if use_pallas:
+        attend = functools.partial(flash_attention,
+                                   sliding_window=cfg.sliding_window,
+                                   kv_head_major=True)
+    else:
+        def attend(q, kh, vh, q_off, kvl):
+            # CPU fallback: the reference impl is token-major
+            return mha_reference(q, kh.transpose(0, 2, 1, 3),
+                                 vh.transpose(0, 2, 1, 3), q_off, kvl,
+                                 sliding_window=cfg.sliding_window)
 
     x = params["embed"][tokens]  # [B, T, dim]
 
     def write_at(cache_bt, new_bt, offsets):
-        # cache_bt [B, S, H, D], new_bt [B, T, H, D], offsets int32 [B]
+        # cache_bt [B, H, S, D], new_bt [B, T, H, D], offsets int32 [B]
+        # — only the T-token update is transposed (tiny), never the pool
+        new_hm = new_bt.transpose(0, 2, 1, 3)  # [B, H, T, D]
         return jax.vmap(
-            lambda c, n, s: jax.lax.dynamic_update_slice(c, n, (s, 0, 0)))(
-                cache_bt, new_bt, offsets)
+            lambda c, n, s: jax.lax.dynamic_update_slice(c, n, (0, s, 0)))(
+                cache_bt, new_hm, offsets)
 
     def layer(x, scanned):
-        lp, cache_l = scanned  # cache_l: [2, B, S, H_kv, D]
+        lp, cache_l = scanned  # cache_l: [2, B, H_kv, S, D]
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(h, lp, cfg)
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
@@ -353,8 +390,14 @@ def forward_quantized(
     B, T = tokens.shape
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     kv_len = start_pos + T
-    attend = (quantized_flash_attention
-              if use_pallas else quantized_attention_reference)
+    if use_pallas:
+        attend = functools.partial(quantized_flash_attention,
+                                   kv_head_major=True)
+    else:
+        def attend(q, ks, vs, ksc, vsc, q_off, kvl):
+            return quantized_attention_reference(
+                q, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
+                ksc, vsc, q_off, kvl)
 
     x = params["embed"][tokens]
 
@@ -366,9 +409,11 @@ def forward_quantized(
         return jnp.clip(sym, -127, 127).astype(jnp.int8), scale
 
     def write_at(cache_bt, new_bt, offsets):
+        # [B, H, S, D] <- [B, T, H, D] at token offset (head-major pool)
+        new_hm = new_bt.transpose(0, 2, 1, 3)
         return jax.vmap(
-            lambda c, n, s: jax.lax.dynamic_update_slice(c, n, (s, 0, 0)))(
-                cache_bt, new_bt, offsets)
+            lambda c, n, s: jax.lax.dynamic_update_slice(c, n, (0, s, 0)))(
+                cache_bt, new_hm, offsets)
 
     def write_scale(scale_bt, new_bt, offsets):  # [B, S] <- [B, T]
         return jax.vmap(
@@ -376,7 +421,7 @@ def forward_quantized(
                 scale_bt, new_bt, offsets)
 
     def layer(x, scanned):
-        lp, cache_l = scanned  # {"sym" [2,B,S,H,D], "scale" [2,B,S]}
+        lp, cache_l = scanned  # {"sym" [2,B,H,S,D], "scale" [2,B,S]}
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(h, lp, cfg)
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)

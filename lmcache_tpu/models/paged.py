@@ -26,9 +26,11 @@ from lmcache_tpu.ops.paged_attention import (
 
 def new_paged_kv_pool(cfg: llama.LlamaConfig, num_pages: int,
                       page_size: int) -> jax.Array:
-    """Global page arena [L, 2, P, page_size, H_kv, D]."""
-    return jnp.zeros((cfg.n_layers, 2, num_pages, page_size,
-                      cfg.n_kv_heads, cfg.head_dim), jnp.dtype(cfg.dtype))
+    """Global page arena [L, 2, P, H_kv, page_size, D] — HEAD-major
+    pages, so the Pallas kernel DMAs page blocks directly (a token-major
+    arena would force a whole-arena relayout per layer per step)."""
+    return jnp.zeros((cfg.n_layers, 2, num_pages, cfg.n_kv_heads,
+                      page_size, cfg.head_dim), jnp.dtype(cfg.dtype))
 
 
 class PageAllocator:
@@ -109,7 +111,7 @@ def forward_paged(
     (logits, updated pool).
     """
     B, T = tokens.shape
-    page = kv_pool.shape[3]
+    page = kv_pool.shape[4]
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
     attend = functools.partial(
@@ -120,11 +122,12 @@ def forward_paged(
     pidx = jnp.take_along_axis(page_table, positions // page,
                                axis=1)  # [B, T]
     poff = positions % page
+    heads = jnp.arange(cfg.n_kv_heads)[None, None, :]  # [1, 1, H_kv]
 
     x = params["embed"][tokens]
 
     def layer(x, scanned):
-        lp, pool_l = scanned  # pool_l: [2, P, page, H_kv, D]
+        lp, pool_l = scanned  # pool_l: [2, P, H_kv, page, D]
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(h, lp, cfg)
         q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
@@ -133,8 +136,12 @@ def forward_paged(
                   cfg.rope_theta)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
 
-        pool_l = pool_l.at[0, pidx, poff].set(k.astype(pool_l.dtype))
-        pool_l = pool_l.at[1, pidx, poff].set(v.astype(pool_l.dtype))
+        # scatter [B, T, H, D] new tokens into head-major pages:
+        # pool[p, h, o] = kv[b, t, h] with (p, o) from the page table
+        pool_l = pool_l.at[0, pidx[..., None], heads,
+                           poff[..., None]].set(k.astype(pool_l.dtype))
+        pool_l = pool_l.at[1, pidx[..., None], heads,
+                           poff[..., None]].set(v.astype(pool_l.dtype))
 
         attn = attend(q, pool_l[0], pool_l[1], page_table, start_pos,
                       kv_len)
@@ -156,15 +163,16 @@ def forward_paged(
 
 def new_quantized_paged_pool(cfg: llama.LlamaConfig, num_pages: int,
                              page_size: int) -> Dict[str, jax.Array]:
-    """Int8 page arena: {"sym" [L,2,P,page,H,D] i8, "scale" [L,2,P,page]}.
+    """Int8 page arena: {"sym" [L,2,P,H,page,D] i8, "scale" [L,2,P,page]}.
 
     Half the HBM of the bf16 arena; consumed by the fused int8 paged
-    kernel (ops/paged_attention.quantized_paged_attention)."""
-    shape = (cfg.n_layers, 2, num_pages, page_size, cfg.n_kv_heads,
-             cfg.head_dim)
+    kernel (ops/paged_attention.quantized_paged_attention). Head-major
+    pages like :func:`new_paged_kv_pool`."""
     return {
-        "sym": jnp.zeros(shape, jnp.int8),
-        "scale": jnp.ones(shape[:4], jnp.float32),
+        "sym": jnp.zeros((cfg.n_layers, 2, num_pages, cfg.n_kv_heads,
+                          page_size, cfg.head_dim), jnp.int8),
+        "scale": jnp.ones((cfg.n_layers, 2, num_pages, page_size),
+                          jnp.float32),
     }
 
 
@@ -182,7 +190,7 @@ def forward_paged_quantized(
     """:func:`forward_paged` over the int8 page arena: per-(layer, token)
     quantization on write, fused dequant on read."""
     B, T = tokens.shape
-    page = kv_pool["sym"].shape[3]
+    page = kv_pool["sym"].shape[4]
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     kv_len = start_pos + T
     attend = functools.partial(
@@ -192,6 +200,7 @@ def forward_paged_quantized(
 
     pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
     poff = positions % page
+    heads = jnp.arange(cfg.n_kv_heads)[None, None, :]
 
     x = params["embed"][tokens]
 
@@ -203,7 +212,7 @@ def forward_paged_quantized(
         return jnp.clip(sym, -127, 127).astype(jnp.int8), scale
 
     def layer(x, scanned):
-        lp, pool_l = scanned  # {"sym" [2,P,page,H,D], "scale" [2,P,page]}
+        lp, pool_l = scanned  # {"sym" [2,P,H,page,D], "scale" [2,P,page]}
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(h, lp, cfg)
         q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
@@ -214,8 +223,9 @@ def forward_paged_quantized(
 
         k_sym, k_scale = quant_tokens(k)
         v_sym, v_scale = quant_tokens(v)
-        sym = pool_l["sym"].at[0, pidx, poff].set(k_sym)
-        sym = sym.at[1, pidx, poff].set(v_sym)
+        sym = pool_l["sym"].at[0, pidx[..., None], heads,
+                               poff[..., None]].set(k_sym)
+        sym = sym.at[1, pidx[..., None], heads, poff[..., None]].set(v_sym)
         scl = pool_l["scale"].at[0, pidx, poff].set(k_scale)
         scl = scl.at[1, pidx, poff].set(v_scale)
 

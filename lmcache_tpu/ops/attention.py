@@ -145,7 +145,8 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "interpret", "sliding_window"),
+    static_argnames=("block_q", "block_k", "interpret", "sliding_window",
+                     "kv_head_major"),
 )
 def flash_attention(
     q: jax.Array,
@@ -158,19 +159,28 @@ def flash_attention(
     block_k: int = 2048,
     interpret: Optional[bool] = None,
     sliding_window: Optional[int] = None,
+    kv_head_major: bool = False,
 ) -> jax.Array:
     """Pallas flash attention. See module docstring for shapes/semantics.
 
     Args:
         q: [B, T, H, D] new-token queries.
-        k, v: [B, S, H_kv, D] KV buffers (cache prefix + new tokens).
+        k, v: [B, S, H_kv, D] KV buffers (cache prefix + new tokens) —
+            or, with ``kv_head_major=True``, [B, H_kv, S, D]. The live
+            serving pools are head-major so decode NEVER pays a
+            full-KV transpose per step (at S = 16k that relayout was
+            2x the attention's own HBM reads); the token-major form is
+            kept for the cache-blob wire convention and tests.
         q_offset: int32 [B], global position of the first query token.
         kv_len: int32 [B], number of valid tokens in the KV buffer.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, D = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
+    if kv_head_major:
+        Hkv, S = k.shape[1], k.shape[2]
+    else:
+        S, Hkv = k.shape[1], k.shape[2]
     if H % Hkv:
         raise ValueError(f"H ({H}) must be a multiple of H_kv ({Hkv})")
     group = H // Hkv
@@ -183,10 +193,10 @@ def flash_attention(
     # head-major [B, H, T, D] so token/depth sit in the tiled trailing dims
     qh = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    kh = jnp.pad(k.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
-    vh = jnp.pad(v.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    kh = k if kv_head_major else k.transpose(0, 2, 1, 3)
+    vh = v if kv_head_major else v.transpose(0, 2, 1, 3)
+    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
 
     total_kb = Sp // bk
     num_kb = total_kb

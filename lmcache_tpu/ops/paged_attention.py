@@ -35,14 +35,17 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
                               kv_len, sliding_window=None) -> jax.Array:
     """Gather pages densely, then dense attention (tests / CPU path).
 
-    q: [B, T, H, D]; k/v_pool: [P, page, H_kv, D]; page_table: int32
-    [B, NP]; q_offset/kv_len: int32 [B].
+    q: [B, T, H, D]; k/v_pool: [P, H_kv, page, D] (head-major pages);
+    page_table: int32 [B, NP]; q_offset/kv_len: int32 [B].
     """
     B = q.shape[0]
-    P, page, Hkv, D = k_pool.shape
+    P, Hkv, page, D = k_pool.shape
     NP = page_table.shape[1]
-    k = k_pool[page_table].reshape(B, NP * page, Hkv, D)
-    v = v_pool[page_table].reshape(B, NP * page, Hkv, D)
+    # [B, NP, H, page, D] -> token-major [B, NP*page, H, D]
+    k = k_pool[page_table].transpose(0, 1, 3, 2, 4).reshape(
+        B, NP * page, Hkv, D)
+    v = v_pool[page_table].transpose(0, 1, 3, 2, 4).reshape(
+        B, NP * page, Hkv, D)
     return mha_reference(q, k, v, q_offset, kv_len,
                          sliding_window=sliding_window)
 
@@ -162,7 +165,10 @@ def paged_attention(
 
     Args:
         q: [B, T, H, D] queries (decode: T == 1).
-        k_pool, v_pool: [P, page_size, H_kv, D] global page pools.
+        k_pool, v_pool: [P, H_kv, page_size, D] global page pools —
+            head-major pages, consumed directly (one sequential DMA per
+            page; a token-major arena would cost a whole-arena relayout
+            per layer per call).
         page_table: int32 [B, NP] page ids per sequence (entries past the
             sequence's pages may be any valid id — they are masked out).
         q_offset, kv_len: int32 [B] as in ops.attention.flash_attention.
@@ -170,7 +176,7 @@ def paged_attention(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, D = q.shape
-    P, page, Hkv, _ = k_pool.shape
+    P, Hkv, page, _ = k_pool.shape
     NP = page_table.shape[1]
     if H % Hkv:
         raise ValueError(f"H ({H}) must divide into H_kv ({Hkv})")
@@ -181,9 +187,8 @@ def paged_attention(
     Tp = _round_up(T, bq)
     qh = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    # head-major pools: [P, H_kv, page, D] -> one sequential DMA per page
-    kp = k_pool.transpose(0, 2, 1, 3)
-    vp = v_pool.transpose(0, 2, 1, 3)
+    kp = k_pool
+    vp = v_pool
 
     num_j = NP
     if sliding_window is not None:
@@ -244,13 +249,14 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
                                         sliding_window=None):
     """Dequantize pages densely, then dense attention (tests/CPU)."""
     B = q.shape[0]
-    P, page, Hkv, D = k_sym_pool.shape
+    P, Hkv, page, D = k_sym_pool.shape
     NP = page_table.shape[1]
 
     def deq(sym_pool, scale_pool):
-        x = sym_pool[page_table].astype(jnp.float32)  # [B, NP, page, H, D]
+        x = sym_pool[page_table].astype(jnp.float32)  # [B, NP, H, page, D]
         s = scale_pool[page_table]  # [B, NP, page]
-        return (x * s[..., None, None]).reshape(B, NP * page, Hkv, D)
+        x = x * s[:, :, None, :, None]
+        return x.transpose(0, 1, 3, 2, 4).reshape(B, NP * page, Hkv, D)
 
     return mha_reference(q, deq(k_sym_pool, k_scale_pool),
                          deq(v_sym_pool, v_scale_pool), q_offset, kv_len,
@@ -261,7 +267,7 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
     jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
 def quantized_paged_attention(
     q: jax.Array,
-    k_sym_pool: jax.Array,  # int8 [P, page, H_kv, D]
+    k_sym_pool: jax.Array,  # int8 [P, H_kv, page, D] (head-major pages)
     v_sym_pool: jax.Array,
     k_scale_pool: jax.Array,  # f32 [P, page] per-token scales
     v_scale_pool: jax.Array,
@@ -279,7 +285,7 @@ def quantized_paged_attention(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, D = q.shape
-    P, page, Hkv, _ = k_sym_pool.shape
+    P, Hkv, page, _ = k_sym_pool.shape
     NP = page_table.shape[1]
     group = H // Hkv
     scale = 1.0 / (D**0.5)
@@ -288,8 +294,8 @@ def quantized_paged_attention(
     Tp = _round_up(T, bq)
     qh = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    kp = k_sym_pool.transpose(0, 2, 1, 3)  # [P, H_kv, page, D]
-    vp = v_sym_pool.transpose(0, 2, 1, 3)
+    kp = k_sym_pool
+    vp = v_sym_pool
     ks = k_scale_pool[:, None, :]  # [P, 1, page]
     vs = v_scale_pool[:, None, :]
 

@@ -120,7 +120,8 @@ def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_k", "interpret"))
+                   static_argnames=("block_q", "block_k", "interpret",
+                                    "kv_head_major"))
 def quantized_flash_attention(
     q: jax.Array,
     k_sym: jax.Array,
@@ -133,16 +134,22 @@ def quantized_flash_attention(
     block_q: int = 128,
     block_k: int = 2048,
     interpret: Optional[bool] = None,
+    kv_head_major: bool = False,
 ) -> jax.Array:
     """Flash attention reading int8 KV directly from HBM.
 
     Same contract as ops.attention.flash_attention, with
-    (k_sym, v_sym, k_scale, v_scale) from :func:`quantize_kv_for_cache`.
+    (k_sym, v_sym, k_scale, v_scale) from :func:`quantize_kv_for_cache`;
+    ``kv_head_major=True`` takes sym buffers as [B, H_kv, S, D] (the
+    live-pool layout — no per-step full-KV transpose).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, D = q.shape
-    S, Hkv = k_sym.shape[1], k_sym.shape[2]
+    if kv_head_major:
+        Hkv, S = k_sym.shape[1], k_sym.shape[2]
+    else:
+        S, Hkv = k_sym.shape[1], k_sym.shape[2]
     if H % Hkv:
         raise ValueError(f"H ({H}) must be a multiple of H_kv ({Hkv})")
     group = H // Hkv
@@ -154,10 +161,10 @@ def quantized_flash_attention(
 
     qh = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    kh = jnp.pad(k_sym.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
-    vh = jnp.pad(v_sym.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    kh = k_sym if kv_head_major else k_sym.transpose(0, 2, 1, 3)
+    vh = v_sym if kv_head_major else v_sym.transpose(0, 2, 1, 3)
+    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     ks = jnp.pad(k_scale, ((0, 0), (0, Sp - S)))[:, None, :]  # [B, 1, Sp]
     vs = jnp.pad(v_scale, ((0, 0), (0, Sp - S)))[:, None, :]
 

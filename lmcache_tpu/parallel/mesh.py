@@ -80,10 +80,10 @@ def shard_params(params, mesh: Mesh):
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for the paged KV cache [L, 2, B, S, H_kv, D]: batch on
-    "data", kv-heads on "model" (the TP equivalent of the reference's
-    per-worker key shards)."""
-    return NamedSharding(mesh, P(None, None, "data", None, "model", None))
+    """Sharding for the live KV pool [L, 2, B, H_kv, S, D] (head-major):
+    batch on "data", kv-heads on "model" (the TP equivalent of the
+    reference's per-worker key shards)."""
+    return NamedSharding(mesh, P(None, None, "data", "model", None, None))
 
 
 def kv_blob_sharding(mesh: Mesh, fmt: str = "vllm") -> NamedSharding:

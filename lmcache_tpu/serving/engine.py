@@ -180,38 +180,43 @@ class ServingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject(cache, blob, slot, pos):
-            # blob [L, 2, t, H, D] (model dtype) -> cache[:, :, slot,
-            # pos:pos+t]; pos is traced so streamed chunks of one shape
-            # share a single compiled program
+            # blob [L, 2, t, H, D] (wire fmt) -> head-major pool at
+            # cache[:, :, slot, :, pos:pos+t]; the transpose touches one
+            # chunk, never the pool. pos is traced so streamed chunks of
+            # one shape share a single compiled program
             if quantized:
                 b32 = blob.astype(jnp.float32)
                 absmax = jnp.max(jnp.abs(b32), axis=(3, 4))  # [L, 2, t]
                 scl = jnp.where(absmax == 0.0, 1.0, absmax) / 127.0
                 sym = jnp.clip(jnp.round(b32 / scl[..., None, None]), -127,
                                127).astype(jnp.int8)
+                sym_hm = sym.transpose(0, 1, 3, 2, 4)  # [L, 2, H, t, D]
                 return {
                     "sym":
                     jax.lax.dynamic_update_slice(cache["sym"],
-                                                 sym[:, :, None],
-                                                 (0, 0, slot, pos, 0, 0)),
+                                                 sym_hm[:, :, None],
+                                                 (0, 0, slot, 0, pos, 0)),
                     "scale":
                     jax.lax.dynamic_update_slice(cache["scale"],
                                                  scl[:, :, None],
                                                  (0, 0, slot, pos)),
                 }
+            blob_hm = blob.transpose(0, 1, 3, 2, 4).astype(cache.dtype)
             return jax.lax.dynamic_update_slice(
-                cache, blob[:, :, None].astype(cache.dtype),
-                (0, 0, slot, pos, 0, 0))
+                cache, blob_hm[:, :, None], (0, 0, slot, 0, pos, 0))
 
         @jax.jit
         def read_slot(cache, slot):
-            # KV blob [L, 2, S, H, D] of one slot, dequantized if needed
+            # KV blob [L, 2, S, H, D] (wire fmt) of one slot, dequantized
+            # if needed; one transpose per store-back, off the hot loop
             if quantized:
-                sym = cache["sym"][:, :, slot]
-                scl = cache["scale"][:, :, slot]
-                return (sym.astype(jnp.float32) *
-                        scl[..., None, None]).astype(jnp.dtype(cfg.dtype))
-            return cache[:, :, slot]
+                sym = cache["sym"][:, :, slot]  # [L, 2, H, S, D]
+                scl = cache["scale"][:, :, slot]  # [L, 2, S]
+                deq = (sym.astype(jnp.float32) *
+                       scl[:, :, None, :, None]).astype(
+                           jnp.dtype(cfg.dtype))
+                return deq.transpose(0, 1, 3, 2, 4)
+            return cache[:, :, slot].transpose(0, 1, 3, 2, 4)
 
         self._prefill_step = prefill_step
         self._decode_step = decode_step

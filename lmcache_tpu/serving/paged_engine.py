@@ -104,36 +104,41 @@ class PagedServingEngine(ServingEngine):
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject_pages(pool, blob, pages):
-            # blob [L, 2, n*page, H, D] (model dtype) -> whole pages
-            L = blob.shape[0]
+            # blob [L, 2, n*page, H, D] (wire fmt) -> head-major pages;
+            # the relayout touches one chunk's pages, never the arena
+            L, _, _, H, D = blob.shape
             n = pages.shape[0]
+            pg = self.page_size
             if quantized:
                 b32 = blob.astype(jnp.float32)
                 absmax = jnp.max(jnp.abs(b32), axis=(3, 4))  # [L,2,n*page]
                 scl = jnp.where(absmax == 0.0, 1.0, absmax) / 127.0
                 sym = jnp.clip(jnp.round(b32 / scl[..., None, None]), -127,
                                127).astype(jnp.int8)
-                sym = sym.reshape(L, 2, n, self.page_size, *blob.shape[3:])
-                scl = scl.reshape(L, 2, n, self.page_size)
+                sym = sym.reshape(L, 2, n, pg, H, D).transpose(
+                    0, 1, 2, 4, 3, 5)  # [L, 2, n, H, page, D]
+                scl = scl.reshape(L, 2, n, pg)
                 return {
                     "sym": pool["sym"].at[:, :, pages].set(sym),
                     "scale": pool["scale"].at[:, :, pages].set(scl),
                 }
-            paged = blob.reshape(L, 2, n, self.page_size, *blob.shape[3:])
+            paged = blob.reshape(L, 2, n, pg, H, D).transpose(
+                0, 1, 2, 4, 3, 5)
             return pool.at[:, :, pages].set(paged.astype(pool.dtype))
 
         @jax.jit
         def read_pages(pool, pages):
-            # gather whole pages -> [L, 2, n*page, H, D] in model dtype
+            # gather whole pages -> wire fmt [L, 2, n*page, H, D]
             if quantized:
-                g = pool["sym"][:, :, pages].astype(jnp.float32)
-                s = pool["scale"][:, :, pages]
-                g = (g * s[..., None, None]).astype(jnp.dtype(cfg.dtype))
-                L = g.shape[0]
-                return g.reshape(L, 2, -1, *g.shape[4:])
-            L = pool.shape[0]
-            g = pool[:, :, pages]  # [L, 2, n, page, H, D]
-            return g.reshape(L, 2, -1, *pool.shape[4:])
+                g = pool["sym"][:, :, pages].astype(
+                    jnp.float32)  # [L, 2, n, H, page, D]
+                s = pool["scale"][:, :, pages]  # [L, 2, n, page]
+                g = (g * s[:, :, :, None, :, None]).astype(
+                    jnp.dtype(cfg.dtype))
+            else:
+                g = pool[:, :, pages]  # [L, 2, n, H, page, D]
+            L, _, n, H, pg, D = g.shape
+            return g.transpose(0, 1, 2, 4, 3, 5).reshape(L, 2, n * pg, H, D)
 
         self._prefill_paged = prefill_paged
         self._decode_paged = decode_paged

@@ -50,7 +50,7 @@ def main():
     _, cache = llama.forward(params, cfg, jnp.asarray(tokens)[None],
                              jnp.zeros(1, jnp.int32), cache,
                              use_pallas=False)
-    blob = np.asarray(cache[:, :, 0]).astype(np.float32)  # [L, 2, T, H, D]
+    blob = np.asarray(llama.cache_to_blob(cache)).astype(np.float32)
 
     def engine_for(worker_id):
         return LMCacheEngine(

@@ -48,7 +48,7 @@ def _standalone_blob(cfg, params, tokens):
                              jnp.asarray(tokens)[None, :],
                              jnp.zeros(1, jnp.int32), cache,
                              use_pallas=False)
-    return cache[:, :, 0]
+    return llama.cache_to_blob(cache)
 
 
 def _golden_logits(cfg, params, tokens):
@@ -57,7 +57,7 @@ def _golden_logits(cfg, params, tokens):
                                   jnp.asarray(tokens)[None, :],
                                   jnp.zeros(1, jnp.int32), cache,
                                   use_pallas=False)
-    return np.asarray(logits[0, -1]), np.asarray(cache[:, :, 0])
+    return np.asarray(logits[0, -1]), np.asarray(llama.cache_to_blob(cache))
 
 
 @pytest.fixture(scope="module")

@@ -178,7 +178,7 @@ def test_cachegen_grouping_shrinks_short_chunks(monkeypatch):
     _, cache = llama.forward(params, cfg_m, jnp.asarray(toks)[None],
                              jnp.zeros(1, jnp.int32), cache,
                              use_pallas=False)
-    blob = np.asarray(cache[:, :, 0]).astype(np.float32)  # [L,2,64,H,D]
+    blob = np.asarray(llama.cache_to_blob(cache)).astype(np.float32)
 
     cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
     meta = LMCacheEngineMetadata(model_name="tiny", world_size=1,

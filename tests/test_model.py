@@ -35,8 +35,9 @@ def test_forward_shapes(tiny_cfg, tiny_params):
                                   jnp.zeros(B, jnp.int32), cache,
                                   use_pallas=False)
     assert logits.shape == (B, T, tiny_cfg.vocab_size)
-    assert cache.shape == (tiny_cfg.n_layers, 2, B, S, tiny_cfg.n_kv_heads,
-                           tiny_cfg.head_dim)
+    # head-major pool (see llama.new_kv_cache)
+    assert cache.shape == (tiny_cfg.n_layers, 2, B, tiny_cfg.n_kv_heads,
+                           S, tiny_cfg.head_dim)
 
 
 def test_prefill_decode_consistency(tiny_cfg, tiny_params):

@@ -19,9 +19,9 @@ def test_paged_kernel_matches_dense():
     B, T, H, D, Hkv = 2, 16, 4, 64, 2
     P, page, NP = 12, 32, 4  # each sequence: up to 128 tokens in 4 pages
     q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
-    k_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    k_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
-    v_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    v_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
     # distinct non-contiguous pages per sequence
     pt = jnp.asarray([[3, 7, 1, 9], [2, 11, 5, 4]], jnp.int32)
@@ -34,8 +34,9 @@ def test_paged_kernel_matches_dense():
                                rtol=2e-5)
 
     # also check the reference against a manually gathered dense buffer
-    k = k_pool[pt].reshape(B, NP * page, Hkv, D)
-    v = v_pool[pt].reshape(B, NP * page, Hkv, D)
+    # (head-major pages -> token-major)
+    k = k_pool[pt].transpose(0, 1, 3, 2, 4).reshape(B, NP * page, Hkv, D)
+    v = v_pool[pt].transpose(0, 1, 3, 2, 4).reshape(B, NP * page, Hkv, D)
     dense = mha_reference(q, k, v, q_off, kv_len)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(dense),
                                atol=1e-6)
@@ -85,16 +86,18 @@ def test_forward_paged_matches_dense():
                                np.asarray(dense_step), atol=2e-3, rtol=2e-3)
 
     # KV written into the right pages: page contents equal dense slices
-    k_dense = np.asarray(dense_cache)[:, 0]  # [L, B, S, H, D]
-    k_pool = np.asarray(pool)[:, 0]  # [L, P, page, H, D]
+    # (both pools head-major: dense [L, B, H, S, D], paged [L, P, H,
+    # page, D])
+    k_dense = np.asarray(dense_cache)[:, 0]
+    k_pool = np.asarray(pool)[:, 0]
     for b in range(B):
         for j in range(NP):
             lo, hi = j * page, min((j + 1) * page, T)
             if hi <= lo:
                 continue
             np.testing.assert_allclose(
-                k_pool[:, int(pt[b, j]), :hi - lo], k_dense[:, b, lo:hi],
-                atol=1e-5)
+                k_pool[:, int(pt[b, j]), :, :hi - lo],
+                k_dense[:, b, :, lo:hi], atol=1e-5)
 
 
 def test_quantized_paged_kernel():
@@ -104,9 +107,9 @@ def test_quantized_paged_kernel():
     B, T, H, D, Hkv = 2, 1, 4, 64, 2
     P, page, NP = 10, 32, 3
     q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
-    k_sym = jnp.asarray(rng.integers(-127, 128, (P, page, Hkv, D)),
+    k_sym = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)),
                         jnp.int8)
-    v_sym = jnp.asarray(rng.integers(-127, 128, (P, page, Hkv, D)),
+    v_sym = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)),
                         jnp.int8)
     k_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)
     v_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)

@@ -170,9 +170,9 @@ def test_paged_sliding_window_kernel():
     P, page = 12, 32
     W = 24
     q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
-    k_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    k_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
-    v_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    v_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
     pt = jnp.asarray([[3, 7, 1, 9], [2, 11, 5, 4]], jnp.int32)
     q_off = jnp.asarray([70, 40], jnp.int32)

@@ -61,9 +61,9 @@ def test_paged_dead_page_remap(kv_len):
     B, T, H, D, Hkv = 2, 1, 4, 64, 2
     P, page, NP = 24, 32, 8  # table width 8 pages = 256 positions
     q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
-    k_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    k_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
-    v_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    v_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
     # full tables with junk pages past the live range
     pt = jnp.asarray(rng.permutation(np.arange(1, P))[:B * NP].reshape(
@@ -84,9 +84,9 @@ def test_paged_windowed_grid(W):
     B, T, H, D, Hkv = 2, 1, 4, 64, 2
     P, page, NP = 24, 32, 8
     q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
-    k_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    k_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
-    v_pool = jnp.asarray(rng.standard_normal((P, page, Hkv, D)),
+    v_pool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
                          jnp.float32)
     pt = jnp.asarray(rng.permutation(np.arange(1, P))[:B * NP].reshape(
         B, NP), jnp.int32)
@@ -116,9 +116,9 @@ def test_quantized_paged_windowed_and_remap():
     B, T, H, D, Hkv = 2, 1, 4, 64, 2
     P, page, NP = 16, 32, 6
     q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
-    k_sym = jnp.asarray(rng.integers(-127, 128, (P, page, Hkv, D)),
+    k_sym = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)),
                         jnp.int8)
-    v_sym = jnp.asarray(rng.integers(-127, 128, (P, page, Hkv, D)),
+    v_sym = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)),
                         jnp.int8)
     k_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)
     v_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)

@@ -44,7 +44,7 @@ def main():
     _, cache = llama.forward(params, cfg_m, jnp.asarray(toks)[None],
                              jnp.zeros(1, jnp.int32), cache,
                              use_pallas=False)
-    full = np.asarray(cache[:, :, 0]).astype(np.float32)  # [L, 2, S, H, D]
+    full = np.asarray(llama.cache_to_blob(cache)).astype(np.float32)
 
     cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
     meta = LMCacheEngineMetadata(model_name="tiny", world_size=1,

@@ -93,10 +93,8 @@ def main():
 
     @jax.jit
     def prefill_suffix(params, tokens, blob):
-        cache = llama.new_kv_cache(cfg, 1, S)
-        cache = jax.lax.dynamic_update_slice(
-            cache, blob[:, :, None].astype(cache.dtype),
-            (0, 0, 0, 0, 0, 0))
+        cache = llama.blob_into_cache(llama.new_kv_cache(cfg, 1, S),
+                                      blob)
         return llama.forward(params, cfg, tokens,
                              jnp.full((1,), args.ctx, jnp.int32), cache,
                              last_logit_only=True)
@@ -105,7 +103,7 @@ def main():
         # ---- instance A: prefill + store over the wire ------------------
         logits, cache = prefill_full(params, tokens)
         np.asarray(logits)
-        blob = cache[:, :, 0, :args.ctx]
+        blob = llama.cache_to_blob(cache, 0, args.ctx)
         t0 = time.perf_counter()
         inst_a = make_engine()
         inst_a.store(tokens_np[:args.ctx], blob)

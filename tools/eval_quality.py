@@ -72,8 +72,7 @@ def evaluate(model: str = "tiny", ctx: int = 256, cont: int = 64,
         """Per-position log-probs of the continuation given a context KV
         blob: [cont-1, V]."""
         cache = llama.new_kv_cache(cfg, 1, total)
-        cache = cache.at[:, :, 0, :args.ctx].set(
-            jnp.asarray(ctx_blob).astype(cache.dtype))
+        cache = llama.blob_into_cache(cache, jnp.asarray(ctx_blob))
         logits, _ = llama.forward(
             params, cfg, jnp.asarray(tokens[args.ctx:])[None, :],
             jnp.asarray([args.ctx], jnp.int32), cache,
@@ -93,7 +92,7 @@ def evaluate(model: str = "tiny", ctx: int = 256, cont: int = 64,
                              jnp.asarray(tokens[:args.ctx])[None, :],
                              jnp.zeros(1, jnp.int32), cache,
                              use_pallas=use_pallas)
-    exact_blob = cache[:, :, 0, :args.ctx]
+    exact_blob = llama.cache_to_blob(cache, 0, args.ctx)
 
     # codec round-trip
     ecfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
