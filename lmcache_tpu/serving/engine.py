@@ -43,6 +43,30 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _ngram_propose(tokens: np.ndarray, ngram: int, k: int) -> np.ndarray:
+    """Prompt-lookup speculation: if the last ``ngram`` tokens occurred
+    earlier in the sequence, propose the ``k`` tokens that followed the
+    most recent occurrence. Long-context reuse workloads (RAG, multi-
+    round QA — the LMCache setting) copy heavily from their context, so
+    greedy decode frequently emits exactly these continuations; the
+    verifier accepts them in one forward instead of one step each."""
+    t = np.asarray(tokens, np.int32).reshape(-1)
+    n = min(ngram, len(t) - 1)
+    if n <= 0 or len(t) < n + 2:
+        return t[:0]
+    tail = t[-n:]
+    # candidate windows strictly before the tail's own position
+    body = t[:len(t) - 1]
+    if len(body) < n:
+        return t[:0]
+    win = np.lib.stride_tricks.sliding_window_view(body, n)
+    hits = np.nonzero((win == tail).all(axis=1))[0]
+    if hits.size == 0:
+        return t[:0]
+    j = int(hits[-1]) + n  # position right after the latest match
+    return t[j:j + k]
+
+
 @jax.jit
 def _sample_tokens(logits, temps, keys, steps, topks, topps):
     """Per-row sampling: temperature / top-k / top-p, reproducible per
@@ -101,6 +125,8 @@ class ServingEngine:
         blend_recompute_ratio: float = 0.15,
         decode_block: int = 1,
         prefill_chunk: int = 512,
+        spec_lookahead: int = 0,
+        spec_ngram: int = 3,
     ):
         self.cfg = cfg
         self.params = params
@@ -118,7 +144,16 @@ class ServingEngine:
         self.kv_dtype = kv_dtype
         quantized = kv_dtype == "int8"
 
+        if spec_lookahead and decode_block > 1:
+            raise ValueError(
+                "spec_lookahead and decode_block > 1 are mutually "
+                "exclusive multi-token mechanisms")
+        self.spec_lookahead = spec_lookahead
+        self.spec_ngram = spec_ngram
         self.decode_block = decode_block
+        # pool slack past S: parked idle-row writes AND rejected
+        # speculative-token writes land here (see _decode_speculative)
+        self._write_horizon = max(decode_block, spec_lookahead + 1)
         self.kv_pool = self._alloc_pool()
         self.free_slots = list(range(self.B))
         self.waiting: List[Request] = []
@@ -155,6 +190,14 @@ class ServingEngine:
             logits, cache = fwd(params, tokens=tokens, start_pos=start,
                                 kv_cache=cache)
             return logits[:, 0], cache
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def spec_step(params, tokens, start, cache):
+            # tokens [B, K+1]: newest sampled token + proposed
+            # continuation; full logits come back for verification
+            logits, cache = fwd(params, tokens=tokens, start_pos=start,
+                                kv_cache=cache)
+            return logits, cache
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def decode_block_step(params, tokens, start, cache, temps, keys,
@@ -220,6 +263,7 @@ class ServingEngine:
 
         self._prefill_step = prefill_step
         self._decode_step = decode_step
+        self._spec_step = spec_step
         self._decode_block_step = decode_block_step
         self.prefill_chunk = prefill_chunk
         self._inject = inject
@@ -236,11 +280,13 @@ class ServingEngine:
         full ``[L, 2, B, S_max, H, D]`` pool out of paged startup (at 7B /
         B=8 / S=16k the dense pool is tens of GB of HBM)."""
         quantized = self.kv_dtype == "int8"
-        # S + decode_block positions: rows whose slot is idle or still
+        # S + horizon positions: rows whose slot is idle or still
         # prefilling park their decode writes at positions >= S (the
         # batched decode step always writes every row; parking keeps the
-        # garbage off real KV so prefill and decode can interleave)
-        S_alloc = self.S + self.decode_block
+        # garbage off real KV so prefill and decode can interleave), and
+        # speculative verification may write up to spec_lookahead
+        # past-the-end tokens
+        S_alloc = self.S + self._write_horizon
         pool = (llama.new_quantized_kv_cache(self.cfg, self.B, S_alloc)
                 if quantized else
                 llama.new_kv_cache(self.cfg, self.B, S_alloc))
@@ -502,7 +548,62 @@ class ServingEngine:
             topps[r.slot] = r.sampling.top_p
         return last, start, temps, steps, topks, topps
 
+    def _spec_forward(self, inp, start):
+        logits, self.kv_pool = self._spec_step(self.params, inp, start,
+                                               self.kv_pool)
+        return logits
+
+    def _decode_speculative(self) -> None:
+        """Prompt-lookup speculative decode: ONE verification forward
+        yields 1 + accepted proposed tokens per greedy request.
+
+        Inputs are [newest sampled token, proposal_1..K]; the forward
+        writes their KV at start..start+K and returns logits for every
+        position. Proposal j is accepted while it equals the model's
+        own greedy prediction at position j-1, so accepted tokens (and
+        their already-written KV) are exactly what sequential decode
+        would have produced; rejected positions hold garbage KV that
+        the next step's writes overwrite before it can ever be
+        attended (it lies past the sequence's kv_len until then)."""
+        K = self.spec_lookahead
+        last, start, temps, steps, topks, topps = \
+            self._gather_sampling_rows()
+        inp = np.zeros((self.B, K + 1), np.int32)
+        inp[:, 0] = last[:, 0]
+        n_prop = np.zeros(self.B, np.int32)
+        for r in self.running:
+            if r.sampling.temperature == 0.0:  # verify-exact => greedy
+                prop = _ngram_propose(r.all_tokens, self.spec_ngram, K)
+                inp[r.slot, 1:1 + len(prop)] = prop
+                n_prop[r.slot] = len(prop)
+
+        logits = self._spec_forward(jnp.asarray(inp), jnp.asarray(start))
+        toks0 = np.asarray(
+            _sample_tokens(logits[:, 0], jnp.asarray(temps),
+                           jnp.asarray(self._slot_keys),
+                           jnp.asarray(steps), jnp.asarray(topks),
+                           jnp.asarray(topps)))
+        greedy = np.asarray(jnp.argmax(logits, axis=-1))  # [B, K+1]
+
+        for r in list(self.running):
+            b = r.slot
+            emitted = [int(toks0[b])]
+            j = 1
+            while j <= n_prop[b] and int(inp[b, j]) == emitted[-1]:
+                emitted.append(int(greedy[b, j]))
+                j += 1
+            r.spec_proposed += int(n_prop[b])
+            r.spec_accepted += j - 1
+            for tok in emitted:
+                r.output_tokens.append(tok)
+                if r.is_finished(self.eos_token_id):
+                    break
+            self._maybe_finish(r)
+
     def _decode_all(self) -> None:
+        if self.spec_lookahead:
+            self._decode_speculative()
+            return
         last, start, temps, steps, topks, topps = \
             self._gather_sampling_rows()
         keys = jnp.asarray(self._slot_keys)

@@ -48,6 +48,8 @@ class PagedServingEngine(ServingEngine):
         decode_block: int = 1,
         prefill_chunk: int = 512,
         kv_dtype: str = "native",  # "native" | "int8" (half-size arena)
+        spec_lookahead: int = 0,
+        spec_ngram: int = 3,
     ):
         if (cache_engine is not None
                 and cache_engine.chunk_size % page_size != 0):
@@ -62,7 +64,9 @@ class PagedServingEngine(ServingEngine):
                          eos_token_id=eos_token_id,
                          save_decode_cache=save_decode_cache,
                          use_pallas=use_pallas, decode_block=decode_block,
-                         prefill_chunk=prefill_chunk, kv_dtype=kv_dtype)
+                         prefill_chunk=prefill_chunk, kv_dtype=kv_dtype,
+                         spec_lookahead=spec_lookahead,
+                         spec_ngram=spec_ngram)
         quantized = kv_dtype == "int8"
 
         from lmcache_tpu.models.paged import forward_paged_quantized
@@ -82,6 +86,12 @@ class PagedServingEngine(ServingEngine):
             logits, pool = fwd(params, tokens=tokens, start_pos=start,
                                kv_pool=pool, page_table=tables)
             return logits[:, 0], pool
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def spec_paged(params, tokens, start, pool, tables):
+            logits, pool = fwd(params, tokens=tokens, start_pos=start,
+                               kv_pool=pool, page_table=tables)
+            return logits, pool
 
         from lmcache_tpu.serving.engine import _sample_tokens
 
@@ -142,6 +152,7 @@ class PagedServingEngine(ServingEngine):
 
         self._prefill_paged = prefill_paged
         self._decode_paged = decode_paged
+        self._spec_paged = spec_paged
         self._decode_block_paged = decode_block_paged
         self._inject_pages = inject_pages
         self._read_pages = read_pages
@@ -150,10 +161,11 @@ class PagedServingEngine(ServingEngine):
         """Build the page arena instead of the dense slot pool (ADVICE r1:
         the transient dense allocation defeated the paged memory model)."""
         from lmcache_tpu.models.paged import new_quantized_paged_pool
-        # page-table width covers S + decode_block positions: idle rows
-        # park decode writes at >= S (engine.py _gather_sampling_rows);
-        # those land in the null page or masked in-page slack
-        self.NP = -(-(self.S + self.decode_block) // self.page_size)
+        # page-table width covers S + write-horizon positions: idle rows
+        # park decode writes at >= S (engine.py _gather_sampling_rows)
+        # and speculative verification may write past the end; those
+        # land in the null page or masked in-page slack
+        self.NP = -(-(self.S + self._write_horizon) // self.page_size)
         self.allocator = PageAllocator(self.num_pages)
         # host-side page tables; row per slot, null page 0 as padding
         self.page_tables = np.zeros((self.B, self.NP), np.int32)
@@ -269,9 +281,10 @@ class PagedServingEngine(ServingEngine):
 
     def _ensure_decode_pages(self) -> None:
         """Before a decode step, grow every running request's page list
-        to cover the tokens the step will write; when the arena cannot
-        satisfy a growth, preempt victims until it can."""
-        db = self.decode_block
+        to cover the tokens the step will write (decode block or
+        speculative lookahead); when the arena cannot satisfy a growth,
+        preempt victims until it can."""
+        db = self._write_horizon
         for r in list(self.running):
             if r not in self.running:  # preempted by an earlier growth
                 continue
@@ -373,9 +386,18 @@ class PagedServingEngine(ServingEngine):
         self.running.append(req)
         self._maybe_finish(req)
 
+    def _spec_forward(self, inp, start):
+        tables = jnp.asarray(self.page_tables, jnp.int32)
+        logits, self.kv_pool = self._spec_paged(self.params, inp, start,
+                                                self.kv_pool, tables)
+        return logits
+
     def _decode_all(self) -> None:
         from lmcache_tpu.serving.engine import _sample_tokens
         self._ensure_decode_pages()
+        if self.spec_lookahead:
+            self._decode_speculative()
+            return
         last, start, temps, steps, topks, topps = \
             self._gather_sampling_rows()
         keys = jnp.asarray(self._slot_keys)

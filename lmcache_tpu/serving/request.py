@@ -38,6 +38,8 @@ class Request:
     cached_prefix_len: int = 0  # tokens reused from the cache engine
     prefill_pos: Optional[int] = None  # next token to prefill (in-flight)
     num_preemptions: int = 0  # times evicted to the cache tiers
+    spec_proposed: int = 0  # speculative tokens proposed (prompt-lookup)
+    spec_accepted: int = 0  # speculative tokens accepted by verification
     # CacheBlend: the prompt as independently-cached text chunks (RAG
     # docs + question). When set, admission blends their KV instead of
     # prefix-matching (lmcache_tpu/blend.py); prompt_tokens may be empty
