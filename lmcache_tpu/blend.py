@@ -200,6 +200,12 @@ class CacheBlender:
 
     def __init__(self, cfg: llama.LlamaConfig, params, cache_engine,
                  recompute_ratio: float = 0.15):
+        if cfg.rotary_dim is not None or cfg.rope_interleaved:
+            # rope_shift_keys re-rotates cached keys assuming llama's
+            # full half-split rotary; GLM's interleaved partial rotary
+            # needs its own delta-rotation (not yet implemented)
+            raise NotImplementedError(
+                "CacheBlend supports full half-split rotary models only")
         self.cfg = cfg
         self.params = params
         self.engine = cache_engine

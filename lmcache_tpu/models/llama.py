@@ -51,6 +51,12 @@ class LlamaConfig:
     attention_bias: bool = False
     # sliding-window attention (Mistral family); None = full causal
     sliding_window: "Optional[int]" = None
+    # partial rotary (GLM family — the reference CacheGen table includes
+    # glm, cachegen_basics.py): rotate only the first rotary_dim of each
+    # head; None = full head_dim. GLM also pairs adjacent channels
+    # ("interleaved") instead of llama's half-split.
+    rotary_dim: "Optional[int]" = None
+    rope_interleaved: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -104,10 +110,27 @@ class LlamaConfig:
                            attention_bias=True)
 
     @staticmethod
+    def glm4_9b() -> "LlamaConfig":
+        # THUDM/glm-4-9b-chat geometry (HF `glm` arch): multi-query
+        # attention (2 kv heads), qkv bias, interleaved partial rotary
+        return LlamaConfig(vocab_size=151552, dim=4096, n_layers=40,
+                           n_heads=32, n_kv_heads=2, hidden_dim=13696,
+                           rope_theta=10000.0, max_seq_len=131072,
+                           attention_bias=True, rotary_dim=64,
+                           rope_interleaved=True)
+
+    @staticmethod
     def from_hf(model_name: str) -> "LlamaConfig":
         """Read the architecture from a HuggingFace config."""
         from transformers import AutoConfig
         hc = AutoConfig.from_pretrained(model_name)
+        model_type = getattr(hc, "model_type", "")
+        head_dim = getattr(hc, "head_dim", None) or (
+            hc.hidden_size // hc.num_attention_heads)
+        rotary_dim = None
+        factor = getattr(hc, "partial_rotary_factor", 1.0)
+        if factor and factor != 1.0:
+            rotary_dim = int(head_dim * factor)
         return LlamaConfig(
             vocab_size=hc.vocab_size,
             dim=hc.hidden_size,
@@ -121,8 +144,12 @@ class LlamaConfig:
             max_seq_len=hc.max_position_embeddings,
             attention_bias=bool(
                 getattr(hc, "attention_bias", False)
-                or getattr(hc, "model_type", "") == "qwen2"),
+                or model_type == "qwen2"),
             sliding_window=getattr(hc, "sliding_window", None),
+            rotary_dim=rotary_dim,
+            # HF's glm port applies cos/sin via repeat_interleave +
+            # interleaved rotate_half (modeling_glm.py)
+            rope_interleaved=model_type == "glm",
         )
 
 
@@ -199,10 +226,19 @@ def load_hf(model_name: str,
         "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
         "mlp_norm":
         stack_vec("model.layers.{}.post_attention_layernorm.weight"),
-        "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
-        "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
         "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
     }
+    if "model.layers.0.mlp.gate_up_proj.weight" in sd:
+        # GLM family fuses [gate; up] into one projection — split it
+        fused = [t("model.layers.{}.mlp.gate_up_proj.weight".format(i))
+                 for i in range(cfg.n_layers)]  # [dim, 2*hidden] each
+        layers["w_gate"] = jnp.asarray(
+            np.stack([f[:, :cfg.hidden_dim] for f in fused]), dt)
+        layers["w_up"] = jnp.asarray(
+            np.stack([f[:, cfg.hidden_dim:] for f in fused]), dt)
+    else:
+        layers["w_gate"] = stack("model.layers.{}.mlp.gate_proj.weight")
+        layers["w_up"] = stack("model.layers.{}.mlp.up_proj.weight")
     if cfg.attention_bias:
         layers["bq"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
         layers["bk"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
@@ -282,16 +318,32 @@ def _qkv(h, lp, cfg):
     return q, k, v
 
 
-def _rope(x, positions, theta):
-    """HF-convention rotary embedding. x: [B, T, H, D]; positions: [B, T]."""
+def _rope(x, positions, theta, rotary_dim=None, interleaved=False):
+    """HF-convention rotary embedding. x: [B, T, H, D]; positions: [B, T].
+
+    ``rotary_dim`` rotates only the leading channels (GLM partial
+    rotary); ``interleaved`` pairs channels (2i, 2i+1) instead of the
+    llama half-split (i, i + D/2) — matching HF modeling_glm.py's
+    ``repeat_interleave`` cos/sin and interleaved ``rotate_half``."""
     D = x.shape[-1]
-    inv_freq = 1.0 / (theta**(jnp.arange(0, D, 2, dtype=jnp.float32) / D))
-    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,D/2]
-    cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)[:, :, None, :]
-    sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)[:, :, None, :]
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return (x.astype(jnp.float32) * cos + rotated * sin).astype(x.dtype)
+    rd = rotary_dim or D
+    xr = x[..., :rd].astype(jnp.float32)
+    inv_freq = 1.0 / (theta**(jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,rd/2]
+    if interleaved:
+        cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)[:, :, None, :]
+        sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)[:, :, None, :]
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        rotated = jnp.stack([-x2, x1], axis=-1).reshape(xr.shape)
+    else:
+        cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)[:, :, None, :]
+        sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)[:, :, None, :]
+        x1, x2 = jnp.split(xr, 2, axis=-1)
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = (xr * cos + rotated * sin).astype(x.dtype)
+    if rd == D:
+        return out
+    return jnp.concatenate([out, x[..., rd:]], axis=-1)
 
 
 def forward(
@@ -344,8 +396,10 @@ def forward(
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
+                  cfg.rope_interleaved)
+        k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
+                  cfg.rope_interleaved)
 
         new_k = write_at(cache_l[0], k.astype(cache_l.dtype), start_pos)
         new_v = write_at(cache_l[1], v.astype(cache_l.dtype), start_pos)
@@ -427,8 +481,10 @@ def forward_quantized(
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
+                  cfg.rope_interleaved)
+        k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
+                  cfg.rope_interleaved)
 
         k_sym, k_scale = quant_tokens(k)
         v_sym, v_scale = quant_tokens(v)

@@ -131,9 +131,9 @@ def forward_paged(
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(h, lp, cfg)
         q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
-                  cfg.rope_theta)
+                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
         k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
-                  cfg.rope_theta)
+                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
 
         # scatter [B, T, H, D] new tokens into head-major pages:
@@ -216,9 +216,9 @@ def forward_paged_quantized(
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(h, lp, cfg)
         q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
-                  cfg.rope_theta)
+                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
         k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
-                  cfg.rope_theta)
+                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
 
         k_sym, k_scale = quant_tokens(k)
