@@ -114,27 +114,34 @@ def main():
                                       blob)
         return cache[0, 0, 0, 0, :1]  # tiny fetchable sync handle
 
-    def kv_load_gbps(eng_tier):
-        nbytes = ctx_blob.size * np.dtype(cfg.dtype).itemsize
+    nbytes_ctx = ctx_blob.size * np.dtype(cfg.dtype).itemsize
 
-        def load():
-            blob, mask = eng_tier.retrieve(tokens_np[:CTX],
-                                           return_tuple=False)
-            np.asarray(inject_only(jnp.asarray(blob)))
-
-        load()
+    def _best(fn, reps=3):
+        fn()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            load()
+            fn()
             best = min(best, time.perf_counter() - t0)
-        return nbytes / best / 1e9
+        return best
+
+    def kv_load_e2e(eng_tier):
+        """retrieve -> device inject, synced (the full serving path)."""
+        return nbytes_ctx / _best(lambda: np.asarray(
+            inject_only(jnp.asarray(eng_tier.retrieve(
+                tokens_np[:CTX], return_tuple=False)[0])))) / 1e9
+
+    def kv_load_read(eng_tier):
+        """tier read only (host-side materialization)."""
+        return nbytes_ctx / _best(lambda: np.ascontiguousarray(
+            eng_tier.retrieve(tokens_np[:CTX],
+                              return_tuple=False)[0])) / 1e9
 
     try:
         import tempfile
         metrics.append({
             "metric": "kv_load_hbm", "unit": "GB/s",
-            "value": round(kv_load_gbps(engine), 2), "vs_baseline": None})
+            "value": round(kv_load_e2e(engine), 2), "vs_baseline": None})
         for name, device in (("dram", "cpu"),
                              ("disk", tempfile.mkdtemp(prefix="bench-"))):
             e2 = LMCacheEngine(
@@ -144,9 +151,17 @@ def main():
                                       world_size=1, worker_id=0,
                                       fmt="vllm", dtype=str(cfg.dtype)))
             e2.store(tokens_np[:CTX], ctx_blob)
+            # the tier's own read bandwidth is the framework-controlled
+            # number; end-to-end additionally crosses host->device, which
+            # in THIS environment is the axon network tunnel, not a PCIe
+            # DMA — reported in detail so the distinction is explicit
             metrics.append({
                 "metric": f"kv_load_{name}", "unit": "GB/s",
-                "value": round(kv_load_gbps(e2), 2), "vs_baseline": None})
+                "value": round(kv_load_read(e2), 2), "vs_baseline": None,
+                "detail": {
+                    "end_to_end_gbps": round(kv_load_e2e(e2), 3),
+                    "note": "e2e includes host->device over the axon "
+                            "tunnel in this environment"}})
             e2.close()
     except Exception as e:  # keep the headline even if a tier fails
         metrics.append({"metric": "kv_load_error", "unit": "",
@@ -166,11 +181,19 @@ def main():
         reqs = eng2.generate(prompts, SamplingParams(max_new_tokens=NEW))
         wall = time.perf_counter() - t0
         total_new = sum(len(r.output_tokens) for r in reqs)
+        # decode-phase throughput: from the LAST admission's first token
+        # (all rows decoding) to the end — excludes the serial prefills
+        t_all_running = max(r.arrival_s + r.ttft_s for r in reqs)
+        t_end = max(r.finish_s for r in reqs)
+        decode_toks = sum(len(r.output_tokens) - 1 for r in reqs)
         metrics.append({
             "metric": "decode_throughput", "unit": "tok/s",
-            "value": round(total_new / wall, 1), "vs_baseline": None,
-            "detail": {"batch": B_DEC, "ctx": CTX_DEC,
-                       "decode_block": 8}})
+            "value": round(decode_toks / max(t_end - t_all_running, 1e-9),
+                           1),
+            "vs_baseline": None,
+            "detail": {"batch": B_DEC, "ctx": CTX_DEC, "decode_block": 8,
+                       "mixed_incl_prefill_tok_s":
+                       round(total_new / wall, 1)}})
     except Exception as e:
         metrics.append({"metric": "decode_throughput_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})

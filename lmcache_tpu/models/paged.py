@@ -42,7 +42,12 @@ class PageAllocator:
     to the free list only when its last referent releases it. Shared
     prefix pages are immutable by construction (each request writes only
     at positions past its shared prefix), so no copy-on-write copy is
-    ever needed — sharing is always safe until divergence."""
+    ever needed — sharing is always safe until divergence.
+
+    Arena-as-cache: freed pages keep their content and can be pulled
+    back out of the free list by id (``reclaim``) as long as they have
+    not been reallocated. ``alloc`` hands out the LEAST-recently-freed
+    pages first so cached prefixes survive as long as possible."""
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
@@ -72,9 +77,20 @@ class PageAllocator:
                 raise ValueError(f"page {p} is not allocated")
             self._rc[p] += 1
 
+    def reclaim(self, pages: List[int]) -> None:
+        """Pull specific FREE pages back out of the free list (their
+        content is intact: nothing was allocated over them)."""
+        for p in pages:
+            if self._rc.get(p, 0) > 0:
+                raise ValueError(f"page {p} is live, use share()")
+            self._free.remove(p)
+            self._rc[p] = 1
+
     def free(self, pages: List[int]) -> List[int]:
         """Drop one reference per page; returns the pages that actually
-        reached refcount 0 and went back to the free list."""
+        reached refcount 0 and went back to the free list (at the FRONT:
+        alloc pops from the back, so recently-freed cached pages are
+        reallocated last)."""
         freed = []
         for p in pages:
             if not 0 < p < self.num_pages:
@@ -82,7 +98,7 @@ class PageAllocator:
             rc = self._rc.get(p, 1) - 1
             if rc <= 0:
                 self._rc.pop(p, None)
-                self._free.append(p)
+                self._free.insert(0, p)
                 freed.append(p)
             else:
                 self._rc[p] = rc
@@ -98,7 +114,7 @@ def forward_paged(
     cfg: llama.LlamaConfig,
     tokens: jax.Array,  # int32 [B, T]
     start_pos: jax.Array,  # int32 [B]
-    kv_pool: jax.Array,  # [L, 2, P, page, H_kv, D]
+    kv_pool: jax.Array,  # [L, 2, P, H_kv, page, D] (head-major pages)
     page_table: jax.Array,  # int32 [B, NP]
     *,
     use_pallas: bool = True,

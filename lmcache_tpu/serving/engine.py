@@ -4,13 +4,14 @@ Replaces the reference's external vLLM integration (hook contract:
 reference docs/source/developer_tutorial/LLM_Engine.rst:25-117) with a
 native loop. TPU-first structure:
 
-- ONE resident KV pool ``[L, 2, B, S, H_kv, D]`` (optionally mesh-sharded:
+- ONE resident KV pool ``[L, 2, B, H_kv, S, D]`` (head-major; optionally mesh-sharded:
   batch on "data", heads on "model"); requests own slots of it,
 - decode is a single jitted step over the whole batch every iteration
-  (inactive slots write one garbage token into their free slot at pos 0,
-  which the next prefill overwrites — keeps the step shape static),
-- prefill runs per-request at bucketed lengths (powers of two) so XLA
-  compiles a bounded set of programs,
+  (idle / still-prefilling slots park their write at position S in the
+  pool's slack region — keeps the step shape static and lets prefill
+  and decode interleave),
+- prefill runs per-request in fixed segments (bucketed tails) so XLA
+  compiles a bounded set of programs; one segment per scheduler step,
 - cache reuse: on admission the prompt is looked up in the LMCacheEngine;
   the hit prefix is injected into the slot and only the suffix is
   prefilled (reference ``build_partial_prefill_input`` semantics,

@@ -199,16 +199,31 @@ class PagedServingEngine(ServingEngine):
             shared.append(page)
         return shared
 
+    def _alloc_pages(self, n):
+        """Allocate fresh pages, evicting any stale prefix-cache
+        registrations they still carry (arena-as-cache: freed pages stay
+        reusable until this moment)."""
+        pages = self.allocator.alloc(n)
+        for p in pages:
+            h = self._page_hash.pop(p, None)
+            if h is not None and self._resident.get(h) == p:
+                del self._resident[h]
+        return pages
+
     def _can_admit(self, req: Request) -> bool:
         """Admission needs FRESH pages for the unshared part of the
-        prompt only — the shared-prefix pages are already resident, and
-        decode pages are allocated on demand (with preemption when the
-        arena is full). Occupancy is bounded by distinct tokens actually
-        resident, not by worst-case ``max_new_tokens`` reservations."""
+        prompt only — shared-prefix pages are already resident (live, or
+        freed-but-unrecycled), and decode pages are allocated on demand
+        (with preemption when the arena is full). Occupancy is bounded
+        by distinct tokens actually resident, not by worst-case
+        ``max_new_tokens`` reservations."""
         tokens = req.all_tokens
-        fresh = (pages_needed(len(tokens), self.page_size)
-                 - len(self._match_resident_prefix(tokens)))
-        return fresh <= self.allocator.num_free
+        matched = self._match_resident_prefix(tokens)
+        fresh = pages_needed(len(tokens), self.page_size) - len(matched)
+        # reclaiming free-but-cached matches also consumes free-list slots
+        reclaimed = sum(1 for p in matched
+                        if self.allocator.refcount(p) == 0)
+        return fresh + reclaimed <= self.allocator.num_free
 
     def _on_admission_stall(self, req: Request) -> None:
         raise MemoryError(
@@ -221,8 +236,13 @@ class PagedServingEngine(ServingEngine):
         shared = ([] if req.context_chunks is not None
                   else self._match_resident_prefix(tokens))
         if shared:
-            self.allocator.share(shared)
-        own = self.allocator.alloc(
+            # live pages take an extra reference; freed-but-cached pages
+            # are pulled back out of the free list content-intact
+            live = [p for p in shared if self.allocator.refcount(p) > 0]
+            cached = [p for p in shared if self.allocator.refcount(p) == 0]
+            self.allocator.share(live)
+            self.allocator.reclaim(cached)
+        own = self._alloc_pages(
             pages_needed(len(tokens), self.page_size) - len(shared))
         pages = shared + own
         self._req_pages[req.request_id] = pages
@@ -312,7 +332,7 @@ class PagedServingEngine(ServingEngine):
             if preempted_self:
                 continue
             start_idx = len(pages)
-            new = self.allocator.alloc(need)
+            new = self._alloc_pages(need)
             self.page_tables[r.slot, start_idx:start_idx + need] = new
             pages.extend(new)
 
@@ -469,9 +489,9 @@ class PagedServingEngine(ServingEngine):
         pages = self._req_pages.pop(req.request_id, None)
         self._req_shared.pop(req.request_id, None)
         if pages:
-            for p in self.allocator.free(pages):
-                # last referent gone: drop the page from the prefix index
-                h = self._page_hash.pop(p, None)
-                if h is not None and self._resident.get(h) == p:
-                    del self._resident[h]
+            # arena-as-cache: freed pages KEEP their prefix-index
+            # registrations (content is intact until reallocation, when
+            # _alloc_pages evicts the entry) — a follow-up same-prefix
+            # request reclaims them zero-copy
+            self.allocator.free(pages)
             self.page_tables[req.slot] = 0

@@ -214,3 +214,48 @@ def test_prefix_sharing_survives_owner_release(setup):
     [gb] = solo.generate([b.prompt_tokens],
                          SamplingParams(max_new_tokens=30))
     assert b.output_tokens == gb.output_tokens
+
+
+def test_arena_as_cache_sequential_reuse(setup):
+    """Freed pages keep their prefix registrations until reallocation: a
+    SECOND same-prompt request (after the first finished) reclaims them
+    zero-copy, with no cache tier configured at all."""
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                             num_pages=32, page_size=16, use_pallas=False)
+    prompt = _prompt(cfg, 70, 20)
+    [a] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert a.cached_prefix_len == 0
+    free_after = eng.allocator.num_free
+
+    [b] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert b.cached_prefix_len == 64  # 4 reclaimed pages, zero-copy
+    assert b.output_tokens == a.output_tokens
+    assert eng.allocator.num_free == free_after  # all returned again
+
+    # a third request with a DIFFERENT prompt long enough to recycle the
+    # arena evicts the stale registrations safely
+    big = _prompt(cfg, 200, 21)
+    [c] = eng.generate([big], SamplingParams(max_new_tokens=4))
+    assert len(c.output_tokens) == 4
+    solo = ServingEngine(cfg, params, max_batch=1, max_seq=256,
+                         use_pallas=False)
+    [gc] = solo.generate([big], SamplingParams(max_new_tokens=4))
+    assert c.output_tokens == gc.output_tokens
+
+
+def test_arena_cache_eviction_on_realloc(setup):
+    """Registrations die when their page is reallocated — a same-prefix
+    request after arena churn must NOT reclaim overwritten pages."""
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=1, max_seq=128,
+                             num_pages=8, page_size=16, use_pallas=False)
+    p1 = _prompt(cfg, 48, 22)
+    [a] = eng.generate([p1], SamplingParams(max_new_tokens=4))
+    # churn: a different prompt large enough to recycle every free page
+    churn = _prompt(cfg, 96, 23)
+    eng.generate([churn], SamplingParams(max_new_tokens=4))
+    # p1's pages were recycled; the index must not serve stale content
+    [b] = eng.generate([p1], SamplingParams(max_new_tokens=4))
+    assert b.cached_prefix_len == 0  # no stale reclaim
+    assert b.output_tokens == a.output_tokens
