@@ -349,3 +349,321 @@ def quantized_paged_attention(
     )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
       kv_len.astype(jnp.int32), qh, kp, vp, ks, vs)
     return out[:, :, :T].transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Manual-DMA paged decode kernel
+# ---------------------------------------------------------------------------
+
+def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
+                      v_hbm, o_ref, *, block_q, page, group, scale,
+                      sliding_window=None):
+    """One program per (batch, kv-head, q-block): the KV pool stays in
+    HBM (memory_space=ANY) and the kernel itself streams the sequence's
+    LIVE pages through a double-buffered async-copy pipeline.
+
+    This removes the two costs of the BlockSpec formulation:
+
+    - per-grid-step fixed overhead (the grid had a step per page-table
+      SLOT; at page=64 a 16k-position table is 256 steps per (b, h),
+      and grid bookkeeping — not bandwidth — dominated decode);
+    - table-width work: the loop runs exactly ``ceil(kv_len/page)``
+      iterations (minus pages older than the sliding window), so cost
+      tracks live tokens with no revisit tricks.
+
+    pallas_guide.md "Patterns: Double Buffering" is the template; the
+    online-softmax carries ride the fori_loop as values.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    live = (kv_len_ref[b] + page - 1) // page
+    start_pg = jnp.int32(0)
+    if sliding_window is not None:
+        start_pg = jnp.maximum(
+            (q_off_ref[b] + iq * block_q - sliding_window + 1) // page, 0)
+    num_j = live - start_pg
+
+    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
+
+    def scoped(k_scr, v_scr, sem):
+        # k_scr/v_scr: [2, page, D] VMEM double buffers
+        def dmas(slot, j):
+            pg = pages_ref[b, jnp.minimum(start_pg + j, live - 1)]
+            return (pltpu.make_async_copy(k_hbm.at[pg, h],
+                                          k_scr.at[slot], sem.at[slot, 0]),
+                    pltpu.make_async_copy(v_hbm.at[pg, h],
+                                          v_scr.at[slot], sem.at[slot, 1]))
+
+        @pl.when(num_j > 0)
+        def _():
+            dk, dv = dmas(0, 0)
+            dk.start()
+            dv.start()
+
+        def body(j, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < num_j)
+            def _():
+                dk, dv = dmas(1 - slot, j + 1)
+                dk.start()
+                dv.start()
+
+            dk, dv = dmas(slot, j)
+            dk.wait()
+            dv.wait()
+
+            k = k_scr[slot].astype(jnp.float32)  # [page, D]
+            v = v_scr[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+            qpos = (q_off_ref[b] + iq * block_q
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (group * block_q, page), 0) % block_q)
+            kpos = ((start_pg + j) * page + jax.lax.broadcasted_iota(
+                jnp.int32, (group * block_q, page), 1))
+            mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+            if sliding_window is not None:
+                mask &= kpos > qpos - sliding_window
+            s = jnp.where(mask, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+            acc = alpha * acc + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        rows = group * block_q
+        D = q.shape[-1]
+        m0 = jnp.full((rows, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((rows, 1), jnp.float32)
+        a0 = jnp.zeros((rows, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_j, body, (m0, l0, a0))
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc / safe)
+        o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        k_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), k_hbm.dtype),
+        v_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), v_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
+def paged_attention_dma(
+    q: jax.Array,
+    k_pool: jax.Array,  # [P, H_kv, page, D] head-major pages (HBM)
+    v_pool: jax.Array,
+    page_table: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """:func:`paged_attention` with kernel-driven page DMA (see
+    _paged_dma_kernel). Same contract; preferred for decode."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, D = q.shape
+    P, Hkv, page, _ = k_pool.shape
+    if H % Hkv:
+        raise ValueError(f"H ({H}) must divide into H_kv ({Hkv})")
+    group = H // Hkv
+    scale = 1.0 / (D**0.5)
+
+    bq = min(block_q, _round_up(T, 16))
+    Tp = _round_up(T, bq)
+    qh = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+
+    grid = (B, Hkv, Tp // bq)
+    kernel = functools.partial(_paged_dma_kernel, block_q=bq, page=page,
+                               group=group, scale=scale,
+                               sliding_window=sliding_window)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, group, bq, D),
+                             lambda b, h, iq, *_: (b, h, iq, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, group, bq, D),
+                                   lambda b, h, iq, *_: (b, h, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
+      kv_len.astype(jnp.int32), qh, k_pool, v_pool)
+    return out[:, :, :T].transpose(0, 2, 1, 3)
+
+
+def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
+                        v_hbm, ks_hbm, vs_hbm, o_ref, *, block_q, page,
+                        group, scale, sliding_window=None):
+    """Int8 variant of :func:`_paged_dma_kernel`: pages stream as int8
+    (half the bytes) together with their per-token scale rows; dequant
+    is the usual column-correction fused into the online softmax."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    live = (kv_len_ref[b] + page - 1) // page
+    start_pg = jnp.int32(0)
+    if sliding_window is not None:
+        start_pg = jnp.maximum(
+            (q_off_ref[b] + iq * block_q - sliding_window + 1) // page, 0)
+    num_j = live - start_pg
+
+    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
+
+    def scoped(k_scr, v_scr, ks_scr, vs_scr, sem):
+        def dmas(slot, j):
+            pg = pages_ref[b, jnp.minimum(start_pg + j, live - 1)]
+            return (
+                pltpu.make_async_copy(k_hbm.at[pg, h], k_scr.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[pg, h], v_scr.at[slot],
+                                      sem.at[slot, 1]),
+                pltpu.make_async_copy(ks_hbm.at[pg], ks_scr.at[slot],
+                                      sem.at[slot, 2]),
+                pltpu.make_async_copy(vs_hbm.at[pg], vs_scr.at[slot],
+                                      sem.at[slot, 3]),
+            )
+
+        @pl.when(num_j > 0)
+        def _():
+            for d in dmas(0, 0):
+                d.start()
+
+        def body(j, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < num_j)
+            def _():
+                for d in dmas(1 - slot, j + 1):
+                    d.start()
+
+            for d in dmas(slot, j):
+                d.wait()
+
+            k = k_scr[slot].astype(jnp.float32)  # [page, D] int8 -> f32
+            v = v_scr[slot].astype(jnp.float32)
+            ksc = ks_scr[slot].astype(jnp.float32)  # [1, page]
+            vsc = vs_scr[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (ksc * scale)
+
+            qpos = (q_off_ref[b] + iq * block_q
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (group * block_q, page), 0) % block_q)
+            kpos = ((start_pg + j) * page + jax.lax.broadcasted_iota(
+                jnp.int32, (group * block_q, page), 1))
+            mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+            if sliding_window is not None:
+                mask &= kpos > qpos - sliding_window
+            s = jnp.where(mask, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+            acc = alpha * acc + jax.lax.dot_general(
+                p * vsc, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        rows = group * block_q
+        D = q.shape[-1]
+        m0 = jnp.full((rows, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((rows, 1), jnp.float32)
+        a0 = jnp.zeros((rows, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_j, body, (m0, l0, a0))
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc / safe)
+        o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        k_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), k_hbm.dtype),
+        v_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), v_hbm.dtype),
+        ks_scr=pltpu.VMEM((2, 1, page), ks_hbm.dtype),
+        vs_scr=pltpu.VMEM((2, 1, page), vs_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
+def quantized_paged_attention_dma(
+    q: jax.Array,
+    k_sym_pool: jax.Array,  # int8 [P, H_kv, page, D]
+    v_sym_pool: jax.Array,
+    k_scale_pool: jax.Array,  # f32 [P, page]
+    v_scale_pool: jax.Array,
+    page_table: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """:func:`quantized_paged_attention` with kernel-driven page DMA."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, D = q.shape
+    P, Hkv, page, _ = k_sym_pool.shape
+    group = H // Hkv
+    scale = 1.0 / (D**0.5)
+
+    bq = min(block_q, _round_up(T, 16))
+    Tp = _round_up(T, bq)
+    qh = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    ks = k_scale_pool[:, None, :]  # [P, 1, page]
+    vs = v_scale_pool[:, None, :]
+
+    grid = (B, Hkv, Tp // bq)
+    kernel = functools.partial(_paged_dma_kernel_q, block_q=bq, page=page,
+                               group=group, scale=scale,
+                               sliding_window=sliding_window)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, group, bq, D),
+                             lambda b, h, iq, *_: (b, h, iq, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, group, bq, D),
+                                   lambda b, h, iq, *_: (b, h, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
+      kv_len.astype(jnp.int32), qh, k_sym_pool, v_sym_pool, ks, vs)
+    return out[:, :, :T].transpose(0, 2, 1, 3)

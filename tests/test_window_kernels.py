@@ -135,3 +135,59 @@ def test_quantized_paged_windowed_and_remap():
                                         q_off, kv_len, sliding_window=W)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("kv_len,W", [((5, 130), None), ((128, 1), None),
+                                      ((40, 250), 48), ((200, 64), None)])
+def test_paged_dma_kernel(kv_len, W):
+    """Manual-DMA paged kernel (kernel-driven double-buffered page
+    streaming) matches the dense reference for decode and prefill
+    shapes, ragged lens and windows."""
+    from lmcache_tpu.ops.paged_attention import paged_attention_dma
+    rng = np.random.default_rng(sum(kv_len) + (W or 0))
+    B, H, D, Hkv = 2, 4, 64, 2
+    P, page, NP = 24, 32, 8
+    kp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
+    pt = jnp.asarray(rng.permutation(np.arange(1, P))[:B * NP].reshape(
+        B, NP), jnp.int32)
+    kv_len = jnp.asarray(kv_len, jnp.int32)
+    for T in (1, 16):
+        if T > int(kv_len.min()):
+            continue  # q_offset must be >= 0 (contract)
+        q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+        q_off = kv_len - T
+        ref = paged_attention_reference(q, kp, vp, pt, q_off, kv_len,
+                                        sliding_window=W)
+        out = paged_attention_dma(q, kp, vp, pt, q_off, kv_len,
+                                  sliding_window=W)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_quantized_paged_dma_kernel():
+    from lmcache_tpu.ops.paged_attention import (
+        quantized_paged_attention_dma)
+    rng = np.random.default_rng(7)
+    B, T, H, D, Hkv = 2, 1, 4, 64, 2
+    P, page, NP = 16, 32, 6
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k_sym = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)),
+                        jnp.int8)
+    v_sym = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)),
+                        jnp.int8)
+    k_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)
+    v_sc = jnp.asarray(rng.uniform(0.01, 0.05, (P, page)), jnp.float32)
+    pt = jnp.asarray(rng.permutation(np.arange(1, P))[:B * NP].reshape(
+        B, NP), jnp.int32)
+    kv_len = jnp.asarray([150, 40], jnp.int32)
+    q_off = kv_len - 1
+    for W in (None, 64):
+        ref = quantized_paged_attention_reference(
+            q, k_sym, v_sym, k_sc, v_sc, pt, q_off, kv_len,
+            sliding_window=W)
+        out = quantized_paged_attention_dma(
+            q, k_sym, v_sym, k_sc, v_sc, pt, q_off, kv_len,
+            sliding_window=W)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
