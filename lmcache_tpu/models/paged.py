@@ -130,9 +130,17 @@ def forward_paged(
     page = kv_pool.shape[4]
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
-    attend = functools.partial(
-        paged_attention if use_pallas else paged_attention_reference,
-        sliding_window=cfg.sliding_window)
+    if use_pallas:
+        # D%128 models (every 7B+ family) get the manual-DMA kernel:
+        # cost tracks live pages with no per-page grid overhead; smaller
+        # head dims use the revisit-pinned grid kernel (Mosaic cannot
+        # lane-cross-reshape the DMA view there)
+        from lmcache_tpu.ops.paged_attention import paged_attention_dma
+        impl = (paged_attention_dma
+                if cfg.head_dim % 128 == 0 else paged_attention)
+    else:
+        impl = paged_attention_reference
+    attend = functools.partial(impl, sliding_window=cfg.sliding_window)
 
     # per-(batch, new-token) page id and in-page offset
     pidx = jnp.take_along_axis(page_table, positions // page,
@@ -209,10 +217,14 @@ def forward_paged_quantized(
     page = kv_pool["sym"].shape[4]
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     kv_len = start_pos + T
-    attend = functools.partial(
-        quantized_paged_attention
-        if use_pallas else quantized_paged_attention_reference,
-        sliding_window=cfg.sliding_window)
+    if use_pallas:
+        from lmcache_tpu.ops.paged_attention import (
+            quantized_paged_attention_dma)
+        impl = (quantized_paged_attention_dma
+                if cfg.head_dim % 128 == 0 else quantized_paged_attention)
+    else:
+        impl = quantized_paged_attention_reference
+    attend = functools.partial(impl, sliding_window=cfg.sliding_window)
 
     pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
     poff = positions % page

@@ -372,7 +372,10 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
       tracks live tokens with no revisit tricks.
 
     pallas_guide.md "Patterns: Double Buffering" is the template; the
-    online-softmax carries ride the fori_loop as values.
+    online-softmax carries ride the fori_loop as values. HBM DMA slices
+    must be 128-lane aligned, so the wrapper views each page as
+    ``[page*D/128, 128]`` rows (``dma_shape``) and the body reshapes the
+    landed buffer back to ``[page, D]``.
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -416,8 +419,9 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             dk.wait()
             dv.wait()
 
-            k = k_scr[slot].astype(jnp.float32)  # [page, D]
-            v = v_scr[slot].astype(jnp.float32)
+            D = q.shape[-1]
+            k = k_scr[slot].reshape(page, D).astype(jnp.float32)
+            v = v_scr[slot].reshape(page, D).astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
@@ -453,10 +457,28 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
 
     pl.run_scoped(
         scoped,
-        k_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), k_hbm.dtype),
-        v_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), v_hbm.dtype),
+        k_scr=pltpu.VMEM((2,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
+        v_scr=pltpu.VMEM((2,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, 2)),
     )
+
+
+def _dma_page_view(pool):
+    """[P, H, page, D] -> [P, H, page*D/128, 128] when D is not lane-
+    aligned: HBM DMA slices must be multiples of 128 in the last dim.
+    Contiguous reshape — no data movement.
+
+    NOTE: the in-kernel reshape back to [page, D] lowers under the
+    interpreter but NOT under Mosaic (lane-crossing vector reshape), so
+    on real TPUs the DMA kernels require ``head_dim % 128 == 0`` — true
+    for every 7B+ family here (llama-2/3, mistral, qwen, glm all use
+    D=128). models/paged.py dispatches accordingly."""
+    P, H, page, D = pool.shape
+    if D % 128 == 0:
+        return pool
+    if (page * D) % 128:
+        raise ValueError(f"page*D ({page}*{D}) must be a multiple of 128")
+    return pool.reshape(P, H, page * D // 128, 128)
 
 
 @functools.partial(
@@ -488,6 +510,8 @@ def paged_attention_dma(
     Tp = _round_up(T, bq)
     qh = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    k_pool = _dma_page_view(k_pool)
+    v_pool = _dma_page_view(v_pool)
 
     grid = (B, Hkv, Tp // bq)
     kernel = functools.partial(_paged_dma_kernel, block_q=bq, page=page,
@@ -564,10 +588,13 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             for d in dmas(slot, j):
                 d.wait()
 
-            k = k_scr[slot].astype(jnp.float32)  # [page, D] int8 -> f32
-            v = v_scr[slot].astype(jnp.float32)
-            ksc = ks_scr[slot].astype(jnp.float32)  # [1, page]
-            vsc = vs_scr[slot].astype(jnp.float32)
+            D = q.shape[-1]
+            k = k_scr[slot].reshape(page, D).astype(jnp.float32)
+            v = v_scr[slot].reshape(page, D).astype(jnp.float32)
+            # scale rows land lane-padded to 128; the live entries are
+            # the first `page`
+            ksc = ks_scr[slot][:, :page].astype(jnp.float32)  # [1, page]
+            vsc = vs_scr[slot][:, :page].astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * (ksc * scale)
@@ -603,10 +630,10 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
 
     pl.run_scoped(
         scoped,
-        k_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), k_hbm.dtype),
-        v_scr=pltpu.VMEM((2, page, q_ref.shape[-1]), v_hbm.dtype),
-        ks_scr=pltpu.VMEM((2, 1, page), ks_hbm.dtype),
-        vs_scr=pltpu.VMEM((2, 1, page), vs_hbm.dtype),
+        k_scr=pltpu.VMEM((2,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
+        v_scr=pltpu.VMEM((2,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
+        ks_scr=pltpu.VMEM((2,) + tuple(ks_hbm.shape[1:]), ks_hbm.dtype),
+        vs_scr=pltpu.VMEM((2,) + tuple(vs_hbm.shape[1:]), vs_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, 4)),
     )
 
@@ -639,8 +666,12 @@ def quantized_paged_attention_dma(
     Tp = _round_up(T, bq)
     qh = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    ks = k_scale_pool[:, None, :]  # [P, 1, page]
-    vs = v_scale_pool[:, None, :]
+    k_sym_pool = _dma_page_view(k_sym_pool)
+    v_sym_pool = _dma_page_view(v_sym_pool)
+    # scale rows lane-pad to 128 so their DMA slices are aligned
+    pad = _round_up(page, 128) - page
+    ks = jnp.pad(k_scale_pool, ((0, 0), (0, pad)))[:, None, :]
+    vs = jnp.pad(v_scale_pool, ((0, 0), (0, pad)))[:, None, :]
 
     grid = (B, Hkv, Tp // bq)
     kernel = functools.partial(_paged_dma_kernel_q, block_q=bq, page=page,

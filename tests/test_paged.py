@@ -123,3 +123,30 @@ def test_quantized_paged_kernel():
                                     q_off, kv_len)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=2e-4)
+
+
+def test_forward_paged_dma_dispatch_d128():
+    """D=128 models dispatch to the manual-DMA kernel in forward_paged;
+    parity with the dense forward (interpreter emulates the DMAs)."""
+    cfg = llama.LlamaConfig.tiny(n_layers=2, dim=512, n_heads=4,
+                                 n_kv_heads=2)  # head_dim 128
+    assert cfg.head_dim == 128
+    params = llama.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(3)
+    B, T, page, NP = 2, 40, 16, 4
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    zero = jnp.zeros(B, jnp.int32)
+
+    dense_logits, _ = llama.forward(
+        params, cfg, tokens, zero, llama.new_kv_cache(cfg, B, NP * page),
+        use_pallas=False)
+    pool = new_paged_kv_pool(cfg, num_pages=12, page_size=page)
+    alloc = PageAllocator(12)
+    pt = jnp.asarray([alloc.alloc(NP) for _ in range(B)], jnp.int32)
+    # use_pallas=True on CPU lowers the DMA kernel through the
+    # interpreter (paged_attention_dma's interpret default)
+    paged_logits, _ = forward_paged(params, cfg, tokens, zero, pool, pt,
+                                    use_pallas=True)
+    np.testing.assert_allclose(np.asarray(paged_logits),
+                               np.asarray(dense_logits), atol=2e-3,
+                               rtol=2e-3)

@@ -137,15 +137,17 @@ def test_quantized_paged_windowed_and_remap():
                                    atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("D", [64, 128])
 @pytest.mark.parametrize("kv_len,W", [((5, 130), None), ((128, 1), None),
                                       ((40, 250), 48), ((200, 64), None)])
-def test_paged_dma_kernel(kv_len, W):
+def test_paged_dma_kernel(kv_len, W, D):
     """Manual-DMA paged kernel (kernel-driven double-buffered page
     streaming) matches the dense reference for decode and prefill
-    shapes, ragged lens and windows."""
+    shapes, ragged lens and windows. D=128 is the on-TPU path (Mosaic);
+    D=64 exercises the interpreter-only packed view."""
     from lmcache_tpu.ops.paged_attention import paged_attention_dma
-    rng = np.random.default_rng(sum(kv_len) + (W or 0))
-    B, H, D, Hkv = 2, 4, 64, 2
+    rng = np.random.default_rng(sum(kv_len) + (W or 0) + D)
+    B, H, Hkv = 2, 4, 2
     P, page, NP = 24, 32, 8
     kp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
     vp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
