@@ -44,23 +44,35 @@ from lmcache_tpu.models.llama import _rms_norm, _rope
 from lmcache_tpu.ops.attention import _NEG_INF
 
 
-def rope_shift_keys(keys: jax.Array, delta, theta: float) -> jax.Array:
+def rope_shift_keys(keys: jax.Array, delta, theta: float,
+                    rotary_dim=None, interleaved=False) -> jax.Array:
     """Re-rotate RoPE'd keys by ``delta`` positions.
 
     keys: [..., T, H, D] (token axis third-from-last). delta: scalar or
-    broadcastable per-token offset.
+    broadcastable per-token offset. ``rotary_dim``/``interleaved``
+    follow models.llama._rope (GLM partial interleaved rotary).
     """
     D = keys.shape[-1]
-    inv_freq = 1.0 / (theta**(jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    rd = rotary_dim or D
+    kr = keys[..., :rd].astype(jnp.float32)
+    inv_freq = 1.0 / (theta**(jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     angles = jnp.asarray(delta, jnp.float32)[..., None] * inv_freq
-    cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)
-    sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)
+    if interleaved:
+        cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)
+        sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)
+        k1, k2 = kr[..., 0::2], kr[..., 1::2]
+        rotated = jnp.stack([-k2, k1], axis=-1).reshape(kr.shape)
+    else:
+        cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)
+        sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)
+        k1, k2 = jnp.split(kr, 2, axis=-1)
+        rotated = jnp.concatenate([-k2, k1], axis=-1)
     # broadcast over head axis: [..., 1, D]
     cos, sin = cos[..., None, :], sin[..., None, :]
-    k32 = keys.astype(jnp.float32)
-    k1, k2 = jnp.split(k32, 2, axis=-1)
-    rotated = jnp.concatenate([-k2, k1], axis=-1)
-    return (k32 * cos + rotated * sin).astype(keys.dtype)
+    out = (kr * cos + rotated * sin).astype(keys.dtype)
+    if rd == D:
+        return out
+    return jnp.concatenate([out, keys[..., rd:]], axis=-1)
 
 
 def _attend_selected(q, k, v, qpos, kv_len, group):
@@ -100,14 +112,20 @@ def blend_prefill(
 
     lp0 = jax.tree.map(lambda a: a[0], params["layers"])
 
+    def _proj(h, lp, w, b):
+        y = h @ lp[w]
+        return y + lp[b] if cfg.attention_bias else y  # Qwen/GLM bias
+
     # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
     x = params["embed"][tokens]  # [T, dim]
     h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps)
-    q0 = _rope((h @ lp0["wq"]).reshape(1, T, cfg.n_heads, D),
-               positions[None], cfg.rope_theta)[0]
-    k0 = _rope((h @ lp0["wk"]).reshape(1, T, Hkv, D), positions[None],
-               cfg.rope_theta)[0]
-    v0 = (h @ lp0["wv"]).reshape(T, Hkv, D)
+    q0 = _rope(_proj(h, lp0, "wq", "bq").reshape(1, T, cfg.n_heads, D),
+               positions[None], cfg.rope_theta, cfg.rotary_dim,
+               cfg.rope_interleaved)[0]
+    k0 = _rope(_proj(h, lp0, "wk", "bk").reshape(1, T, Hkv, D),
+               positions[None],
+               cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)[0]
+    v0 = _proj(h, lp0, "wv", "bv").reshape(T, Hkv, D)
     kv0 = jnp.stack([k0, v0]).astype(blended_kv.dtype)  # exact layer-0 KV
     blended_kv = blended_kv.at[0].set(kv0)
 
@@ -122,9 +140,11 @@ def blend_prefill(
     lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
                        params["layers"])
     h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps)
-    k1_true = _rope((h1 @ lp1["wk"]).reshape(1, T, Hkv, D), positions[None],
-                    cfg.rope_theta)[0]
-    v1_true = (h1 @ lp1["wv"]).reshape(T, Hkv, D)
+    k1_true = _rope(_proj(h1, lp1, "wk", "bk").reshape(1, T, Hkv, D),
+                    positions[None],
+                    cfg.rope_theta, cfg.rotary_dim,
+                    cfg.rope_interleaved)[0]
+    v1_true = _proj(h1, lp1, "wv", "bv").reshape(T, Hkv, D)
 
     # ---- deviation-guided token selection --------------------------------
     l1 = min(1, cfg.n_layers - 1)
@@ -147,11 +167,14 @@ def blend_prefill(
         lp, kv_l = scanned  # kv_l: [2, T, H_kv, D]
         h = _rms_norm(xs, lp["attn_norm"], cfg.norm_eps)
         n = xs.shape[0]
-        q = _rope((h @ lp["wq"]).reshape(1, n, cfg.n_heads, D),
-                  sel_pos[None], cfg.rope_theta)[0]
-        k = _rope((h @ lp["wk"]).reshape(1, n, Hkv, D), sel_pos[None],
-                  cfg.rope_theta)[0]
-        v = (h @ lp["wv"]).reshape(n, Hkv, D)
+        q = _rope(_proj(h, lp, "wq", "bq").reshape(1, n, cfg.n_heads, D),
+                  sel_pos[None], cfg.rope_theta, cfg.rotary_dim,
+                  cfg.rope_interleaved)[0]
+        k = _rope(_proj(h, lp, "wk", "bk").reshape(1, n, Hkv, D),
+                  sel_pos[None],
+                  cfg.rope_theta, cfg.rotary_dim,
+                  cfg.rope_interleaved)[0]
+        v = _proj(h, lp, "wv", "bv").reshape(n, Hkv, D)
         # scatter healed KV before attending
         kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))
         kv_l = kv_l.at[1, sel].set(v.astype(kv_l.dtype))
@@ -174,7 +197,8 @@ def blend_prefill(
 
 
 def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
-                    theta: float) -> jax.Array:
+                    theta: float, rotary_dim=None,
+                    interleaved=False) -> jax.Array:
     """Concatenate independently-cached chunk KV (vllm fmt
     [L, 2, t_i, H, D], each prefilled at positions 0..t_i) into one
     position-corrected [L, 2, T, H, D] buffer."""
@@ -184,7 +208,8 @@ def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
         blob = jnp.asarray(blob)
         t = blob.shape[2]
         k = rope_shift_keys(blob[:, 0],  # [L, t, H, D]
-                            jnp.full((t,), offset, jnp.float32), theta)
+                            jnp.full((t,), offset, jnp.float32), theta,
+                            rotary_dim, interleaved)
         parts.append(jnp.stack([k, blob[:, 1]], axis=1))
         offset += t
     return jnp.concatenate(parts, axis=2)
@@ -200,12 +225,6 @@ class CacheBlender:
 
     def __init__(self, cfg: llama.LlamaConfig, params, cache_engine,
                  recompute_ratio: float = 0.15):
-        if cfg.rotary_dim is not None or cfg.rope_interleaved:
-            # rope_shift_keys re-rotates cached keys assuming llama's
-            # full half-split rotary; GLM's interleaved partial rotary
-            # needs its own delta-rotation (not yet implemented)
-            raise NotImplementedError(
-                "CacheBlend supports full half-split rotary models only")
         self.cfg = cfg
         self.params = params
         self.engine = cache_engine
@@ -256,7 +275,9 @@ class CacheBlender:
             blobs.append(blob)
 
         full = np.concatenate([np.asarray(t, np.int32) for t in chunk_tokens])
-        blended = assemble_chunks(blobs, self.cfg.rope_theta)
+        blended = assemble_chunks(blobs, self.cfg.rope_theta,
+                                  self.cfg.rotary_dim,
+                                  self.cfg.rope_interleaved)
         T = len(full)
         n_rec = max(1, min(T, int(np.ceil(self.ratio * T))))
         logits, kv = blend_prefill(self.params, self.cfg,

@@ -446,12 +446,13 @@ def forward_quantized(
     kv_len = start_pos + T
     if use_pallas:
         attend = functools.partial(quantized_flash_attention,
-                                   kv_head_major=True)
+                                   kv_head_major=True,
+                                   sliding_window=cfg.sliding_window)
     else:
         def attend(q, ks, vs, ksc, vsc, q_off, kvl):
             return quantized_attention_reference(
                 q, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
-                ksc, vsc, q_off, kvl)
+                ksc, vsc, q_off, kvl, sliding_window=cfg.sliding_window)
 
     x = params["embed"][tokens]
 

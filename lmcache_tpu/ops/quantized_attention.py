@@ -66,7 +66,8 @@ def dequantize_kv(sym: jax.Array, scale: jax.Array,
 
 def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
                    vs_ref, o_ref, m_scr, l_scr, acc_scr, *, block_q,
-                   block_k, group, scale):
+                   block_k, group, scale, sliding_window=None,
+                   total_kb=None):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -77,6 +78,16 @@ def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # windowed: the KV grid is a sliding span of blocks whose start the
+    # index_map computed from scalar prefetch (ops/attention.py)
+    kb = ik
+    if sliding_window is not None:
+        from lmcache_tpu.ops.attention import _window_start_block
+        kb = ik + _window_start_block(
+            q_off_ref[b], iq, block_q=block_q, block_k=block_k,
+            total_kb=total_kb, num_kb=num_k,
+            sliding_window=sliding_window)
 
     # whole GQA group per program (KV streamed once per kv head)
     q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
@@ -91,9 +102,11 @@ def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
 
     qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (group * block_q, block_k), 0) % block_q)
-    kpos = (ik * block_k + jax.lax.broadcasted_iota(
+    kpos = (kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (group * block_q, block_k), 1))
     mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+    if sliding_window is not None:
+        mask &= kpos > qpos - sliding_window
     s = jnp.where(mask, s, _NEG_INF)
 
     m_prev = m_scr[:]
@@ -121,7 +134,7 @@ def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret",
-                                    "kv_head_major"))
+                                    "kv_head_major", "sliding_window"))
 def quantized_flash_attention(
     q: jax.Array,
     k_sym: jax.Array,
@@ -135,6 +148,7 @@ def quantized_flash_attention(
     block_k: int = 2048,
     interpret: Optional[bool] = None,
     kv_head_major: bool = False,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention reading int8 KV directly from HBM.
 
@@ -168,9 +182,29 @@ def quantized_flash_attention(
     ks = jnp.pad(k_scale, ((0, 0), (0, Sp - S)))[:, None, :]  # [B, 1, Sp]
     vs = jnp.pad(v_scale, ((0, 0), (0, Sp - S)))[:, None, :]
 
-    grid = (B, Hkv, Tp // bq, Sp // bk)
+    total_kb = Sp // bk
+    num_kb = total_kb
+    if sliding_window is not None:
+        num_kb = min(total_kb, (sliding_window + bq - 2) // bk + 2)
+
+    def kv_index(b, h, iq, ik, q_off, kv_len):
+        if sliding_window is None:
+            return (b, h, ik, 0)
+        from lmcache_tpu.ops.attention import _window_start_block
+        start = _window_start_block(
+            q_off[b], iq, block_q=bq, block_k=bk, total_kb=total_kb,
+            num_kb=num_kb, sliding_window=sliding_window)
+        return (b, h, start + ik, 0)
+
+    def scale_index(b, h, iq, ik, q_off, kv_len):
+        bi, _, ki, _ = kv_index(b, h, iq, ik, q_off, kv_len)
+        return (bi, 0, ki)
+
+    grid = (B, Hkv, Tp // bq, num_kb)
     kernel = functools.partial(_qflash_kernel, block_q=bq, block_k=bk,
-                               group=group, scale=scale)
+                               group=group, scale=scale,
+                               sliding_window=sliding_window,
+                               total_kb=total_kb)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -179,14 +213,10 @@ def quantized_flash_attention(
             in_specs=[
                 pl.BlockSpec((1, group, bq, D),
                              lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, bk, D),
-                             lambda b, h, iq, ik, *_: (b, h, ik, 0)),
-                pl.BlockSpec((1, 1, bk, D),
-                             lambda b, h, iq, ik, *_: (b, h, ik, 0)),
-                pl.BlockSpec((1, 1, bk),
-                             lambda b, h, iq, ik, *_: (b, 0, ik)),
-                pl.BlockSpec((1, 1, bk),
-                             lambda b, h, iq, ik, *_: (b, 0, ik)),
+                pl.BlockSpec((1, 1, bk, D), kv_index),
+                pl.BlockSpec((1, 1, bk, D), kv_index),
+                pl.BlockSpec((1, 1, bk), scale_index),
+                pl.BlockSpec((1, 1, bk), scale_index),
             ],
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, ik, *_: (b, h, iq, 0)),
@@ -204,8 +234,10 @@ def quantized_flash_attention(
 
 
 def quantized_attention_reference(q, k_sym, v_sym, k_scale, v_scale,
-                                  q_offset, kv_len) -> jax.Array:
+                                  q_offset, kv_len,
+                                  sliding_window=None) -> jax.Array:
     """Unfused reference: dequantize then dense attention (for tests)."""
     k = dequantize_kv(k_sym, k_scale)
     v = dequantize_kv(v_sym, v_scale)
-    return mha_reference(q, k, v, q_offset, kv_len)
+    return mha_reference(q, k, v, q_offset, kv_len,
+                         sliding_window=sliding_window)

@@ -132,3 +132,31 @@ def test_cache_blender_end_to_end(setup):
     l = np.asarray(logits2) / np.linalg.norm(np.asarray(logits2))
     assert float(g @ l) > 0.9
     ce.close()
+
+
+@pytest.mark.parametrize("family_kw", [
+    dict(attention_bias=True),                       # Qwen-style
+    dict(attention_bias=True, rotary_dim=32,
+         rope_interleaved=True),                     # GLM-style
+])
+def test_blend_exact_anchor_other_families(family_kw):
+    """ratio=1.0 blending must equal a full prefill for bias and
+    partial-interleaved-rotary families too (round 2: blend previously
+    dropped the qkv bias and assumed llama rotary)."""
+    cfg = llama.LlamaConfig.tiny(n_layers=2, **family_kw)
+    params = llama.init_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(8)
+    docs = [rng.integers(0, cfg.vocab_size, 24, dtype=np.int32)
+            for _ in range(3)]
+    full = np.concatenate(docs)
+
+    blobs = [_standalone_blob(cfg, params, d) for d in docs]
+    blended = blend.assemble_chunks(blobs, cfg.rope_theta, cfg.rotary_dim,
+                                    cfg.rope_interleaved)
+    logits, kv = blend.blend_prefill(params, cfg, jnp.asarray(full),
+                                     blended, len(full))
+    gold_logits, gold_kv = _golden_logits(cfg, params, full)
+    np.testing.assert_allclose(np.asarray(logits), gold_logits, atol=2e-3,
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(kv), gold_kv, atol=2e-3,
+                               rtol=2e-3)

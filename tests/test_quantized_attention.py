@@ -63,3 +63,54 @@ def test_decode_shape():
     out = quantized_flash_attention(q, *sym, q_off, kv_len)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2,
                                rtol=2e-2)
+
+
+def test_quantized_flash_sliding_window():
+    """Int8 dense kernel honors sliding windows (round 2: the int8 path
+    previously ignored cfg.sliding_window on Mistral-family models)."""
+    from lmcache_tpu.ops.quantized_attention import (
+        quantized_attention_reference, quantized_flash_attention,
+        quantize_kv_for_cache)
+    rng = np.random.default_rng(11)
+    B, T, H, D, Hkv, S, W = 2, 1, 4, 64, 2, 512, 100
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    sym = quantize_kv_for_cache(k, v)
+    kv_len = jnp.asarray([400, 230], jnp.int32)
+    q_off = kv_len - T
+    ref = quantized_attention_reference(q, *sym, q_off, kv_len,
+                                        sliding_window=W)
+    out = quantized_flash_attention(q, *sym, q_off, kv_len,
+                                    sliding_window=W, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+    full = quantized_attention_reference(q, *sym, q_off, kv_len)
+    assert not np.allclose(np.asarray(full), np.asarray(ref))
+
+
+def test_int8_dense_mistral_window_end_to_end():
+    """forward_quantized with cfg.sliding_window == dense forward with
+    the same window (int8-noise tolerance)."""
+    from lmcache_tpu.models import llama
+    cfg = llama.LlamaConfig.tiny(n_layers=2, sliding_window=16)
+    params = llama.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(12)
+    B, T, S = 2, 40, 64
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    zero = jnp.zeros(B, jnp.int32)
+    ref, _ = llama.forward(params, cfg, tokens, zero,
+                           llama.new_kv_cache(cfg, B, S), use_pallas=False)
+    out, _ = llama.forward_quantized(
+        params, cfg, tokens, zero,
+        llama.new_quantized_kv_cache(cfg, B, S), use_pallas=False)
+    # int8 KV noise; windowed outputs must track the windowed reference
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.5,
+                               rtol=0.1)
+    # and must DIFFER from the un-windowed int8 forward
+    cfg_full = llama.LlamaConfig.tiny(n_layers=2)
+    out_full, _ = llama.forward_quantized(
+        params, cfg_full, tokens, zero,
+        llama.new_quantized_kv_cache(cfg_full, B, S), use_pallas=False)
+    assert not np.allclose(np.asarray(out), np.asarray(out_full),
+                           atol=0.05)
