@@ -193,7 +193,12 @@ def main():
             "vs_baseline": None,
             "detail": {"batch": B_DEC, "ctx": CTX_DEC, "decode_block": 8,
                        "mixed_incl_prefill_tok_s":
-                       round(total_new / wall, 1)}})
+                       round(total_new / wall, 1),
+                       "ttft_ms_median": round(
+                           1e3 * float(np.median(
+                               [r.ttft_s for r in reqs])), 1),
+                       "ttft_ms_max": round(
+                           1e3 * max(r.ttft_s for r in reqs), 1)}})
     except Exception as e:
         metrics.append({"metric": "decode_throughput_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})

@@ -13,6 +13,12 @@ import numpy as np
 
 import jax
 
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; honor an
+# explicit cpu request by pinning the platform before backend init
+import os as _os
+if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 from lmcache_tpu import (LMCacheEngine, LMCacheEngineConfig,
                          LMCacheEngineMetadata)
 from lmcache_tpu.models import llama
@@ -26,11 +32,14 @@ def main():
     cfg = llama.LlamaConfig.tiny()
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     cache = LMCacheEngine(
-        LMCacheEngineConfig.from_defaults(local_device="cpu"),
+        # chunk_size 16: multi-round chat prompts grow by ~tens of
+        # tokens, so small chunks make each round's prefix hit
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
         LMCacheEngineMetadata(model_name="tiny", world_size=1, worker_id=0,
                               fmt="vllm", dtype=cfg.dtype))
     engine = ServingEngine(cfg, params, max_batch=4, max_seq=512,
-                           cache_engine=cache)
+                           cache_engine=cache, save_decode_cache=True)
     server = APIServer(engine, model_name="tiny-session")
 
     t = threading.Thread(target=server.run,
@@ -59,6 +68,11 @@ def main():
               f"cached={usage['cached_prefix_tokens']}/"
               f"{usage['prompt_tokens']} tokens")
         history += r["choices"][0]["tokens"]  # grow the conversation
+
+    # the API server runs on a daemon thread with no external stop;
+    # skip interpreter teardown so its event loop isn't killed mid-await
+    import os
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,12 @@ import numpy as np
 
 import jax
 
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; honor an
+# explicit cpu request by pinning the platform before backend init
+import os as _os
+if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 from lmcache_tpu import (LMCacheEngine, LMCacheEngineConfig,
                          LMCacheEngineMetadata)
 from lmcache_tpu.models import llama

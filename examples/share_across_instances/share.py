@@ -8,6 +8,12 @@ import numpy as np
 
 import jax
 
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; honor an
+# explicit cpu request by pinning the platform before backend init
+import os as _os
+if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 from lmcache_tpu import (LMCacheEngine, LMCacheEngineConfig,
                          LMCacheEngineMetadata)
 from lmcache_tpu.models import llama
@@ -38,8 +44,17 @@ def main():
              "65432", "cpu"])
         time.sleep(1.5)
 
+    try:
+        _run(cfg_seed=0)
+    finally:
+        if server is not None:
+            server.terminate()  # never leak the spawned cache server
+            server.wait(timeout=10)
+
+
+def _run(cfg_seed):
     cfg = llama.LlamaConfig.tiny()
-    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    params = llama.init_params(jax.random.PRNGKey(cfg_seed), cfg)
     prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, 300,
                                                dtype=np.int32)
     sampling = SamplingParams(max_new_tokens=16)
@@ -58,8 +73,6 @@ def main():
     assert ra.output_tokens == rb.output_tokens
     print("identical outputs across instances")
     cache_b.close()
-    if server:
-        server.terminate()
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")  # axon ignores the env
 
     from lmcache_tpu.models import llama
     from lmcache_tpu.serving import SamplingParams, ServingEngine

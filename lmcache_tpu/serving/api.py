@@ -188,11 +188,18 @@ class APIServer:
         return app
 
     def run(self, host: str = "localhost", port: int = 8000):
+        import threading
+
         from aiohttp import web
         self.start()
         try:
-            web.run_app(self.build_app(), host=host, port=port,
-                        print=lambda *_: logger.info(
-                            "API server on %s:%d", host, port))
+            web.run_app(
+                self.build_app(), host=host, port=port,
+                # signal handlers can only be installed on the main
+                # thread; embedding callers run the server on a worker
+                handle_signals=threading.current_thread()
+                is threading.main_thread(),
+                print=lambda *_: logger.info(
+                    "API server on %s:%d", host, port))
         finally:
             self.stop()

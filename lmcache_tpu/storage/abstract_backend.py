@@ -30,6 +30,10 @@ class LMCBackendInterface(metaclass=abc.ABCMeta):
         this with a single MEXIST round trip; local tiers loop dict hits."""
         return [self.contains(k) for k in keys]
 
+    def flush(self) -> None:
+        """Wait for in-flight non-blocking puts to become durable.
+        Backends with background put workers override this."""
+
     @abc.abstractmethod
     def get(self, key: CacheEngineKey):
         """Return the blob for key, or None on miss."""

@@ -98,6 +98,10 @@ class LMCHybridBackend(LMCBackendInterface):
                     self.local.put(key, blob, blocking=False)
         yield from results
 
+    def flush(self) -> None:
+        self.local.flush()
+        self.remote.flush()
+
     def close(self) -> None:
         self.local.close()
         self.remote.close()

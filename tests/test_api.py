@@ -81,3 +81,27 @@ def test_streaming(server):
         assert len(events) == 4  # 3 tokens + DONE
 
     asyncio.run(_with_client(server, body))
+
+
+def test_sampling_params_over_http(server):
+    """top_k/top_p/seed accepted over HTTP and equal to engine-level
+    sampling (VERDICT r1 next #9 'Done' criterion)."""
+    from lmcache_tpu.serving import SamplingParams
+
+    prompt = np.random.default_rng(2).integers(0, 512, 11).tolist()
+    sp = SamplingParams(max_new_tokens=6, temperature=1.3, top_k=40,
+                        top_p=0.9, seed=123)
+    eng_ref = ServingEngine(server.engine.cfg, server.engine.params,
+                            max_batch=2, max_seq=128, use_pallas=False)
+    [golden] = eng_ref.generate([np.asarray(prompt, np.int32)], sp)
+
+    async def body(client):
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 6,
+                                    "temperature": 1.3, "top_k": 40,
+                                    "top_p": 0.9, "seed": 123})
+        assert r.status == 200
+        out = await r.json()
+        assert out["choices"][0]["tokens"] == golden.output_tokens
+
+    asyncio.run(_with_client(server, body))

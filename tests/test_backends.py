@@ -357,3 +357,18 @@ def test_pipelined_early_close_cancels_fetches(lmserver_process,
     assert fetched <= 2 + LMCPipelinedRemoteBackend.PREFETCH_DEPTH + 2
     time.sleep(0.1)
     assert counter.counts["get"] == fetched  # worker actually stopped
+
+
+def test_hybrid_flush_makes_async_puts_durable(lmserver_process,
+                                               autorelease):
+    """flush() on the hybrid backend must drain the remote put worker —
+    a fresh instance then sees the chunk (cross-instance handoff)."""
+    cfg = LMCacheEngineConfig(local_device="cpu",
+                              remote_url=lmserver_process.url)
+    b1 = autorelease(CreateStorageBackend(cfg, METADATA))
+    key, blob = make_key(700), blobs(1, seed=9)[0]
+    b1.put(key, blob, blocking=False)
+    b1.flush()
+    b2 = autorelease(CreateStorageBackend(cfg, METADATA))
+    assert b2.contains(key)
+    np.testing.assert_array_equal(np.asarray(b2.get(key)), blob)
