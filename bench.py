@@ -181,15 +181,27 @@ def main():
         reqs = eng2.generate(prompts, SamplingParams(max_new_tokens=NEW))
         wall = time.perf_counter() - t0
         total_new = sum(len(r.output_tokens) for r in reqs)
-        # decode-phase throughput: from the LAST admission's first token
-        # (all rows decoding) to the end — excludes the serial prefills
-        t_all_running = max(r.arrival_s + r.ttft_s for r in reqs)
-        t_end = max(r.finish_s for r in reqs)
-        decode_toks = sum(len(r.output_tokens) - 1 for r in reqs)
+
+        # steady-state decode: admit a fresh batch, drive prefills to
+        # completion, then time K pure batched decode iterations directly
+        # (every row decoding for the whole window — no prefill-phase
+        # tokens leak into the numerator)
+        from lmcache_tpu.serving.request import Request
+        reqs2 = [Request(p, SamplingParams(max_new_tokens=NEW + 16))
+                 for p in prompts]
+        for r in reqs2:
+            eng2.add_request(r)
+        while eng2.waiting or eng2.prefilling:
+            eng2.step()
+        K = 6
+        t0 = time.perf_counter()
+        for _ in range(K):
+            eng2._decode_all()  # host-syncs on the sampled tokens
+        decode_wall = time.perf_counter() - t0
+        eng2.run()  # drain
         metrics.append({
             "metric": "decode_throughput", "unit": "tok/s",
-            "value": round(decode_toks / max(t_end - t_all_running, 1e-9),
-                           1),
+            "value": round(K * 8 * B_DEC / decode_wall, 1),
             "vs_baseline": None,
             "detail": {"batch": B_DEC, "ctx": CTX_DEC, "decode_block": 8,
                        "mixed_incl_prefill_tok_s":

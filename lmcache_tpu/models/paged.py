@@ -50,8 +50,14 @@ class PageAllocator:
     pages first so cached prefixes survive as long as possible."""
 
     def __init__(self, num_pages: int):
+        from collections import OrderedDict
         self.num_pages = num_pages
-        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        # insertion order == recycle order: alloc pops the FRONT (pages
+        # never used / least-recently freed), free appends to the BACK —
+        # recently-freed prefix-cached pages are reallocated last. All
+        # operations O(1) per page.
+        self._free: "OrderedDict[int, None]" = OrderedDict(
+            (p, None) for p in range(1, num_pages))
         self._rc: Dict[int, int] = {}
 
     @property
@@ -65,7 +71,7 @@ class PageAllocator:
         if n > len(self._free):
             raise MemoryError(
                 f"paged pool exhausted: want {n}, free {len(self._free)}")
-        pages = [self._free.pop() for _ in range(n)]
+        pages = [self._free.popitem(last=False)[0] for _ in range(n)]
         for p in pages:
             self._rc[p] = 1
         return pages
@@ -83,14 +89,12 @@ class PageAllocator:
         for p in pages:
             if self._rc.get(p, 0) > 0:
                 raise ValueError(f"page {p} is live, use share()")
-            self._free.remove(p)
+            del self._free[p]
             self._rc[p] = 1
 
     def free(self, pages: List[int]) -> List[int]:
         """Drop one reference per page; returns the pages that actually
-        reached refcount 0 and went back to the free list (at the FRONT:
-        alloc pops from the back, so recently-freed cached pages are
-        reallocated last)."""
+        reached refcount 0 and went back to the free list."""
         freed = []
         for p in pages:
             if not 0 < p < self.num_pages:
@@ -98,7 +102,7 @@ class PageAllocator:
             rc = self._rc.get(p, 1) - 1
             if rc <= 0:
                 self._rc.pop(p, None)
-                self._free.insert(0, p)
+                self._free[p] = None
                 freed.append(p)
             else:
                 self._rc[p] = rc

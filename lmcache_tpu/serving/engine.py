@@ -602,7 +602,11 @@ class ServingEngine:
             self._maybe_finish(r)
 
     def _decode_all(self) -> None:
-        if self.spec_lookahead:
+        if self.spec_lookahead and any(
+                r.sampling.temperature == 0.0 for r in self.running):
+            # only greedy requests can be verified-exactly; an all-
+            # sampling batch takes the 1-token step instead of paying the
+            # (K+1)-token verification forward for zero acceptances
             self._decode_speculative()
             return
         last, start, temps, steps, topks, topps = \

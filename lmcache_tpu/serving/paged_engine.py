@@ -183,21 +183,48 @@ class PagedServingEngine(ServingEngine):
 
     # -- scheduler hooks -----------------------------------------------------
 
-    def _match_resident_prefix(self, tokens: np.ndarray):
+    def _page_hashes(self, req: Request, tokens: np.ndarray):
+        """Rolling page-granularity prefix hashes of the request's
+        tokens, memoized on the request: _can_admit runs every scheduler
+        step while the request waits, and a 16k-token prompt costs ~1000
+        sha256 calls per recomputation."""
+        cached = getattr(req, "_page_hash_cache", None)
+        if cached is not None and cached[0] == len(tokens):
+            return cached[1]
+        from lmcache_tpu.chunks import prefix_chunk_hashes
+        hashes = prefix_chunk_hashes(tokens, self.page_size)
+        req._page_hash_cache = (len(tokens), hashes)
+        return hashes
+
+    def _match_resident_prefix(self, req: Request, tokens: np.ndarray):
         """Longest run of already-resident pages whose rolling prefix
         hash matches this prompt. Capped so at least one token is always
-        recomputed (the prefill must yield next-token logits)."""
-        if tokens is None or len(tokens) < 2:
+        recomputed (the prefill must yield next-token logits). Blend
+        requests never match (their admission path takes no shared
+        pages)."""
+        if (req.context_chunks is not None or tokens is None
+                or len(tokens) < 2):
             return []
-        from lmcache_tpu.chunks import prefix_chunk_hashes
         max_pages = (len(tokens) - 1) // self.page_size
         shared = []
-        for h in prefix_chunk_hashes(tokens, self.page_size)[:max_pages]:
+        for h in self._page_hashes(req, tokens)[:max_pages]:
             page = self._resident.get(h)
             if page is None:
                 break
             shared.append(page)
         return shared
+
+    def _admission_pages(self, req: Request, tokens) -> int:
+        """Pages a request needs AT ADMISSION. With a cache engine,
+        prompt-only (decode pages grow on demand; exhaustion preempts
+        into the tiers). Without one, preemption is impossible, so the
+        full worst-case prompt+max_new footprint is reserved up front —
+        arena exhaustion then backpressures at admission instead of
+        hard-failing mid-decode."""
+        n = len(tokens)
+        if self.cache_engine is None:
+            n += req.sampling.max_new_tokens
+        return pages_needed(n, self.page_size)
 
     def _alloc_pages(self, n):
         """Allocate fresh pages, evicting any stale prefix-cache
@@ -216,10 +243,11 @@ class PagedServingEngine(ServingEngine):
         freed-but-unrecycled), and decode pages are allocated on demand
         (with preemption when the arena is full). Occupancy is bounded
         by distinct tokens actually resident, not by worst-case
-        ``max_new_tokens`` reservations."""
+        ``max_new_tokens`` reservations (except without a cache engine —
+        see _admission_pages)."""
         tokens = req.all_tokens
-        matched = self._match_resident_prefix(tokens)
-        fresh = pages_needed(len(tokens), self.page_size) - len(matched)
+        matched = self._match_resident_prefix(req, tokens)
+        fresh = self._admission_pages(req, tokens) - len(matched)
         # reclaiming free-but-cached matches also consumes free-list slots
         reclaimed = sum(1 for p in matched
                         if self.allocator.refcount(p) == 0)
@@ -228,13 +256,12 @@ class PagedServingEngine(ServingEngine):
     def _on_admission_stall(self, req: Request) -> None:
         raise MemoryError(
             f"request {req.request_id} needs "
-            f"{pages_needed(len(req.all_tokens), self.page_size)} pages; "
+            f"{self._admission_pages(req, req.all_tokens)} pages; "
             f"arena has {self.allocator.num_free} and nothing is running")
 
     def _on_slot_assigned(self, req: Request) -> None:
         tokens = req.all_tokens
-        shared = ([] if req.context_chunks is not None
-                  else self._match_resident_prefix(tokens))
+        shared = self._match_resident_prefix(req, tokens)
         if shared:
             # live pages take an extra reference; freed-but-cached pages
             # are pulled back out of the free list content-intact
@@ -243,7 +270,7 @@ class PagedServingEngine(ServingEngine):
             self.allocator.share(live)
             self.allocator.reclaim(cached)
         own = self._alloc_pages(
-            pages_needed(len(tokens), self.page_size) - len(shared))
+            self._admission_pages(req, tokens) - len(shared))
         pages = shared + own
         self._req_pages[req.request_id] = pages
         self._req_shared[req.request_id] = len(shared) * self.page_size
@@ -415,7 +442,8 @@ class PagedServingEngine(ServingEngine):
     def _decode_all(self) -> None:
         from lmcache_tpu.serving.engine import _sample_tokens
         self._ensure_decode_pages()
-        if self.spec_lookahead:
+        if self.spec_lookahead and any(
+                r.sampling.temperature == 0.0 for r in self.running):
             self._decode_speculative()
             return
         last, start, temps, steps, topks, topps = \

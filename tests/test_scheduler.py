@@ -132,18 +132,23 @@ def test_preemption_exact_resume(setup):
     ce.close()
 
 
-def test_preemption_without_cache_engine_raises(setup):
-    """With no cache tier to evict into, arena exhaustion is a hard
-    error rather than silent corruption."""
+def test_no_cache_engine_backpressure_and_hard_limit(setup):
+    """Without a cache tier, worst-case reservation makes concurrent
+    over-commit BACKPRESSURE (sequential completion), and only a request
+    that can never fit raises MemoryError."""
     cfg, params = setup
     eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
                              num_pages=8, page_size=16, use_pallas=False)
-    eng.add_request(Request(_prompt(cfg, 40, 7),
-                            SamplingParams(max_new_tokens=40)))
-    eng.add_request(Request(_prompt(cfg, 40, 8),
-                            SamplingParams(max_new_tokens=40)))
+    reqs = eng.generate([_prompt(cfg, 40, 7), _prompt(cfg, 40, 8)],
+                        SamplingParams(max_new_tokens=40))
+    assert all(len(r.output_tokens) == 40 for r in reqs)
+
+    eng2 = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                              num_pages=8, page_size=16, use_pallas=False)
+    eng2.add_request(Request(_prompt(cfg, 80, 9),
+                             SamplingParams(max_new_tokens=40)))  # 8 > 7
     with pytest.raises(MemoryError):
-        eng.run()
+        eng2.run()
 
 
 def test_prefix_sharing_pages(setup):
@@ -259,3 +264,55 @@ def test_arena_cache_eviction_on_realloc(setup):
     [b] = eng.generate([p1], SamplingParams(max_new_tokens=4))
     assert b.cached_prefix_len == 0  # no stale reclaim
     assert b.output_tokens == a.output_tokens
+
+
+def test_no_cache_engine_reserves_worst_case(setup):
+    """Without a cache engine, preemption is impossible — admission must
+    reserve prompt+max_new so the arena backpressures instead of
+    hard-failing mid-decode (review r2 finding)."""
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=160,
+                             num_pages=11, page_size=16, use_pallas=False)
+    prompts = [_prompt(cfg, 80, 30 + i) for i in range(2)]
+    reqs = eng.generate(prompts, SamplingParams(max_new_tokens=64))
+    assert all(len(r.output_tokens) == 64 for r in reqs)
+    assert eng.allocator.num_free == 10
+
+    solo = ServingEngine(cfg, params, max_batch=1, max_seq=160,
+                         use_pallas=False)
+    for r, p in zip(reqs, prompts):
+        [g] = solo.generate([p], SamplingParams(max_new_tokens=64))
+        assert r.output_tokens == g.output_tokens
+
+
+def test_blend_admission_near_full_arena(setup):
+    """_can_admit must not credit resident-prefix sharing to blend
+    requests (their admission takes no shared pages) — a blend request
+    whose chunks share a resident prefix must backpressure, not crash
+    (review r2 finding)."""
+    cfg, params = setup
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny-blendadm", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                             num_pages=7, page_size=16, cache_engine=ce,
+                             use_pallas=False)
+    eng._blend_ratio = 1.0
+    common = _prompt(cfg, 48, 33)  # 3 pages once resident
+    a = Request(common.copy(), SamplingParams(max_new_tokens=30))
+    eng.add_request(a)
+    while not a.output_tokens:
+        eng.step()  # a RUNNING: its 3 prompt pages are registered
+
+    # blend request whose first chunk IS the resident prefix: 64 tokens
+    # = 4 pages, arena has 3 free. _can_admit used to count the 3
+    # resident pages as shared and admit -> allocator MemoryError.
+    b = Request(np.empty(0, np.int32), SamplingParams(max_new_tokens=4),
+                context_chunks=[common.copy(), _prompt(cfg, 16, 34)])
+    eng.add_request(b)
+    eng.run()  # must backpressure until a finishes, then admit b
+    assert len(a.output_tokens) == 30
+    assert len(b.output_tokens) == 4
+    ce.close()
