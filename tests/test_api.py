@@ -105,3 +105,28 @@ def test_sampling_params_over_http(server):
         assert out["choices"][0]["tokens"] == golden.output_tokens
 
     asyncio.run(_with_client(server, body))
+
+
+def test_api_on_paged_engine():
+    """The HTTP front drives the paged engine identically."""
+    from lmcache_tpu.serving.paged_engine import PagedServingEngine
+
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                             num_pages=16, page_size=16, use_pallas=False)
+    srv = APIServer(eng, model_name="tiny-paged")
+    srv.start()
+    try:
+        prompt = np.random.default_rng(3).integers(0, 512, 10).tolist()
+
+        async def body(client):
+            r = await client.post("/v1/completions",
+                                  json={"prompt": prompt, "max_tokens": 5})
+            assert r.status == 200
+            out = await r.json()
+            assert len(out["choices"][0]["tokens"]) == 5
+
+        asyncio.run(_with_client(srv, body))
+    finally:
+        srv.stop()
