@@ -355,6 +355,8 @@ def quantized_paged_attention(
 # Manual-DMA paged decode kernel
 # ---------------------------------------------------------------------------
 
+N_BUF = 4  # in-flight page-copy depth for the DMA kernels
+
 def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                       v_hbm, o_ref, *, block_q, page, group, scale,
                       sliding_window=None):
@@ -399,19 +401,24 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                     pltpu.make_async_copy(v_hbm.at[pg, h],
                                           v_scr.at[slot], sem.at[slot, 1]))
 
-        @pl.when(num_j > 0)
-        def _():
-            dk, dv = dmas(0, 0)
-            dk.start()
-            dv.start()
+        # N_BUF-deep pipeline: up to N_BUF - 1 page copies in flight
+        # ahead of the compute, hiding per-DMA issue latency (double
+        # buffering left ~40% of the loop waiting at 16k live tokens)
+        for w in range(N_BUF - 1):
+            @pl.when(w < num_j)
+            def _(w=w):
+                dk, dv = dmas(w % N_BUF, w)
+                dk.start()
+                dv.start()
 
         def body(j, carry):
             m, l, acc = carry
-            slot = jax.lax.rem(j, 2)
+            slot = jax.lax.rem(j, N_BUF)
 
-            @pl.when(j + 1 < num_j)
+            @pl.when(j + N_BUF - 1 < num_j)
             def _():
-                dk, dv = dmas(1 - slot, j + 1)
+                dk, dv = dmas(jax.lax.rem(j + N_BUF - 1, N_BUF),
+                              j + N_BUF - 1)
                 dk.start()
                 dv.start()
 
@@ -457,9 +464,9 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
 
     pl.run_scoped(
         scoped,
-        k_scr=pltpu.VMEM((2,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
-        v_scr=pltpu.VMEM((2,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((2, 2)),
+        k_scr=pltpu.VMEM((N_BUF,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
+        v_scr=pltpu.VMEM((N_BUF,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((N_BUF, 2)),
     )
 
 
@@ -571,18 +578,20 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                                       sem.at[slot, 3]),
             )
 
-        @pl.when(num_j > 0)
-        def _():
-            for d in dmas(0, 0):
-                d.start()
+        for w in range(N_BUF - 1):
+            @pl.when(w < num_j)
+            def _(w=w):
+                for d in dmas(w % N_BUF, w):
+                    d.start()
 
         def body(j, carry):
             m, l, acc = carry
-            slot = jax.lax.rem(j, 2)
+            slot = jax.lax.rem(j, N_BUF)
 
-            @pl.when(j + 1 < num_j)
+            @pl.when(j + N_BUF - 1 < num_j)
             def _():
-                for d in dmas(1 - slot, j + 1):
+                for d in dmas(jax.lax.rem(j + N_BUF - 1, N_BUF),
+                              j + N_BUF - 1):
                     d.start()
 
             for d in dmas(slot, j):
@@ -630,11 +639,13 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
 
     pl.run_scoped(
         scoped,
-        k_scr=pltpu.VMEM((2,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
-        v_scr=pltpu.VMEM((2,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
-        ks_scr=pltpu.VMEM((2,) + tuple(ks_hbm.shape[1:]), ks_hbm.dtype),
-        vs_scr=pltpu.VMEM((2,) + tuple(vs_hbm.shape[1:]), vs_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((2, 4)),
+        k_scr=pltpu.VMEM((N_BUF,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
+        v_scr=pltpu.VMEM((N_BUF,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
+        ks_scr=pltpu.VMEM((N_BUF,) + tuple(ks_hbm.shape[1:]),
+                          ks_hbm.dtype),
+        vs_scr=pltpu.VMEM((N_BUF,) + tuple(vs_hbm.shape[1:]),
+                          vs_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((N_BUF, 4)),
     )
 
 
