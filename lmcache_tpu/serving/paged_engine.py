@@ -45,6 +45,7 @@ class PagedServingEngine(ServingEngine):
         eos_token_id: Optional[int] = None,
         save_decode_cache: bool = False,
         use_pallas: Optional[bool] = None,
+        mesh=None,
         decode_block: int = 1,
         prefill_chunk: int = 512,
         kv_dtype: str = "native",  # "native" | "int8" (half-size arena)
@@ -63,7 +64,8 @@ class PagedServingEngine(ServingEngine):
                          cache_engine=cache_engine,
                          eos_token_id=eos_token_id,
                          save_decode_cache=save_decode_cache,
-                         use_pallas=use_pallas, decode_block=decode_block,
+                         use_pallas=use_pallas, mesh=mesh,
+                         decode_block=decode_block,
                          prefill_chunk=prefill_chunk, kv_dtype=kv_dtype,
                          spec_lookahead=spec_lookahead,
                          spec_ngram=spec_ngram)
@@ -159,7 +161,10 @@ class PagedServingEngine(ServingEngine):
 
     def _alloc_pool(self):
         """Build the page arena instead of the dense slot pool (ADVICE r1:
-        the transient dense allocation defeated the paged memory model)."""
+        the transient dense allocation defeated the paged memory model).
+        With a mesh, kv heads shard over "model" (pages are shared by
+        the whole batch, so there is no data-axis sharding — the arena
+        is the cross-request resource)."""
         from lmcache_tpu.models.paged import new_quantized_paged_pool
         # page-table width covers S + write-horizon positions: idle rows
         # park decode writes at >= S (engine.py _gather_sampling_rows)
@@ -176,10 +181,23 @@ class PagedServingEngine(ServingEngine):
         self._resident = {}  # hash -> page id
         self._page_hash = {}  # page id -> hash (reverse index)
         self._req_shared = {}  # request_id -> tokens served by shared pages
-        if self.kv_dtype == "int8":
-            return new_quantized_paged_pool(self.cfg, self.num_pages,
-                                            self.page_size)
-        return new_paged_kv_pool(self.cfg, self.num_pages, self.page_size)
+        pool = (new_quantized_paged_pool(self.cfg, self.num_pages,
+                                         self.page_size)
+                if self.kv_dtype == "int8" else
+                new_paged_kv_pool(self.cfg, self.num_pages, self.page_size))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            head_sh = NamedSharding(
+                self.mesh, P(None, None, None, "model", None, None))
+            if self.kv_dtype == "int8":
+                pool = {
+                    "sym": jax.device_put(pool["sym"], head_sh),
+                    "scale": jax.device_put(
+                        pool["scale"], NamedSharding(self.mesh, P())),
+                }
+            else:
+                pool = jax.device_put(pool, head_sh)
+        return pool
 
     # -- scheduler hooks -----------------------------------------------------
 
