@@ -75,9 +75,16 @@ def _window_start_block(q_off, iq, *, block_q, block_k, total_kb, num_kb,
     return jnp.clip(start, 0, total_kb - num_kb)
 
 
-def _flash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, block_q, block_k, group, scale,
-                  sliding_window=None, total_kb=None):
+def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
+                  scale, sliding_window=None, total_kb=None,
+                  has_slot=False):
+    if has_slot:
+        # extra scalar-prefetch ref (the pool row index) — consumed by
+        # the index_map only; the body masks with q_off/kv_len as usual
+        (_slot_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+         acc_scr) = rest
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -160,6 +167,7 @@ def flash_attention(
     interpret: Optional[bool] = None,
     sliding_window: Optional[int] = None,
     kv_head_major: bool = False,
+    kv_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pallas flash attention. See module docstring for shapes/semantics.
 
@@ -173,10 +181,18 @@ def flash_attention(
             kept for the cache-blob wire convention and tests.
         q_offset: int32 [B], global position of the first query token.
         kv_len: int32 [B], number of valid tokens in the KV buffer.
+        kv_slot: optional int32 [1] — K/V carry the FULL serving pool
+            (batch B_pool >= B) and every query row attends to pool row
+            ``kv_slot[0]``. This lets the per-slot prefill read straight
+            from the pool by scalar-prefetched index instead of
+            materializing a slot slice (a full-S copy per segment).
+            Requires B == 1 and kv_head_major.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, D = q.shape
+    if kv_slot is not None and (B != 1 or not kv_head_major):
+        raise ValueError("kv_slot requires B == 1 and kv_head_major")
     if kv_head_major:
         Hkv, S = k.shape[1], k.shape[2]
     else:
@@ -209,23 +225,29 @@ def flash_attention(
         num_kb = min(total_kb, (sliding_window + bq - 2) // bk + 2)
 
     grid = (B, Hkv, Tp // bq, num_kb)
+    has_slot = kv_slot is not None
 
-    def kv_index(b, h, iq, ik, q_off, kv_len):
+    def kv_index(b, h, iq, ik, *scalars):
+        q_off = scalars[0]
+        kb = b if not has_slot else scalars[-1][0]
         if sliding_window is None:
-            return (b, h, ik, 0)
+            return (kb, h, ik, 0)
         start = _window_start_block(
             q_off[b], iq, block_q=bq, block_k=bk, total_kb=total_kb,
             num_kb=num_kb, sliding_window=sliding_window)
-        return (b, h, start + ik, 0)
+        return (kb, h, start + ik, 0)
 
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               total_kb=total_kb)
+                               total_kb=total_kb, has_slot=has_slot)
+    scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
+    if has_slot:
+        scalar_args.append(kv_slot.astype(jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(scalar_args),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, group, bq, D),
@@ -243,5 +265,5 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
-    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), qh, kh, vh)
+    )(*scalar_args, qh, kh, vh)
     return out[:, :, :T].transpose(0, 2, 1, 3)

@@ -64,10 +64,15 @@ def dequantize_kv(sym: jax.Array, scale: jax.Array,
             scale[:, :, None, None]).astype(dtype)
 
 
-def _qflash_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, ks_ref,
-                   vs_ref, o_ref, m_scr, l_scr, acc_scr, *, block_q,
+def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
                    block_k, group, scale, sliding_window=None,
-                   total_kb=None):
+                   total_kb=None, has_slot=False):
+    if has_slot:
+        (_slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr,
+         l_scr, acc_scr) = rest
+    else:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr,
+         acc_scr) = rest
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -149,17 +154,22 @@ def quantized_flash_attention(
     interpret: Optional[bool] = None,
     kv_head_major: bool = False,
     sliding_window: Optional[int] = None,
+    kv_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention reading int8 KV directly from HBM.
 
     Same contract as ops.attention.flash_attention, with
     (k_sym, v_sym, k_scale, v_scale) from :func:`quantize_kv_for_cache`;
     ``kv_head_major=True`` takes sym buffers as [B, H_kv, S, D] (the
-    live-pool layout — no per-step full-KV transpose).
+    live-pool layout — no per-step full-KV transpose). ``kv_slot`` as
+    in flash_attention: KV/scales carry the full pool batch and the
+    single query row attends to pool row kv_slot[0].
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, D = q.shape
+    if kv_slot is not None and (B != 1 or not kv_head_major):
+        raise ValueError("kv_slot requires B == 1 and kv_head_major")
     if kv_head_major:
         Hkv, S = k_sym.shape[1], k_sym.shape[2]
     else:
@@ -186,29 +196,35 @@ def quantized_flash_attention(
     num_kb = total_kb
     if sliding_window is not None:
         num_kb = min(total_kb, (sliding_window + bq - 2) // bk + 2)
+    has_slot = kv_slot is not None
 
-    def kv_index(b, h, iq, ik, q_off, kv_len):
+    def kv_index(b, h, iq, ik, *scalars):
+        q_off = scalars[0]
+        kb = b if not has_slot else scalars[-1][0]
         if sliding_window is None:
-            return (b, h, ik, 0)
+            return (kb, h, ik, 0)
         from lmcache_tpu.ops.attention import _window_start_block
         start = _window_start_block(
             q_off[b], iq, block_q=bq, block_k=bk, total_kb=total_kb,
             num_kb=num_kb, sliding_window=sliding_window)
-        return (b, h, start + ik, 0)
+        return (kb, h, start + ik, 0)
 
-    def scale_index(b, h, iq, ik, q_off, kv_len):
-        bi, _, ki, _ = kv_index(b, h, iq, ik, q_off, kv_len)
+    def scale_index(b, h, iq, ik, *scalars):
+        bi, _, ki, _ = kv_index(b, h, iq, ik, *scalars)
         return (bi, 0, ki)
 
     grid = (B, Hkv, Tp // bq, num_kb)
     kernel = functools.partial(_qflash_kernel, block_q=bq, block_k=bk,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               total_kb=total_kb)
+                               total_kb=total_kb, has_slot=has_slot)
+    scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
+    if has_slot:
+        scalar_args.append(kv_slot.astype(jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(scalar_args),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, group, bq, D),
@@ -228,8 +244,7 @@ def quantized_flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
-    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), qh, kh, vh, ks,
-      vs)
+    )(*scalar_args, qh, kh, vh, ks, vs)
     return out[:, :, :T].transpose(0, 2, 1, 3)
 
 

@@ -170,20 +170,35 @@ class ServingEngine:
             llama.forward_quantized if quantized else llama.forward,
             cfg=cfg, use_pallas=self.use_pallas)
 
-        @functools.partial(jax.jit, donate_argnums=(3,))
-        def prefill_step(params, tokens, start, cache, slot, last_idx):
-            # tokens [1, Tp]; write into pool slot, return last real logits
-            # (the pool is a bare array, or a {"sym","scale"} tree in int8
-            # mode — batch is axis 2 in every leaf)
-            kv_slice = jax.tree.map(
+        @functools.partial(jax.jit, static_argnames=("seg_len",),
+                           donate_argnums=(3,))
+        def prefill_seg(params, tokens_dev, pos, slot_cache, last_idx, *,
+                        seg_len):
+            # the request's whole prompt was uploaded ONCE at admission
+            # (tokens_dev [1, n+pad]); each segment is sliced on-device
+            # — per-segment host->device token uploads are an RTT each
+            # in this environment. The KV state is the request's STAGED
+            # slot slice [L, 2, 1, H, S, D], cut from the pool once per
+            # request and written back once at completion (slicing per
+            # segment cost 2 full-S copies each, 1.52x direct prefill)
+            seg = jax.lax.dynamic_slice(tokens_dev, (0, pos),
+                                        (1, seg_len))
+            logits, slot_cache = fwd(params, tokens=seg,
+                                     start_pos=pos[None],
+                                     kv_cache=slot_cache)
+            return logits[0, last_idx], slot_cache
+
+        @jax.jit
+        def slice_out(cache, slot):
+            return jax.tree.map(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=2),
                 cache)
-            logits, new_slice = fwd(params, tokens=tokens, start_pos=start,
-                                    kv_cache=kv_slice)
-            cache = jax.tree.map(
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write_back(cache, slot_cache, slot):
+            return jax.tree.map(
                 lambda c, n: jax.lax.dynamic_update_slice_in_dim(
-                    c, n, slot, axis=2), cache, new_slice)
-            return logits[0, last_idx], cache
+                    c, n, slot, axis=2), cache, slot_cache)
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def decode_step(params, tokens, start, cache):
@@ -262,7 +277,9 @@ class ServingEngine:
                 return deq.transpose(0, 1, 3, 2, 4)
             return cache[:, :, slot].transpose(0, 1, 3, 2, 4)
 
-        self._prefill_step = prefill_step
+        self._prefill_seg = prefill_seg
+        self._slice_out = slice_out
+        self._write_back = write_back
         self._decode_step = decode_step
         self._spec_step = spec_step
         self._decode_block_step = decode_block_step
@@ -450,6 +467,7 @@ class ServingEngine:
         req.prefill_pos = pos + len(seg)
         if req.prefill_pos < n:
             return
+        self._finish_prefill(req)
         self.prefilling.remove(req)
         self._on_prefill_complete(req)
         self._assign_slot_key(req)
@@ -461,19 +479,42 @@ class ServingEngine:
         self._maybe_finish(req)
 
     def _prefill_segment(self, req: Request, pos: int, seg: np.ndarray):
-        """Run one prefill segment ([pos, pos+len(seg))) for the slot;
+        """Run one prefill segment ([pos, pos+len(seg))) against the
+        request's staged slot slice (cut from the pool on the first
+        segment, written back once at completion — _finish_prefill);
         segments are chunk-sized or power-of-two-bucketed tails so XLA
         compiles a bounded set of programs. Returns the logits of the
         segment's last token."""
+        if getattr(req, "_slot_cache", None) is None:
+            req._slot_cache = self._slice_out(
+                self.kv_pool, jnp.asarray(req.slot, jnp.int32))
+        if getattr(req, "_tokens_dev", None) is None:
+            # one upload for the whole prompt, padded so any bucketed
+            # tail slice stays in bounds (dynamic_slice CLAMPS an
+            # overrunning start, silently shifting the tokens — the
+            # bucket of a short tail can exceed prefill_chunk itself)
+            tokens = req.all_tokens
+            pad = _bucket(self.prefill_chunk)
+            padded = np.zeros(len(tokens) + pad, np.int32)
+            padded[:len(tokens)] = tokens
+            req._tokens_dev = jnp.asarray(padded)[None, :]
         T = len(seg)
         Tp = T if T == self.prefill_chunk else _bucket(T)
-        padded = np.zeros(Tp, np.int32)
-        padded[:T] = seg
-        logits, self.kv_pool = self._prefill_step(
-            self.params, jnp.asarray(padded)[None, :],
-            jnp.asarray([pos], jnp.int32), self.kv_pool,
-            jnp.asarray(req.slot, jnp.int32), jnp.asarray(T - 1, jnp.int32))
+        logits, req._slot_cache = self._prefill_seg(
+            self.params, req._tokens_dev,
+            jnp.asarray(pos, jnp.int32), req._slot_cache,
+            jnp.asarray(T - 1, jnp.int32), seg_len=Tp)
         return logits
+
+    def _finish_prefill(self, req: Request) -> None:
+        """Publish the staged slot slice back into the pool (one copy
+        per request instead of two per segment)."""
+        if getattr(req, "_slot_cache", None) is not None:
+            self.kv_pool = self._write_back(
+                self.kv_pool, req._slot_cache,
+                jnp.asarray(req.slot, jnp.int32))
+            req._slot_cache = None
+        req._tokens_dev = None
 
     def _stream_inject(self, req: Request, tokens: np.ndarray) -> int:
         """Retrieve the cached prefix as a stream and inject each chunk

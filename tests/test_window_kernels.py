@@ -193,3 +193,82 @@ def test_quantized_paged_dma_kernel():
             sliding_window=W)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_flash_kv_slot():
+    """kv_slot: a single query row attends to one row of the full pool
+    (the engine's slice-free prefill path), with and without windows."""
+    rng = np.random.default_rng(13)
+    Bp, T, H, D, Hkv, S = 4, 16, 4, 64, 2, 256
+    pool_k = jnp.asarray(rng.standard_normal((Bp, Hkv, S, D)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((Bp, Hkv, S, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((1, T, H, D)), jnp.float32)
+    q_off = jnp.asarray([100], jnp.int32)
+    kv_len = q_off + T
+    for slot in (0, 2, 3):
+        for W in (None, 48):
+            ref = mha_reference(
+                q, pool_k[slot:slot + 1].transpose(0, 2, 1, 3),
+                pool_v[slot:slot + 1].transpose(0, 2, 1, 3), q_off,
+                kv_len, sliding_window=W)
+            out = flash_attention(q, pool_k, pool_v, q_off, kv_len,
+                                  kv_head_major=True, sliding_window=W,
+                                  kv_slot=jnp.asarray([slot], jnp.int32),
+                                  block_k=128)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+
+
+def test_quantized_flash_kv_slot():
+    from lmcache_tpu.ops.quantized_attention import (
+        quantized_attention_reference, quantized_flash_attention)
+    rng = np.random.default_rng(14)
+    Bp, T, H, D, Hkv, S = 3, 1, 4, 64, 2, 256
+    sym_k = jnp.asarray(rng.integers(-127, 128, (Bp, Hkv, S, D)), jnp.int8)
+    sym_v = jnp.asarray(rng.integers(-127, 128, (Bp, Hkv, S, D)), jnp.int8)
+    sc_k = jnp.asarray(rng.uniform(0.01, 0.05, (Bp, S)), jnp.float32)
+    sc_v = jnp.asarray(rng.uniform(0.01, 0.05, (Bp, S)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((1, T, H, D)), jnp.float32)
+    q_off = jnp.asarray([200], jnp.int32)
+    kv_len = q_off + T
+    slot = 1
+    ref = quantized_attention_reference(
+        q, sym_k[slot:slot + 1].transpose(0, 2, 1, 3),
+        sym_v[slot:slot + 1].transpose(0, 2, 1, 3),
+        sc_k[slot:slot + 1], sc_v[slot:slot + 1], q_off, kv_len)
+    out = quantized_flash_attention(
+        q, sym_k, sym_v, sc_k, sc_v, q_off, kv_len, kv_head_major=True,
+        kv_slot=jnp.asarray([slot], jnp.int32), block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_forward_slot_matches_forward():
+    """forward_slot (slice-free per-slot prefill) == forward on the
+    slot's slice, pallas and reference paths."""
+    from lmcache_tpu.models import llama
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(15)
+    Bp, T, S, slot = 3, 24, 64, 1
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T)),
+                         jnp.int32)
+    start = jnp.asarray([8], jnp.int32)
+
+    for up in (False, True):
+        pool = llama.new_kv_cache(cfg, Bp, S)
+        ref_logits, ref_slice = llama.forward(
+            params, cfg, tokens, start, pool[:, :, slot:slot + 1],
+            use_pallas=False)
+        logits, new_pool = llama.forward_slot(
+            params, cfg, tokens, start, pool, slot, use_pallas=up)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(ref_logits), atol=2e-3,
+                                   rtol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(new_pool[:, :, slot:slot + 1]),
+            np.asarray(ref_slice), atol=2e-5, rtol=2e-5)
+        # other slots untouched
+        np.testing.assert_array_equal(
+            np.asarray(new_pool[:, :, :slot]),
+            np.asarray(pool[:, :, :slot]))
