@@ -515,167 +515,3 @@ def forward_quantized(
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, new_cache
 
-
-def forward_slot(
-    params: Params,
-    cfg: LlamaConfig,
-    tokens: jax.Array,  # int32 [1, T]
-    start_pos: jax.Array,  # int32 [1]
-    kv_cache: jax.Array,  # FULL pool [L, 2, B_pool, H_kv, S, D]
-    slot,  # int32 scalar — the pool row this sequence owns
-    *,
-    use_pallas: bool = True,
-    last_logit_only: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """:func:`forward` for ONE sequence against its row of the full
-    serving pool — the per-slot prefill path.
-
-    The engine previously sliced the slot out of the pool and wrote the
-    whole slice back per prefill segment (2x a full-S slot copy each
-    time; measured 1.52x the direct prefill cost at 4k tokens, B=8).
-    Here only the T new tokens are written, and attention reads the
-    slot's KV blocks straight from the pool by scalar-prefetched row
-    index (ops.attention.flash_attention's ``kv_slot``).
-    """
-    B, T = tokens.shape
-    assert B == 1, "forward_slot serves a single sequence"
-    positions = start_pos[:, None] + jnp.arange(T)[None, :]
-    kv_len = start_pos + T
-    slot = jnp.asarray(slot, jnp.int32).reshape(1)
-
-    x = params["embed"][tokens]
-
-    def layer(x, scanned):
-        lp, cache_l = scanned  # cache_l: [2, B_pool, H_kv, S, D]
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv(h, lp, cfg)
-        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
-        k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
-
-        # write ONLY the new segment into the slot's row (head-major)
-        def write(cache_b, new):  # [B_pool, H, S, D] <- [1, T, H, D]
-            return jax.lax.dynamic_update_slice(
-                cache_b, new.transpose(0, 2, 1, 3).astype(cache_b.dtype),
-                (slot[0], 0, start_pos[0], 0))
-
-        new_k = write(cache_l[0], k)
-        new_v = write(cache_l[1], v)
-
-        if use_pallas:
-            attn = flash_attention(q, new_k, new_v, start_pos, kv_len,
-                                   sliding_window=cfg.sliding_window,
-                                   kv_head_major=True, kv_slot=slot)
-        else:
-            ks = jax.lax.dynamic_slice_in_dim(new_k, slot[0], 1, axis=0)
-            vs = jax.lax.dynamic_slice_in_dim(new_v, slot[0], 1, axis=0)
-            attn = mha_reference(q, ks.transpose(0, 2, 1, 3),
-                                 vs.transpose(0, 2, 1, 3), start_pos,
-                                 kv_len, sliding_window=cfg.sliding_window)
-        x = x + attn.reshape(B, T, -1) @ lp["wo"]
-
-        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
-        up = (h @ lp["w_up"]).astype(jnp.float32)
-        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
-        return x, jnp.stack((new_k, new_v))
-
-    x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
-    if last_logit_only:
-        x = x[:, -1:]
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, new_cache
-
-
-def forward_slot_quantized(
-    params: Params,
-    cfg: LlamaConfig,
-    tokens: jax.Array,  # int32 [1, T]
-    start_pos: jax.Array,  # int32 [1]
-    kv_cache: Dict[str, jax.Array],  # full int8 pool
-    slot,
-    *,
-    use_pallas: bool = True,
-    last_logit_only: bool = False,
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """:func:`forward_slot` over the int8 pool."""
-    from lmcache_tpu.ops.quantized_attention import (
-        quantized_attention_reference, quantized_flash_attention)
-
-    B, T = tokens.shape
-    assert B == 1
-    positions = start_pos[:, None] + jnp.arange(T)[None, :]
-    kv_len = start_pos + T
-    slot = jnp.asarray(slot, jnp.int32).reshape(1)
-
-    x = params["embed"][tokens]
-
-    def quant_tokens(t):
-        t32 = t.astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(t32), axis=(2, 3))
-        scale = jnp.where(absmax == 0.0, 1.0, absmax) / 127.0
-        sym = jnp.round(t32 / scale[:, :, None, None])
-        return jnp.clip(sym, -127, 127).astype(jnp.int8), scale
-
-    def layer(x, scanned):
-        lp, cache_l = scanned  # {"sym" [2,Bp,H,S,D], "scale" [2,Bp,S]}
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv(h, lp, cfg)
-        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
-        k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
-
-        k_sym, k_scale = quant_tokens(k)
-        v_sym, v_scale = quant_tokens(v)
-
-        def write(cache_b, new):
-            return jax.lax.dynamic_update_slice(
-                cache_b, new.transpose(0, 2, 1, 3),
-                (slot[0], 0, start_pos[0], 0))
-
-        def write_scale(sc_b, new):  # [Bp, S] <- [1, T]
-            return jax.lax.dynamic_update_slice(sc_b, new,
-                                                (slot[0], start_pos[0]))
-
-        sym = jnp.stack([write(cache_l["sym"][0], k_sym),
-                         write(cache_l["sym"][1], v_sym)])
-        scl = jnp.stack([write_scale(cache_l["scale"][0], k_scale),
-                         write_scale(cache_l["scale"][1], v_scale)])
-
-        if use_pallas:
-            attn = quantized_flash_attention(
-                q, sym[0], sym[1], scl[0], scl[1], start_pos, kv_len,
-                kv_head_major=True, sliding_window=cfg.sliding_window,
-                kv_slot=slot)
-        else:
-            ks = jax.lax.dynamic_slice_in_dim(sym[0], slot[0], 1, axis=0)
-            vs = jax.lax.dynamic_slice_in_dim(sym[1], slot[0], 1, axis=0)
-            ksc = jax.lax.dynamic_slice_in_dim(scl[0], slot[0], 1, axis=0)
-            vsc = jax.lax.dynamic_slice_in_dim(scl[1], slot[0], 1, axis=0)
-            attn = quantized_attention_reference(
-                q, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
-                ksc, vsc, start_pos, kv_len,
-                sliding_window=cfg.sliding_window)
-        x = x + attn.reshape(B, T, -1).astype(x.dtype) @ lp["wo"]
-
-        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
-        up = (h @ lp["w_up"]).astype(jnp.float32)
-        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
-        return x, {"sym": sym, "scale": scl}
-
-    x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
-    if last_logit_only:
-        x = x[:, -1:]
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, new_cache

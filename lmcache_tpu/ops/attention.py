@@ -183,10 +183,11 @@ def flash_attention(
         kv_len: int32 [B], number of valid tokens in the KV buffer.
         kv_slot: optional int32 [1] — K/V carry the FULL serving pool
             (batch B_pool >= B) and every query row attends to pool row
-            ``kv_slot[0]``. This lets the per-slot prefill read straight
-            from the pool by scalar-prefetched index instead of
-            materializing a slot slice (a full-S copy per segment).
-            Requires B == 1 and kv_head_major.
+            ``kv_slot[0]``: slice-free single-sequence attention against
+            a pool. (The engine's prefill uses a staged slot slice
+            instead — cutting once per request profiled equal and keeps
+            the layer scan's carry small.) Requires B == 1 and
+            kv_head_major.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

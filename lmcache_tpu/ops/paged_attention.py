@@ -407,7 +407,7 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
         for w in range(N_BUF - 1):
             @pl.when(w < num_j)
             def _(w=w):
-                dk, dv = dmas(w % N_BUF, w)
+                dk, dv = dmas(w, w)
                 dk.start()
                 dv.start()
 
@@ -581,7 +581,7 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
         for w in range(N_BUF - 1):
             @pl.when(w < num_j)
             def _(w=w):
-                for d in dmas(w % N_BUF, w):
+                for d in dmas(w, w):
                     d.start()
 
         def body(j, carry):

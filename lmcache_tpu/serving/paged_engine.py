@@ -187,6 +187,15 @@ class PagedServingEngine(ServingEngine):
                 new_paged_kv_pool(self.cfg, self.num_pages, self.page_size))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            if self.use_pallas:
+                # pallas operands have no GSPMD partitioning rule: on a
+                # real multi-chip mesh the sharded arena would be
+                # gathered per step (or fail to lower). Validated only
+                # with the reference attention path; shard_map'ing the
+                # kernels is round-3 work.
+                logger.warning(
+                    "paged mesh + pallas kernels is unvalidated on "
+                    "multi-chip hardware; consider use_pallas=False")
             head_sh = NamedSharding(
                 self.mesh, P(None, None, None, "model", None, None))
             if self.kv_dtype == "int8":

@@ -242,33 +242,3 @@ def test_quantized_flash_kv_slot():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 
-
-def test_forward_slot_matches_forward():
-    """forward_slot (slice-free per-slot prefill) == forward on the
-    slot's slice, pallas and reference paths."""
-    from lmcache_tpu.models import llama
-    cfg = llama.LlamaConfig.tiny(n_layers=2)
-    params = llama.init_params(jax.random.PRNGKey(4), cfg)
-    rng = np.random.default_rng(15)
-    Bp, T, S, slot = 3, 24, 64, 1
-    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T)),
-                         jnp.int32)
-    start = jnp.asarray([8], jnp.int32)
-
-    for up in (False, True):
-        pool = llama.new_kv_cache(cfg, Bp, S)
-        ref_logits, ref_slice = llama.forward(
-            params, cfg, tokens, start, pool[:, :, slot:slot + 1],
-            use_pallas=False)
-        logits, new_pool = llama.forward_slot(
-            params, cfg, tokens, start, pool, slot, use_pallas=up)
-        np.testing.assert_allclose(np.asarray(logits),
-                                   np.asarray(ref_logits), atol=2e-3,
-                                   rtol=2e-3)
-        np.testing.assert_allclose(
-            np.asarray(new_pool[:, :, slot:slot + 1]),
-            np.asarray(ref_slice), atol=2e-5, rtol=2e-5)
-        # other slots untouched
-        np.testing.assert_array_equal(
-            np.asarray(new_pool[:, :, :slot]),
-            np.asarray(pool[:, :, :slot]))

@@ -114,14 +114,20 @@ def evaluate(model: str = "tiny", ctx: int = 256, cont: int = 64,
     p = jnp_.exp(lp_exact)
     kl = float((p * (lp_exact - lp_codec)).sum(axis=-1).mean())
     # greedy stability: fraction of unchanged argmax tokens, overall and
-    # on positions where exact's top-2 margin is decisive
+    # on positions where exact's top-2 margin is decisive. The margin is
+    # capped at the 90th percentile of observed margins so at least the
+    # most-confident decile always qualifies — otherwise a flat-logit
+    # run could have ZERO confident positions and the gate would pass
+    # vacuously on KL alone
     agree = jnp_.argmax(lp_exact, -1) == jnp_.argmax(lp_codec, -1)
     top1 = float(agree.mean())
     top2 = jnp_.sort(lp_exact, axis=-1)[:, -2:]
-    confident = (top2[:, 1] - top2[:, 0]) > CONFIDENT_MARGIN
+    margins = top2[:, 1] - top2[:, 0]
+    margin_eff = float(min(CONFIDENT_MARGIN,
+                           jnp_.quantile(margins, 0.9)))
+    confident = margins >= margin_eff
     n_conf = int(confident.sum())
-    conf_top1 = (float(agree[confident].sum() / n_conf)
-                 if n_conf else 1.0)
+    conf_top1 = float(agree[confident].sum() / max(n_conf, 1))
 
     nll_exact, nll_codec = nll_of(lp_exact), nll_of(lp_codec)
     ppl_exact, ppl_codec = np.exp(nll_exact), np.exp(nll_codec)
@@ -138,6 +144,7 @@ def evaluate(model: str = "tiny", ctx: int = 256, cont: int = 64,
         "top1_agreement": round(top1, 4),
         "confident_top1_agreement": round(conf_top1, 4),
         "confident_positions": n_conf,
+        "confident_margin_nats": round(margin_eff, 4),
         "ppl_exact": round(float(ppl_exact), 4),
         "ppl_codec": round(float(ppl_codec), 4),
         "ppl_delta": round(float(delta), 4),
