@@ -135,13 +135,14 @@ def forward_paged(
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
     if use_pallas:
-        # D%128 models (every 7B+ family) get the manual-DMA kernel:
-        # cost tracks live pages with no per-page grid overhead; smaller
-        # head dims use the revisit-pinned grid kernel (Mosaic cannot
-        # lane-cross-reshape the DMA view there)
+        # the manual-DMA kernel covers D%128 (every 7B+ family) AND
+        # D dividing 128 (tinyllama-class D=64, via packed-lane scoring
+        # — ops/paged_attention._packed_scores); other head dims keep
+        # the revisit-pinned grid kernel
         from lmcache_tpu.ops.paged_attention import paged_attention_dma
+        D = cfg.head_dim
         impl = (paged_attention_dma
-                if cfg.head_dim % 128 == 0 else paged_attention)
+                if D % 128 == 0 or 128 % D == 0 else paged_attention)
     else:
         impl = paged_attention_reference
     attend = functools.partial(impl, sliding_window=cfg.sliding_window)
@@ -224,8 +225,10 @@ def forward_paged_quantized(
     if use_pallas:
         from lmcache_tpu.ops.paged_attention import (
             quantized_paged_attention_dma)
+        D = cfg.head_dim
         impl = (quantized_paged_attention_dma
-                if cfg.head_dim % 128 == 0 else quantized_paged_attention)
+                if D % 128 == 0 or 128 % D == 0
+                else quantized_paged_attention)
     else:
         impl = quantized_paged_attention_reference
     attend = functools.partial(impl, sliding_window=cfg.sliding_window)

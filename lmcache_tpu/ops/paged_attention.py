@@ -357,6 +357,80 @@ def quantized_paged_attention(
 
 N_BUF = 4  # in-flight page-copy depth for the DMA kernels
 
+
+def _pack_factor(page, D):
+    """Tokens per 128-lane DMA row. Mosaic requires HBM DMA slices to be
+    128-lane aligned, so for D < 128 the wrapper views each page as
+    ``[page*D/128, 128]`` and each landed row packs ``128 // D``
+    consecutive tokens (D must divide 128; lane-crossing reshapes back
+    to [page, D] do not lower in-kernel)."""
+    if D >= 128:
+        return 1
+    if 128 % D:
+        raise ValueError(f"head_dim {D} < 128 must divide 128")
+    return 128 // D
+
+
+def _packed_scores(q, kv_k, *, page, D):
+    """q @ K^T over a packed KV page, WITHOUT unpacking the lanes.
+
+    kv_k: [page*D/128, 128] f32. When D < 128 the row r lanes
+    [i*D:(i+1)*D] hold token ``pack*r + i``, so each sub-lane-range is
+    scored by its own matmul (a static lane slice, which Mosaic lowers;
+    a reshape to [page, D] would lane-cross and does not). Returns
+    scores [rows, page] in PACKED column order: column ``i*R + r`` is
+    token ``pack*r + i`` (R = page // pack)."""
+    pack = _pack_factor(page, D)
+    if pack == 1:
+        return jax.lax.dot_general(
+            q, kv_k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jnp.concatenate(
+        [jax.lax.dot_general(q, kv_k[:, i * D:(i + 1) * D],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         for i in range(pack)], axis=1)
+
+
+def _packed_col_token(cols, *, page, D):
+    """Packed score column index -> token index within the page (the
+    inverse of the _packed_scores column order)."""
+    pack = _pack_factor(page, D)
+    if pack == 1:
+        return cols
+    R = page // pack
+    return pack * jax.lax.rem(cols, R) + cols // R
+
+
+def _packed_pv(p, kv_v, *, page, D):
+    """p @ V with p in packed column order and kv_v lane-packed: the
+    column block for sub-lane-range i multiplies that range's values;
+    the per-range [rows, D] products sum into the full output."""
+    pack = _pack_factor(page, D)
+    if pack == 1:
+        return jax.lax.dot_general(p, kv_v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    R = page // pack
+    return sum(
+        jax.lax.dot_general(p[:, i * R:(i + 1) * R],
+                            kv_v[:, i * D:(i + 1) * D],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for i in range(pack))
+
+
+def _packed_scale_perm(scale_pool, *, page, D):
+    """Permute per-token scale rows [P, page] into the packed column
+    order so the kernel can apply them to _packed_scores output
+    directly (outside-kernel gather; [P, page] f32 is tiny)."""
+    pack = _pack_factor(page, D)
+    if pack == 1:
+        return scale_pool
+    R = page // pack
+    cols = jnp.arange(page)
+    return scale_pool[:, pack * (cols % R) + cols // R]
+
+
 def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                       v_hbm, o_ref, *, block_q, page, group, scale,
                       sliding_window=None):
@@ -427,17 +501,17 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             dv.wait()
 
             D = q.shape[-1]
-            k = k_scr[slot].reshape(page, D).astype(jnp.float32)
-            v = v_scr[slot].reshape(page, D).astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+            kv_k = k_scr[slot].astype(jnp.float32)  # [page*D/128, 128]
+            kv_v = v_scr[slot].astype(jnp.float32)
+            s = _packed_scores(q, kv_k, page=page, D=D) * scale
 
             qpos = (q_off_ref[b] + iq * block_q
                     + jax.lax.broadcasted_iota(
                         jnp.int32, (group * block_q, page), 0) % block_q)
-            kpos = ((start_pg + j) * page + jax.lax.broadcasted_iota(
-                jnp.int32, (group * block_q, page), 1))
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (group * block_q, page), 1)
+            kpos = ((start_pg + j) * page
+                    + _packed_col_token(cols, page=page, D=D))
             mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
             if sliding_window is not None:
                 mask &= kpos > qpos - sliding_window
@@ -447,9 +521,7 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
             l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-            acc = alpha * acc + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            acc = alpha * acc + _packed_pv(p, kv_v, page=page, D=D)
             return m_new, l, acc
 
         rows = group * block_q
@@ -475,16 +547,18 @@ def _dma_page_view(pool):
     aligned: HBM DMA slices must be multiples of 128 in the last dim.
     Contiguous reshape — no data movement.
 
-    NOTE: the in-kernel reshape back to [page, D] lowers under the
-    interpreter but NOT under Mosaic (lane-crossing vector reshape), so
-    on real TPUs the DMA kernels require ``head_dim % 128 == 0`` — true
-    for every 7B+ family here (llama-2/3, mistral, qwen, glm all use
-    D=128). models/paged.py dispatches accordingly."""
+    The landed rows are NOT reshaped back in-kernel (lane-crossing
+    vector reshapes don't lower under Mosaic); instead the kernel scores
+    each packed sub-lane-range with its own matmul and remaps the score
+    columns (_packed_scores / _packed_col_token / _packed_pv), so the
+    DMA kernels cover D=64 (tinyllama, longchat-tiny, phi-class) as well
+    as the D=128 7B+ families."""
     P, H, page, D = pool.shape
     if D % 128 == 0:
         return pool
-    if (page * D) % 128:
-        raise ValueError(f"page*D ({page}*{D}) must be a multiple of 128")
+    _pack_factor(page, D)  # validates 128 % D == 0
+    if page % (128 // D):
+        raise ValueError(f"page ({page}) must be a multiple of {128 // D}")
     return pool.reshape(P, H, page * D // 128, 128)
 
 
@@ -598,21 +672,22 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                 d.wait()
 
             D = q.shape[-1]
-            k = k_scr[slot].reshape(page, D).astype(jnp.float32)
-            v = v_scr[slot].reshape(page, D).astype(jnp.float32)
+            kv_k = k_scr[slot].astype(jnp.float32)  # [page*D/128, 128]
+            kv_v = v_scr[slot].astype(jnp.float32)
             # scale rows land lane-padded to 128; the live entries are
-            # the first `page`
+            # the first `page`, already permuted by the wrapper into the
+            # packed column order (_packed_scale_perm)
             ksc = ks_scr[slot][:, :page].astype(jnp.float32)  # [1, page]
             vsc = vs_scr[slot][:, :page].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * (ksc * scale)
+            s = _packed_scores(q, kv_k, page=page, D=D) * (ksc * scale)
 
             qpos = (q_off_ref[b] + iq * block_q
                     + jax.lax.broadcasted_iota(
                         jnp.int32, (group * block_q, page), 0) % block_q)
-            kpos = ((start_pg + j) * page + jax.lax.broadcasted_iota(
-                jnp.int32, (group * block_q, page), 1))
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (group * block_q, page), 1)
+            kpos = ((start_pg + j) * page
+                    + _packed_col_token(cols, page=page, D=D))
             mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
             if sliding_window is not None:
                 mask &= kpos > qpos - sliding_window
@@ -622,9 +697,7 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
             l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-            acc = alpha * acc + jax.lax.dot_general(
-                p * vsc, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            acc = alpha * acc + _packed_pv(p * vsc, kv_v, page=page, D=D)
             return m_new, l, acc
 
         rows = group * block_q
@@ -679,10 +752,13 @@ def quantized_paged_attention_dma(
                  ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
     k_sym_pool = _dma_page_view(k_sym_pool)
     v_sym_pool = _dma_page_view(v_sym_pool)
-    # scale rows lane-pad to 128 so their DMA slices are aligned
+    # scale rows: permute into packed column order (D < 128), then
+    # lane-pad to 128 so their DMA slices are aligned
     pad = _round_up(page, 128) - page
-    ks = jnp.pad(k_scale_pool, ((0, 0), (0, pad)))[:, None, :]
-    vs = jnp.pad(v_scale_pool, ((0, 0), (0, pad)))[:, None, :]
+    ks = jnp.pad(_packed_scale_perm(k_scale_pool, page=page, D=D),
+                 ((0, 0), (0, pad)))[:, None, :]
+    vs = jnp.pad(_packed_scale_perm(v_scale_pool, page=page, D=D),
+                 ((0, 0), (0, pad)))[:, None, :]
 
     grid = (B, Hkv, Tp // bq)
     kernel = functools.partial(_paged_dma_kernel_q, block_q=bq, page=page,

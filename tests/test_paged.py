@@ -150,3 +150,28 @@ def test_forward_paged_dma_dispatch_d128():
     np.testing.assert_allclose(np.asarray(paged_logits),
                                np.asarray(dense_logits), atol=2e-3,
                                rtol=2e-3)
+
+
+def test_forward_paged_dma_dispatch_d64():
+    """D=64 models now ALSO dispatch to the manual-DMA kernel (packed-
+    lane scoring); parity with the dense forward through forward_paged."""
+    cfg = llama.LlamaConfig.tiny(n_layers=2, dim=256, n_heads=4,
+                                 n_kv_heads=2)  # head_dim 64
+    assert cfg.head_dim == 64
+    params = llama.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(5)
+    B, T, page, NP = 2, 40, 16, 4
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    zero = jnp.zeros(B, jnp.int32)
+
+    dense_logits, _ = llama.forward(
+        params, cfg, tokens, zero, llama.new_kv_cache(cfg, B, NP * page),
+        use_pallas=False)
+    pool = new_paged_kv_pool(cfg, num_pages=12, page_size=page)
+    alloc = PageAllocator(12)
+    pt = jnp.asarray([alloc.alloc(NP) for _ in range(B)], jnp.int32)
+    paged_logits, _ = forward_paged(params, cfg, tokens, zero, pool, pt,
+                                    use_pallas=True)
+    np.testing.assert_allclose(np.asarray(paged_logits),
+                               np.asarray(dense_logits), atol=2e-3,
+                               rtol=2e-3)

@@ -143,8 +143,9 @@ def test_quantized_paged_windowed_and_remap():
 def test_paged_dma_kernel(kv_len, W, D):
     """Manual-DMA paged kernel (kernel-driven double-buffered page
     streaming) matches the dense reference for decode and prefill
-    shapes, ragged lens and windows. D=128 is the on-TPU path (Mosaic);
-    D=64 exercises the interpreter-only packed view."""
+    shapes, ragged lens and windows. D=128 streams pages directly; D=64
+    exercises the packed-lane scoring path (_packed_scores: each
+    128-lane DMA row carries two tokens)."""
     from lmcache_tpu.ops.paged_attention import paged_attention_dma
     rng = np.random.default_rng(sum(kv_len) + (W or 0) + D)
     B, H, Hkv = 2, 4, 2
