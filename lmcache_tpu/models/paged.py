@@ -113,6 +113,53 @@ def pages_needed(num_tokens: int, page_size: int) -> int:
     return -(-num_tokens // page_size)
 
 
+def _shard_paged_attend(attend, mesh, n_kv_heads: int, batch: int, *,
+                        quantized: bool):
+    """Wrap a paged-attention kernel in ``shard_map`` over ``mesh``.
+
+    Pallas calls have no GSPMD partitioning rule, so under plain ``jit``
+    a mesh-sharded arena would be all-gathered onto every chip before
+    each call. But paged attention is *embarrassingly parallel over kv
+    heads* (the kernel grid axis is the kv head; GQA groups never mix
+    heads), so the manual-sharding formulation is exact and collective-
+    free: each chip runs the kernel over its own head slice of the arena
+    and its own query-head group slice, with page tables and lengths
+    replicated. Batch shards over "data" the same way.
+
+    Falls back to ``None`` (caller keeps the unwrapped kernel) when the
+    head/batch extents don't divide the mesh — mirroring GSPMD's own
+    divisibility requirement for the dense path.
+    """
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # jax >= 0.5 moved it
+        from jax.sharding import shard_map  # type: ignore
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("model", 1)
+    dp = mesh.shape.get("data", 1)
+    if n_kv_heads % tp:
+        return None
+    # batch rides "data" when it divides (decode at full batch);
+    # otherwise (B=1 prefill on a dp>1 mesh) replicate the batch — the
+    # head sharding still avoids the arena gather, which is the cost
+    # that matters
+    bax = "data" if batch % dp == 0 else None
+
+    qspec = P(bax, None, "model", None)  # [B, T, H, D] heads grouped
+    pool = P(None, "model", None, None)  # [P, H_kv, page, D] arena
+    tab = P(bax, None)  # [B, NP]
+    vec = P(bax,)  # [B]
+    if quantized:
+        scl = P(None, None)  # [P, page] per-token scales, head-free
+        in_specs = (qspec, pool, pool, scl, scl, tab, vec, vec)
+    else:
+        in_specs = (qspec, pool, pool, tab, vec, vec)
+
+    return shard_map(attend, mesh=mesh, in_specs=in_specs,
+                     out_specs=qspec, check_rep=False)
+
+
 def forward_paged(
     params: llama.Params,
     cfg: llama.LlamaConfig,
@@ -123,12 +170,17 @@ def forward_paged(
     *,
     use_pallas: bool = True,
     last_logit_only: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`llama.forward` against the shared paged pool.
 
     New tokens' KV is scattered into the pages named by ``page_table``;
     attention gathers pages by DMA inside the Pallas kernel. Returns
     (logits, updated pool).
+
+    With ``mesh``, the pallas kernel runs under ``shard_map`` with the
+    arena's kv heads on "model" (see :func:`_shard_paged_attend`) — the
+    sharded arena is consumed in place, never gathered.
     """
     B, T = tokens.shape
     page = kv_pool.shape[4]
@@ -146,6 +198,11 @@ def forward_paged(
     else:
         impl = paged_attention_reference
     attend = functools.partial(impl, sliding_window=cfg.sliding_window)
+    if use_pallas and mesh is not None:
+        sharded = _shard_paged_attend(attend, mesh, cfg.n_kv_heads, B,
+                                      quantized=False)
+        if sharded is not None:
+            attend = sharded
 
     # per-(batch, new-token) page id and in-page offset
     pidx = jnp.take_along_axis(page_table, positions // page,
@@ -215,6 +272,7 @@ def forward_paged_quantized(
     *,
     use_pallas: bool = True,
     last_logit_only: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """:func:`forward_paged` over the int8 page arena: per-(layer, token)
     quantization on write, fused dequant on read."""
@@ -232,6 +290,11 @@ def forward_paged_quantized(
     else:
         impl = quantized_paged_attention_reference
     attend = functools.partial(impl, sliding_window=cfg.sliding_window)
+    if use_pallas and mesh is not None:
+        sharded = _shard_paged_attend(attend, mesh, cfg.n_kv_heads, B,
+                                      quantized=True)
+        if sharded is not None:
+            attend = sharded
 
     pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
     poff = positions % page

@@ -75,7 +75,7 @@ class PagedServingEngine(ServingEngine):
 
         fwd = functools.partial(
             forward_paged_quantized if quantized else forward_paged,
-            cfg=cfg, use_pallas=self.use_pallas)
+            cfg=cfg, use_pallas=self.use_pallas, mesh=self.mesh)
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill_paged(params, tokens, start, pool, table, last_idx):
@@ -187,15 +187,18 @@ class PagedServingEngine(ServingEngine):
                 new_paged_kv_pool(self.cfg, self.num_pages, self.page_size))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            if self.use_pallas:
-                # pallas operands have no GSPMD partitioning rule: on a
-                # real multi-chip mesh the sharded arena would be
-                # gathered per step (or fail to lower). Validated only
-                # with the reference attention path; shard_map'ing the
-                # kernels is round-3 work.
+            if (self.use_pallas
+                    and self.cfg.n_kv_heads % self.mesh.shape["model"]):
+                # models/paged._shard_paged_attend falls back to the
+                # unwrapped pallas call in this case, and pallas operands
+                # have no GSPMD rule — the sharded arena would be
+                # gathered onto every chip per step
                 logger.warning(
-                    "paged mesh + pallas kernels is unvalidated on "
-                    "multi-chip hardware; consider use_pallas=False")
+                    "n_kv_heads (%d) does not divide the mesh's model "
+                    "axis (%d): the paged pallas kernels cannot be "
+                    "shard_map'ed and the arena will be gathered per "
+                    "step; consider use_pallas=False",
+                    self.cfg.n_kv_heads, self.mesh.shape["model"])
             head_sh = NamedSharding(
                 self.mesh, P(None, None, None, "model", None, None))
             if self.kv_dtype == "int8":

@@ -62,3 +62,112 @@ def test_paged_generate_on_mesh():
     assert len(eng.kv_pool.sharding.device_set) == 4
     [req] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
     assert req.output_tokens == golden.output_tokens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_paged_pallas_shard_map_parity():
+    """The pallas paged kernels run under shard_map with the arena's kv
+    heads on "model" (models/paged._shard_paged_attend): the sharded
+    arena is consumed in place — no GSPMD gather — and the result
+    matches the unsharded reference path."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lmcache_tpu.models.paged import forward_paged, new_paged_kv_pool
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512)  # head_dim 64
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    sparams = shard_params(params, mesh)
+
+    B, T, page, num_pages = 4, 16, 16, 32
+    pool = new_paged_kv_pool(cfg, num_pages, page)
+    pool_sh = jax.device_put(
+        pool, NamedSharding(mesh, P(None, None, None, "model", None, None)))
+    table = np.zeros((B, 8), np.int32)
+    for b in range(B):
+        table[b, 0] = 1 + b  # one live page per sequence
+    tokens = np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (B, T), dtype=np.int32)
+    start = jnp.zeros((B,), jnp.int32)
+
+    ref_logits, ref_pool = forward_paged(
+        params, cfg, jnp.asarray(tokens), start, pool, jnp.asarray(table),
+        use_pallas=False)
+    sh_logits, sh_pool = forward_paged(
+        sparams, cfg, jnp.asarray(tokens), start, pool_sh,
+        jnp.asarray(table), use_pallas=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_logits),
+                               np.asarray(ref_logits), atol=2e-3,
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(sh_pool), np.asarray(ref_pool),
+                               atol=2e-3, rtol=2e-3)
+    # the arena's head sharding survived the step (it was not gathered)
+    assert "model" in str(sh_pool.sharding.spec)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_paged_pallas_shard_map_parity_int8():
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lmcache_tpu.models.paged import (forward_paged_quantized,
+                                          new_quantized_paged_pool)
+
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    sparams = shard_params(params, mesh)
+
+    B, T, page, num_pages = 2, 16, 16, 16
+    pool = new_quantized_paged_pool(cfg, num_pages, page)
+    pool_sh = {
+        "sym": jax.device_put(
+            pool["sym"],
+            NamedSharding(mesh, P(None, None, None, "model", None, None))),
+        "scale": jax.device_put(pool["scale"], NamedSharding(mesh, P())),
+    }
+    table = np.zeros((B, 8), np.int32)
+    for b in range(B):
+        table[b, 0] = 1 + b
+    tokens = np.random.default_rng(6).integers(
+        0, cfg.vocab_size, (B, T), dtype=np.int32)
+    start = jnp.zeros((B,), jnp.int32)
+
+    ref_logits, _ = forward_paged_quantized(
+        params, cfg, jnp.asarray(tokens), start, pool, jnp.asarray(table),
+        use_pallas=False)
+    sh_logits, _ = forward_paged_quantized(
+        sparams, cfg, jnp.asarray(tokens), start, pool_sh,
+        jnp.asarray(table), use_pallas=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_logits),
+                               np.asarray(ref_logits), atol=5e-3,
+                               rtol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_paged_generate_on_mesh_pallas():
+    """End-to-end paged engine on a mesh with the pallas kernels on:
+    greedy output matches the unsharded single-device golden."""
+    from lmcache_tpu.serving.paged_engine import PagedServingEngine
+
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512)
+    params = shard_params(
+        llama.init_params(jax.random.PRNGKey(7), cfg), mesh)
+
+    prompt = np.random.default_rng(1).integers(0, cfg.vocab_size, 21,
+                                               dtype=np.int32)
+    golden_eng = ServingEngine(cfg,
+                               llama.init_params(jax.random.PRNGKey(7),
+                                                 cfg), max_batch=2,
+                               max_seq=128, use_pallas=False)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=6))
+
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                             num_pages=16, page_size=16, use_pallas=True,
+                             mesh=mesh)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
+    assert req.output_tokens == golden.output_tokens
