@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from lmcache_tpu.models import llama
-from lmcache_tpu.models.llama import _rms_norm, _rope
+from lmcache_tpu.models.llama import (_attn_residual, _mlp_residual,
+                                      _rms_norm, _rope)
 from lmcache_tpu.ops.attention import _NEG_INF
 
 
@@ -130,11 +131,8 @@ def blend_prefill(
     blended_kv = blended_kv.at[0].set(kv0)
 
     attn = _attend_selected(q0, k0, v0, positions, kv_len, group)
-    x = x + attn @ lp0["wo"]
-    hm = _rms_norm(x, lp0["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu((hm @ lp0["w_gate"]).astype(jnp.float32))
-    x = x + (gate * (hm @ lp0["w_up"]).astype(jnp.float32)).astype(
-        x.dtype) @ lp0["w_down"]
+    x = _attn_residual(x, attn, lp0, cfg)
+    x = _mlp_residual(x, lp0, cfg)
 
     # true layer-1 KV for all tokens (cheap: projections only)
     lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
@@ -179,11 +177,8 @@ def blend_prefill(
         kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))
         kv_l = kv_l.at[1, sel].set(v.astype(kv_l.dtype))
         attn = _attend_selected(q, kv_l[0], kv_l[1], sel_pos, kv_len, group)
-        xs = xs + attn @ lp["wo"]
-        hm = _rms_norm(xs, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((hm @ lp["w_gate"]).astype(jnp.float32))
-        xs = xs + (gate * (hm @ lp["w_up"]).astype(jnp.float32)).astype(
-            xs.dtype) @ lp["w_down"]
+        xs = _attn_residual(xs, attn, lp, cfg)
+        xs = _mlp_residual(xs, lp, cfg)
         return (xs, None), kv_l
 
     rest = jax.tree.map(lambda a: a[1:], params["layers"])

@@ -57,6 +57,10 @@ class LlamaConfig:
     # ("interleaved") instead of llama's half-split.
     rotary_dim: "Optional[int]" = None
     rope_interleaved: bool = False
+    # sandwich norms (Glm4-0414 family, HF `glm4` arch): extra RMSNorms
+    # on the attention and MLP *outputs* before the residual add
+    # (post_self_attn_layernorm / post_mlp_layernorm in modeling_glm4)
+    post_norms: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -120,6 +124,16 @@ class LlamaConfig:
                            rope_interleaved=True)
 
     @staticmethod
+    def glm4_0414_9b() -> "LlamaConfig":
+        # THUDM/GLM-4-9B-0414 (HF `glm4` arch): glm4_9b geometry plus
+        # the family's sandwich norms on attention/MLP outputs
+        return LlamaConfig(vocab_size=151552, dim=4096, n_layers=40,
+                           n_heads=32, n_kv_heads=2, hidden_dim=13696,
+                           rope_theta=10000.0, max_seq_len=32768,
+                           attention_bias=True, rotary_dim=64,
+                           rope_interleaved=True, post_norms=True)
+
+    @staticmethod
     def from_hf(model_name: str) -> "LlamaConfig":
         """Read the architecture from a HuggingFace config."""
         from transformers import AutoConfig
@@ -147,9 +161,10 @@ class LlamaConfig:
                 or model_type == "qwen2"),
             sliding_window=getattr(hc, "sliding_window", None),
             rotary_dim=rotary_dim,
-            # HF's glm port applies cos/sin via repeat_interleave +
-            # interleaved rotate_half (modeling_glm.py)
-            rope_interleaved=model_type == "glm",
+            # HF's glm/glm4 ports apply cos/sin via repeat_interleave +
+            # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
+            rope_interleaved=model_type in ("glm", "glm4"),
+            post_norms=model_type == "glm4",
         )
 
 
@@ -178,6 +193,9 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
         layers["bq"] = jnp.zeros((L, nh * hd), dt)
         layers["bk"] = jnp.zeros((L, nkv * hd), dt)
         layers["bv"] = jnp.zeros((L, nkv * hd), dt)
+    if cfg.post_norms:
+        layers["post_attn_norm"] = jnp.ones((L, dim), dt)
+        layers["post_mlp_norm"] = jnp.ones((L, dim), dt)
     return {
         "embed": w(keys[0], (cfg.vocab_size, dim), dim),
         "layers": layers,
@@ -243,6 +261,11 @@ def load_hf(model_name: str,
         layers["bq"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
         layers["bk"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
         layers["bv"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
+    if cfg.post_norms:
+        layers["post_attn_norm"] = stack_vec(
+            "model.layers.{}.post_self_attn_layernorm.weight")
+        layers["post_mlp_norm"] = stack_vec(
+            "model.layers.{}.post_mlp_layernorm.weight")
     params = {
         "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy(), dt),
         "layers": layers,
@@ -306,6 +329,28 @@ def _rms_norm(x, weight, eps):
     x32 = x.astype(jnp.float32)
     rms = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
     return (x32 * rms).astype(x.dtype) * weight
+
+
+def _attn_residual(x, attn_flat, lp, cfg):
+    """Residual add of the attention block's output (``attn_flat``
+    [B, T, H*D]), with the Glm4-0414 sandwich norm on the o_proj output
+    when the family has one."""
+    y = attn_flat.astype(x.dtype) @ lp["wo"]
+    if cfg.post_norms:
+        y = _rms_norm(y, lp["post_attn_norm"], cfg.norm_eps)
+    return x + y
+
+
+def _mlp_residual(x, lp, cfg):
+    """SwiGLU MLP + residual, with the Glm4-0414 sandwich norm on the
+    down_proj output when the family has one."""
+    h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+    up = (h @ lp["w_up"]).astype(jnp.float32)
+    y = (gate * up).astype(x.dtype) @ lp["w_down"]
+    if cfg.post_norms:
+        y = _rms_norm(y, lp["post_mlp_norm"], cfg.norm_eps)
+    return x + y
 
 
 def _qkv(h, lp, cfg):
@@ -405,12 +450,8 @@ def forward(
         new_v = write_at(cache_l[1], v.astype(cache_l.dtype), start_pos)
 
         attn = attend(q, new_k, new_v, start_pos, kv_len)
-        x = x + attn.reshape(B, T, -1) @ lp["wo"]
-
-        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
-        up = (h @ lp["w_up"]).astype(jnp.float32)
-        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
+        x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
+        x = _mlp_residual(x, lp, cfg)
         return x, jnp.stack((new_k, new_v))
 
     x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
@@ -500,12 +541,8 @@ def forward_quantized(
 
         attn = attend(q, sym[0], sym[1], scale[0], scale[1], start_pos,
                       kv_len)
-        x = x + attn.reshape(B, T, -1).astype(x.dtype) @ lp["wo"]
-
-        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
-        up = (h @ lp["w_up"]).astype(jnp.float32)
-        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
+        x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
+        x = _mlp_residual(x, lp, cfg)
         return x, {"sym": sym, "scale": scale}
 
     x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))

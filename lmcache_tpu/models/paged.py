@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lmcache_tpu.models import llama
-from lmcache_tpu.models.llama import _qkv, _rms_norm, _rope
+from lmcache_tpu.models.llama import (_attn_residual, _mlp_residual, _qkv,
+                                      _rms_norm, _rope)
 from lmcache_tpu.ops.paged_attention import (
     paged_attention, paged_attention_reference, quantized_paged_attention,
     quantized_paged_attention_reference)
@@ -231,12 +232,8 @@ def forward_paged(
 
         attn = attend(q, pool_l[0], pool_l[1], page_table, start_pos,
                       kv_len)
-        x = x + attn.reshape(B, T, -1).astype(x.dtype) @ lp["wo"]
-
-        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
-        up = (h @ lp["w_up"]).astype(jnp.float32)
-        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
+        x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
+        x = _mlp_residual(x, lp, cfg)
         return x, pool_l
 
     x, new_pool = jax.lax.scan(layer, x, (params["layers"], kv_pool))
@@ -329,12 +326,8 @@ def forward_paged_quantized(
 
         attn = attend(q, sym[0], sym[1], scl[0], scl[1], page_table,
                       start_pos, kv_len)
-        x = x + attn.reshape(B, T, -1).astype(x.dtype) @ lp["wo"]
-
-        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
-        up = (h @ lp["w_up"]).astype(jnp.float32)
-        x = x + (gate * up).astype(x.dtype) @ lp["w_down"]
+        x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
+        x = _mlp_residual(x, lp, cfg)
         return x, {"sym": sym, "scale": scl}
 
     x, new_pool = jax.lax.scan(layer, x, (params["layers"], kv_pool))

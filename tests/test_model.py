@@ -319,3 +319,102 @@ def test_matches_huggingface_glm():
                             use_pallas=False)
     np.testing.assert_allclose(np.asarray(step[:, 0]), full[:, -1],
                                atol=2e-3, rtol=2e-3)
+
+
+def test_matches_huggingface_glm4():
+    """Glm4-0414 family: GLM traits plus sandwich norms
+    (post_self_attn_layernorm / post_mlp_layernorm on the block outputs
+    before the residual add — modeling_glm4.py)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    hf_cfg = Glm4Config(vocab_size=128, hidden_size=256,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        head_dim=64, partial_rotary_factor=0.5,
+                        max_position_embeddings=256, rms_norm_eps=1e-5,
+                        rope_theta=10000.0, tie_word_embeddings=False,
+                        attention_bias=True, attention_dropout=0.0,
+                        pad_token_id=0)
+    torch.manual_seed(4)
+    hf_model = Glm4ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.post_self_attn_layernorm.weight" in sd
+    # break the norms away from identity so the test can't pass without
+    # applying them
+    with torch.no_grad():
+        for i in range(2):
+            sd[f"model.layers.{i}.post_self_attn_layernorm.weight"].mul_(
+                1.0 + 0.1 * (i + 1))
+            sd[f"model.layers.{i}.post_mlp_layernorm.weight"].mul_(
+                1.0 - 0.05 * (i + 1))
+
+    cfg = llama.LlamaConfig(vocab_size=128, dim=256, n_layers=2, n_heads=4,
+                            n_kv_heads=2, hidden_dim=128, max_seq_len=256,
+                            dtype="float32", attention_bias=True,
+                            rotary_dim=32, rope_interleaved=True,
+                            post_norms=True)
+
+    def t(name):
+        return np.asarray(sd[name].numpy().T)
+
+    def stack(fmt):
+        return jnp.asarray(np.stack([t(fmt.format(i)) for i in range(2)]))
+
+    def stack_vec(fmt):
+        return jnp.asarray(
+            np.stack([np.asarray(sd[fmt.format(i)].numpy())
+                      for i in range(2)]))
+
+    fused = [t(f"model.layers.{i}.mlp.gate_up_proj.weight")
+             for i in range(2)]
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy()),
+        "layers": {
+            "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "bq": stack_vec("model.layers.{}.self_attn.q_proj.bias"),
+            "bk": stack_vec("model.layers.{}.self_attn.k_proj.bias"),
+            "bv": stack_vec("model.layers.{}.self_attn.v_proj.bias"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm":
+            stack_vec("model.layers.{}.post_attention_layernorm.weight"),
+            "post_attn_norm": stack_vec(
+                "model.layers.{}.post_self_attn_layernorm.weight"),
+            "post_mlp_norm": stack_vec(
+                "model.layers.{}.post_mlp_layernorm.weight"),
+            "w_gate": jnp.asarray(
+                np.stack([f[:, :cfg.hidden_dim] for f in fused])),
+            "w_up": jnp.asarray(
+                np.stack([f[:, cfg.hidden_dim:] for f in fused])),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy()),
+        "lm_head": jnp.asarray(sd["lm_head.weight"].numpy().T),
+    }
+
+    B, T = 2, 17
+    ids = np.random.default_rng(9).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
+
+    # paged path applies the same sandwich norms
+    from lmcache_tpu.models.paged import forward_paged, new_paged_kv_pool
+    pool = new_paged_kv_pool(cfg, 16, 16)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        for j in range(2):
+            table[b, j] = 1 + b * 2 + j
+    plogits, _ = forward_paged(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.zeros(B, jnp.int32), pool,
+                               jnp.asarray(table), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
