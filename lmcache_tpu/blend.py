@@ -117,15 +117,20 @@ def blend_prefill(
         y = h @ lp[w]
         return y + lp[b] if cfg.attention_bias else y  # Qwen/GLM bias
 
+    def _qk(h, lp, w, b, norm, n_heads, pos):
+        """q or k heads [1, t, H, D]: project, per-head qk-norm (Qwen3),
+        rope — mirroring models.llama._qkv_heads for gathered tokens."""
+        y = _proj(h, lp, w, b).reshape(1, -1, n_heads, D)
+        if cfg.qk_norm:
+            y = _rms_norm(y, lp[norm], cfg.norm_eps)
+        return _rope(y, pos, cfg.rope_theta, cfg.rotary_dim,
+                     cfg.rope_interleaved)
+
     # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
     x = params["embed"][tokens]  # [T, dim]
     h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps)
-    q0 = _rope(_proj(h, lp0, "wq", "bq").reshape(1, T, cfg.n_heads, D),
-               positions[None], cfg.rope_theta, cfg.rotary_dim,
-               cfg.rope_interleaved)[0]
-    k0 = _rope(_proj(h, lp0, "wk", "bk").reshape(1, T, Hkv, D),
-               positions[None],
-               cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)[0]
+    q0 = _qk(h, lp0, "wq", "bq", "q_norm", cfg.n_heads, positions[None])[0]
+    k0 = _qk(h, lp0, "wk", "bk", "k_norm", Hkv, positions[None])[0]
     v0 = _proj(h, lp0, "wv", "bv").reshape(T, Hkv, D)
     kv0 = jnp.stack([k0, v0]).astype(blended_kv.dtype)  # exact layer-0 KV
     blended_kv = blended_kv.at[0].set(kv0)
@@ -138,10 +143,7 @@ def blend_prefill(
     lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
                        params["layers"])
     h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps)
-    k1_true = _rope(_proj(h1, lp1, "wk", "bk").reshape(1, T, Hkv, D),
-                    positions[None],
-                    cfg.rope_theta, cfg.rotary_dim,
-                    cfg.rope_interleaved)[0]
+    k1_true = _qk(h1, lp1, "wk", "bk", "k_norm", Hkv, positions[None])[0]
     v1_true = _proj(h1, lp1, "wv", "bv").reshape(T, Hkv, D)
 
     # ---- deviation-guided token selection --------------------------------
@@ -165,13 +167,8 @@ def blend_prefill(
         lp, kv_l = scanned  # kv_l: [2, T, H_kv, D]
         h = _rms_norm(xs, lp["attn_norm"], cfg.norm_eps)
         n = xs.shape[0]
-        q = _rope(_proj(h, lp, "wq", "bq").reshape(1, n, cfg.n_heads, D),
-                  sel_pos[None], cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)[0]
-        k = _rope(_proj(h, lp, "wk", "bk").reshape(1, n, Hkv, D),
-                  sel_pos[None],
-                  cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)[0]
+        q = _qk(h, lp, "wq", "bq", "q_norm", cfg.n_heads, sel_pos[None])[0]
+        k = _qk(h, lp, "wk", "bk", "k_norm", Hkv, sel_pos[None])[0]
         v = _proj(h, lp, "wv", "bv").reshape(n, Hkv, D)
         # scatter healed KV before attending
         kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))

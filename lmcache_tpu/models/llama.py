@@ -61,10 +61,15 @@ class LlamaConfig:
     # on the attention and MLP *outputs* before the residual add
     # (post_self_attn_layernorm / post_mlp_layernorm in modeling_glm4)
     post_norms: bool = False
+    # per-head RMSNorm on q and k before RoPE (Qwen3 family)
+    qk_norm: bool = False
+    # decoupled head dim (Qwen3-4B-class: head_dim != dim // n_heads);
+    # None = dim // n_heads
+    head_dim_override: "Optional[int]" = None
 
     @property
     def head_dim(self) -> int:
-        return self.dim // self.n_heads
+        return self.head_dim_override or self.dim // self.n_heads
 
     @staticmethod
     def tiny(**over) -> "LlamaConfig":
@@ -124,6 +129,22 @@ class LlamaConfig:
                            rope_interleaved=True)
 
     @staticmethod
+    def qwen3_8b() -> "LlamaConfig":
+        # Qwen/Qwen3-8B: per-head q/k RMSNorm before RoPE, no qkv bias
+        return LlamaConfig(vocab_size=151936, dim=4096, n_layers=36,
+                           n_heads=32, n_kv_heads=8, hidden_dim=12288,
+                           rope_theta=1000000.0, max_seq_len=40960,
+                           qk_norm=True)
+
+    @staticmethod
+    def qwen3_4b() -> "LlamaConfig":
+        # Qwen/Qwen3-4B: head_dim (128) decoupled from dim/n_heads (80)
+        return LlamaConfig(vocab_size=151936, dim=2560, n_layers=36,
+                           n_heads=32, n_kv_heads=8, hidden_dim=9728,
+                           rope_theta=1000000.0, max_seq_len=40960,
+                           qk_norm=True, head_dim_override=128)
+
+    @staticmethod
     def glm4_0414_9b() -> "LlamaConfig":
         # THUDM/GLM-4-9B-0414 (HF `glm4` arch): glm4_9b geometry plus
         # the family's sandwich norms on attention/MLP outputs
@@ -165,6 +186,10 @@ class LlamaConfig:
             # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
             rope_interleaved=model_type in ("glm", "glm4"),
             post_norms=model_type == "glm4",
+            qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            head_dim_override=(
+                head_dim if head_dim != hc.hidden_size
+                // hc.num_attention_heads else None),
         )
 
 
@@ -196,6 +221,9 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
     if cfg.post_norms:
         layers["post_attn_norm"] = jnp.ones((L, dim), dt)
         layers["post_mlp_norm"] = jnp.ones((L, dim), dt)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, hd), dt)
+        layers["k_norm"] = jnp.ones((L, hd), dt)
     return {
         "embed": w(keys[0], (cfg.vocab_size, dim), dim),
         "layers": layers,
@@ -266,6 +294,9 @@ def load_hf(model_name: str,
             "model.layers.{}.post_self_attn_layernorm.weight")
         layers["post_mlp_norm"] = stack_vec(
             "model.layers.{}.post_mlp_layernorm.weight")
+    if cfg.qk_norm:
+        layers["q_norm"] = stack_vec("model.layers.{}.self_attn.q_norm.weight")
+        layers["k_norm"] = stack_vec("model.layers.{}.self_attn.k_norm.weight")
     params = {
         "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy(), dt),
         "layers": layers,
@@ -363,6 +394,25 @@ def _qkv(h, lp, cfg):
     return q, k, v
 
 
+def _qkv_heads(h, lp, cfg, positions):
+    """QKV as per-head tensors [B, T, H, D], with the family's optional
+    qk-norm (Qwen3: per-head RMSNorm on q and k before RoPE,
+    modeling_qwen3.py) and rotary applied."""
+    B, T = h.shape[:2]
+    q, k, v = _qkv(h, lp, cfg)
+    q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = _rms_norm(q, lp["q_norm"], cfg.norm_eps)
+        k = _rms_norm(k, lp["k_norm"], cfg.norm_eps)
+    q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
+              cfg.rope_interleaved)
+    k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
+              cfg.rope_interleaved)
+    return q, k, v
+
+
 def _rope(x, positions, theta, rotary_dim=None, interleaved=False):
     """HF-convention rotary embedding. x: [B, T, H, D]; positions: [B, T].
 
@@ -437,14 +487,7 @@ def forward(
     def layer(x, scanned):
         lp, cache_l = scanned  # cache_l: [2, B, H_kv, S, D]
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv(h, lp, cfg)
-        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
-        k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
+        q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         new_k = write_at(cache_l[0], k.astype(cache_l.dtype), start_pos)
         new_v = write_at(cache_l[1], v.astype(cache_l.dtype), start_pos)
@@ -519,14 +562,7 @@ def forward_quantized(
     def layer(x, scanned):
         lp, cache_l = scanned  # {"sym" [2,B,H,S,D], "scale" [2,B,S]}
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv(h, lp, cfg)
-        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
-        k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
-                  cfg.rope_interleaved)
+        q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         k_sym, k_scale = quant_tokens(k)
         v_sym, v_scale = quant_tokens(v)

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lmcache_tpu.models import llama
-from lmcache_tpu.models.llama import (_attn_residual, _mlp_residual, _qkv,
-                                      _rms_norm, _rope)
+from lmcache_tpu.models.llama import (_attn_residual, _mlp_residual,
+                                      _qkv_heads, _rms_norm)
 from lmcache_tpu.ops.paged_attention import (
     paged_attention, paged_attention_reference, quantized_paged_attention,
     quantized_paged_attention_reference)
@@ -216,12 +216,7 @@ def forward_paged(
     def layer(x, scanned):
         lp, pool_l = scanned  # pool_l: [2, P, H_kv, page, D]
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv(h, lp, cfg)
-        q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
-                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
-        k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
-                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
-        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         # scatter [B, T, H, D] new tokens into head-major pages:
         # pool[p, h, o] = kv[b, t, h] with (p, o) from the page table
@@ -309,12 +304,7 @@ def forward_paged_quantized(
     def layer(x, scanned):
         lp, pool_l = scanned  # {"sym" [2,P,H,page,D], "scale" [2,P,page]}
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv(h, lp, cfg)
-        q = _rope(q.reshape(B, T, cfg.n_heads, cfg.head_dim), positions,
-                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
-        k = _rope(k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim), positions,
-                  cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
-        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         k_sym, k_scale = quant_tokens(k)
         v_sym, v_scale = quant_tokens(v)

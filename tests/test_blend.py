@@ -138,6 +138,9 @@ def test_cache_blender_end_to_end(setup):
     dict(attention_bias=True),                       # Qwen-style
     dict(attention_bias=True, rotary_dim=32,
          rope_interleaved=True),                     # GLM-style
+    dict(attention_bias=True, rotary_dim=32,
+         rope_interleaved=True, post_norms=True),    # Glm4-0414-style
+    dict(qk_norm=True),                              # Qwen3-style
 ])
 def test_blend_exact_anchor_other_families(family_kw):
     """ratio=1.0 blending must equal a full prefill for bias and

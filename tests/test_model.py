@@ -418,3 +418,87 @@ def test_matches_huggingface_glm4():
                                jnp.asarray(table), use_pallas=False)
     np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_matches_huggingface_qwen3():
+    """Qwen3 family: per-head q/k RMSNorm before RoPE and a head_dim
+    decoupled from dim // n_heads (modeling_qwen3.py)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    # hidden 128 with 4 heads but head_dim 64: exercises the override
+    hf_cfg = Qwen3Config(vocab_size=128, hidden_size=128,
+                         intermediate_size=256, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         head_dim=64, max_position_embeddings=256,
+                         rms_norm_eps=1e-5, rope_theta=10000.0,
+                         tie_word_embeddings=False, attention_bias=False,
+                         attention_dropout=0.0, pad_token_id=0)
+    torch.manual_seed(6)
+    hf_model = Qwen3ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.self_attn.q_norm.weight" in sd
+    with torch.no_grad():  # break the norms away from identity
+        for i in range(2):
+            sd[f"model.layers.{i}.self_attn.q_norm.weight"].mul_(1.1 + i / 10)
+            sd[f"model.layers.{i}.self_attn.k_norm.weight"].mul_(0.9 - i / 10)
+
+    cfg = llama.LlamaConfig(vocab_size=128, dim=128, n_layers=2, n_heads=4,
+                            n_kv_heads=2, hidden_dim=256, max_seq_len=256,
+                            dtype="float32", qk_norm=True,
+                            head_dim_override=64)
+    assert cfg.head_dim == 64 != cfg.dim // cfg.n_heads
+
+    def t(name):
+        return np.asarray(sd[name].numpy().T)
+
+    def stack(fmt):
+        return jnp.asarray(np.stack([t(fmt.format(i)) for i in range(2)]))
+
+    def stack_vec(fmt):
+        return jnp.asarray(
+            np.stack([np.asarray(sd[fmt.format(i)].numpy())
+                      for i in range(2)]))
+
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy()),
+        "layers": {
+            "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "q_norm": stack_vec("model.layers.{}.self_attn.q_norm.weight"),
+            "k_norm": stack_vec("model.layers.{}.self_attn.k_norm.weight"),
+            "mlp_norm":
+            stack_vec("model.layers.{}.post_attention_layernorm.weight"),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy()),
+        "lm_head": jnp.asarray(sd["lm_head.weight"].numpy().T),
+    }
+
+    B, T = 2, 15
+    ids = np.random.default_rng(12).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
+
+    # paged + quantized paths share _qkv_heads; check paged end-to-end
+    from lmcache_tpu.models.paged import forward_paged, new_paged_kv_pool
+    pool = new_paged_kv_pool(cfg, 16, 16)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        table[b, 0] = 1 + b
+    plogits, _ = forward_paged(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.zeros(B, jnp.int32), pool,
+                               jnp.asarray(table), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
