@@ -1,8 +1,10 @@
 """LLaMA-family transformer, TPU-first.
 
-Covers the reference's served model families (llama/longchat/mistral — the
-CacheGen per-family quantization table, reference
-lmcache/serde/cachegen_basics.py:32-78, keys off these names).
+Covers the reference's served model families (llama/longchat/mistral/
+qwen/glm — the CacheGen per-family quantization table, reference
+lmcache/serde/cachegen_basics.py:32-78, keys off these names) plus the
+newer family traits: Qwen3 per-head qk-norm and decoupled head_dim,
+Glm4-0414 sandwich norms, and sparse-MoE MLPs (Mixtral / Qwen3-MoE).
 
 Design (idiomatic JAX, not a torch translation):
 
@@ -63,6 +65,15 @@ class LlamaConfig:
     post_norms: bool = False
     # per-head RMSNorm on q and k before RoPE (Qwen3 family)
     qk_norm: bool = False
+    # sparse mixture-of-experts MLP (Mixtral / Qwen3-MoE families);
+    # None = dense SwiGLU. norm_topk_prob renormalizes the selected
+    # experts' probabilities — mathematically identical to Mixtral's
+    # softmax-over-top-k-logits (softmax restricted to a subset ==
+    # renormalized softmax), so one flag covers both families.
+    n_experts: "Optional[int]" = None
+    n_experts_per_tok: int = 2
+    moe_hidden_dim: "Optional[int]" = None  # expert width; None=hidden_dim
+    norm_topk_prob: bool = True
     # decoupled head dim (Qwen3-4B-class: head_dim != dim // n_heads);
     # None = dim // n_heads
     head_dim_override: "Optional[int]" = None
@@ -145,6 +156,24 @@ class LlamaConfig:
                            qk_norm=True, head_dim_override=128)
 
     @staticmethod
+    def mixtral_8x7b() -> "LlamaConfig":
+        # mistralai/Mixtral-8x7B: 8 SwiGLU experts, top-2 routing
+        return LlamaConfig(vocab_size=32000, dim=4096, n_layers=32,
+                           n_heads=32, n_kv_heads=8, hidden_dim=14336,
+                           rope_theta=1000000.0, max_seq_len=32768,
+                           n_experts=8, n_experts_per_tok=2)
+
+    @staticmethod
+    def qwen3_moe_30b_a3b() -> "LlamaConfig":
+        # Qwen/Qwen3-30B-A3B: 128 narrow experts, top-8, qk-norm
+        return LlamaConfig(vocab_size=151936, dim=2048, n_layers=48,
+                           n_heads=32, n_kv_heads=4, hidden_dim=6144,
+                           rope_theta=1000000.0, max_seq_len=40960,
+                           qk_norm=True, head_dim_override=128,
+                           n_experts=128, n_experts_per_tok=8,
+                           moe_hidden_dim=768)
+
+    @staticmethod
     def glm4_0414_9b() -> "LlamaConfig":
         # THUDM/GLM-4-9B-0414 (HF `glm4` arch): glm4_9b geometry plus
         # the family's sandwich norms on attention/MLP outputs
@@ -190,6 +219,13 @@ class LlamaConfig:
             head_dim_override=(
                 head_dim if head_dim != hc.hidden_size
                 // hc.num_attention_heads else None),
+            # MoE families (qwen3_moe: num_experts; mixtral:
+            # num_local_experts)
+            n_experts=(getattr(hc, "num_experts", None)
+                       or getattr(hc, "num_local_experts", None)),
+            n_experts_per_tok=getattr(hc, "num_experts_per_tok", 2),
+            moe_hidden_dim=getattr(hc, "moe_intermediate_size", None),
+            norm_topk_prob=bool(getattr(hc, "norm_topk_prob", True)),
         )
 
 
@@ -210,10 +246,18 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
         "wv": w(keys[3], (L, dim, nkv * hd), dim),
         "wo": w(keys[4], (L, nh * hd, dim), nh * hd),
         "mlp_norm": jnp.ones((L, dim), dt),
-        "w_gate": w(keys[5], (L, dim, hid), dim),
-        "w_up": w(keys[6], (L, dim, hid), dim),
-        "w_down": w(keys[7], (L, hid, dim), hid),
     }
+    if cfg.n_experts:
+        E = cfg.n_experts
+        mh = cfg.moe_hidden_dim or hid
+        layers["router"] = w(keys[5], (L, dim, E), dim)
+        layers["e_gate"] = w(keys[5], (L, E, dim, mh), dim)
+        layers["e_up"] = w(keys[6], (L, E, dim, mh), dim)
+        layers["e_down"] = w(keys[7], (L, E, mh, dim), mh)
+    else:
+        layers["w_gate"] = w(keys[5], (L, dim, hid), dim)
+        layers["w_up"] = w(keys[6], (L, dim, hid), dim)
+        layers["w_down"] = w(keys[7], (L, hid, dim), hid)
     if cfg.attention_bias:
         layers["bq"] = jnp.zeros((L, nh * hd), dt)
         layers["bk"] = jnp.zeros((L, nkv * hd), dt)
@@ -274,7 +318,28 @@ def load_hf(model_name: str,
         stack_vec("model.layers.{}.post_attention_layernorm.weight"),
         "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
     }
-    if "model.layers.0.mlp.gate_up_proj.weight" in sd:
+    del layers["w_down"]
+    if cfg.n_experts:
+        # MoE families. Qwen3-MoE: mlp.gate (router) +
+        # mlp.experts.{e}.{gate,up,down}_proj; Mixtral:
+        # block_sparse_moe.gate + experts.{e}.{w1,w3,w2}
+        if "model.layers.0.block_sparse_moe.gate.weight" in sd:
+            router = "model.layers.{}.block_sparse_moe.gate.weight"
+            names = ("w1", "w3", "w2")  # gate, up, down
+            expert = "model.layers.{}.block_sparse_moe.experts.{}.{}.weight"
+        else:
+            router = "model.layers.{}.mlp.gate.weight"
+            names = ("gate_proj", "up_proj", "down_proj")
+            expert = "model.layers.{}.mlp.experts.{}.{}.weight"
+        layers["router"] = stack(router)
+        for key, hf in zip(("e_gate", "e_up", "e_down"), names):
+            layers[key] = jnp.asarray(
+                np.stack([
+                    np.stack([t(expert.format(i, e, hf))
+                              for e in range(cfg.n_experts)])
+                    for i in range(cfg.n_layers)
+                ]), dt)
+    elif "model.layers.0.mlp.gate_up_proj.weight" in sd:
         # GLM family fuses [gate; up] into one projection — split it
         fused = [t("model.layers.{}.mlp.gate_up_proj.weight".format(i))
                  for i in range(cfg.n_layers)]  # [dim, 2*hidden] each
@@ -282,9 +347,11 @@ def load_hf(model_name: str,
             np.stack([f[:, :cfg.hidden_dim] for f in fused]), dt)
         layers["w_up"] = jnp.asarray(
             np.stack([f[:, cfg.hidden_dim:] for f in fused]), dt)
+        layers["w_down"] = stack("model.layers.{}.mlp.down_proj.weight")
     else:
         layers["w_gate"] = stack("model.layers.{}.mlp.gate_proj.weight")
         layers["w_up"] = stack("model.layers.{}.mlp.up_proj.weight")
+        layers["w_down"] = stack("model.layers.{}.mlp.down_proj.weight")
     if cfg.attention_bias:
         layers["bq"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
         layers["bk"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
@@ -372,13 +439,53 @@ def _attn_residual(x, attn_flat, lp, cfg):
     return x + y
 
 
+def _moe_mlp(h, lp, cfg):
+    """Sparse-MoE SwiGLU: softmax router, top-k experts per token.
+
+    Exact formulation: every expert runs on every token, weighted by
+    its (zero for unselected) routing probability — a scan over the
+    stacked expert weights, which XLA turns into E large batched
+    matmuls with no gathers or dynamic shapes. At decode batch sizes
+    the step is expert-weight-bandwidth-bound either way; for long
+    prefill a capacity-based dispatch (GShard-style) would cut FLOPs
+    by E/k and is the noted optimization. HF contract:
+    modeling_qwen3_moe.Qwen3MoeSparseMoeBlock / Mixtral's
+    block_sparse_moe (see LlamaConfig.norm_topk_prob)."""
+    E, k = cfg.n_experts, cfg.n_experts_per_tok
+    logits = (h @ lp["router"]).astype(jnp.float32)  # [..., E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    # combine weights [..., E]: routing prob where selected, else 0
+    w = jnp.sum(jax.nn.one_hot(topi, E, dtype=topv.dtype)
+                * topv[..., None], axis=-2)
+
+    def expert(acc, sc):
+        g, u, d, we = sc  # per-expert weights + [...] combine weight
+        gate = jax.nn.silu((h @ g).astype(jnp.float32))
+        up = (h @ u).astype(jnp.float32)
+        y = ((gate * up).astype(h.dtype) @ d).astype(jnp.float32)
+        return acc + we[..., None] * y, None
+
+    acc0 = jnp.zeros(h.shape[:-1] + (cfg.dim,), jnp.float32)
+    out, _ = jax.lax.scan(
+        expert, acc0,
+        (lp["e_gate"], lp["e_up"], lp["e_down"], jnp.moveaxis(w, -1, 0)))
+    return out.astype(h.dtype)
+
+
 def _mlp_residual(x, lp, cfg):
-    """SwiGLU MLP + residual, with the Glm4-0414 sandwich norm on the
-    down_proj output when the family has one."""
+    """MLP + residual: dense SwiGLU or sparse MoE (cfg.n_experts), with
+    the Glm4-0414 sandwich norm on the output when the family has
+    one."""
     h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
-    up = (h @ lp["w_up"]).astype(jnp.float32)
-    y = (gate * up).astype(x.dtype) @ lp["w_down"]
+    if cfg.n_experts:
+        y = _moe_mlp(h, lp, cfg)
+    else:
+        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+        up = (h @ lp["w_up"]).astype(jnp.float32)
+        y = (gate * up).astype(x.dtype) @ lp["w_down"]
     if cfg.post_norms:
         y = _rms_norm(y, lp["post_mlp_norm"], cfg.norm_eps)
     return x + y

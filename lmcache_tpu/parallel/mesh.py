@@ -61,8 +61,8 @@ def shard_params(params, mesh: Mesh):
     "model" (last axis); ``wo`` and ``w_down`` are row-parallel
     (second-to-last axis); everything else replicated.
     """
-    col = {"wq", "wk", "wv", "w_gate", "w_up"}
-    row = {"wo", "w_down"}
+    col = {"wq", "wk", "wv", "w_gate", "w_up", "e_gate", "e_up"}
+    row = {"wo", "w_down", "e_down"}
 
     def spec_for(path, ndim) -> P:
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])

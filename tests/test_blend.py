@@ -141,6 +141,8 @@ def test_cache_blender_end_to_end(setup):
     dict(attention_bias=True, rotary_dim=32,
          rope_interleaved=True, post_norms=True),    # Glm4-0414-style
     dict(qk_norm=True),                              # Qwen3-style
+    dict(n_experts=4, n_experts_per_tok=2,
+         moe_hidden_dim=64),                         # MoE (Mixtral-style)
 ])
 def test_blend_exact_anchor_other_families(family_kw):
     """ratio=1.0 blending must equal a full prefill for bias and

@@ -502,3 +502,176 @@ def test_matches_huggingface_qwen3():
                                jnp.asarray(table), use_pallas=False)
     np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=2e-3,
                                rtol=2e-3)
+
+
+def _stack_layers(sd, n_layers, fmt):
+    return jnp.asarray(
+        np.stack([np.asarray(sd[fmt.format(i)].numpy().T)
+                  for i in range(n_layers)]))
+
+
+def _stack_vecs(sd, n_layers, fmt):
+    return jnp.asarray(
+        np.stack([np.asarray(sd[fmt.format(i)].numpy())
+                  for i in range(n_layers)]))
+
+
+def _stack_experts(sd, n_layers, n_experts, fmt):
+    return jnp.asarray(
+        np.stack([
+            np.stack([np.asarray(sd[fmt.format(i, e)].numpy().T)
+                      for e in range(n_experts)])
+            for i in range(n_layers)
+        ]))
+
+
+def test_matches_huggingface_qwen3_moe():
+    """Qwen3-MoE: softmax router, top-k experts, renormalized probs,
+    plus the family's qk-norm (modeling_qwen3_moe.py)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    L, E = 2, 4
+    hf_cfg = Qwen3MoeConfig(vocab_size=128, hidden_size=128,
+                            intermediate_size=256, num_hidden_layers=L,
+                            num_attention_heads=4, num_key_value_heads=2,
+                            head_dim=32, max_position_embeddings=256,
+                            rms_norm_eps=1e-5, rope_theta=10000.0,
+                            tie_word_embeddings=False,
+                            attention_bias=False, attention_dropout=0.0,
+                            num_experts=E, num_experts_per_tok=2,
+                            moe_intermediate_size=64, norm_topk_prob=True,
+                            decoder_sparse_step=1, mlp_only_layers=[],
+                            pad_token_id=0)
+    torch.manual_seed(8)
+    hf_model = Qwen3MoeForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.mlp.gate.weight" in sd  # router
+
+    cfg = llama.LlamaConfig(vocab_size=128, dim=128, n_layers=L, n_heads=4,
+                            n_kv_heads=2, hidden_dim=256, max_seq_len=256,
+                            dtype="float32", qk_norm=True,
+                            head_dim_override=32, n_experts=E,
+                            n_experts_per_tok=2, moe_hidden_dim=64,
+                            norm_topk_prob=True)
+
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy()),
+        "layers": {
+            "attn_norm": _stack_vecs(
+                sd, L, "model.layers.{}.input_layernorm.weight"),
+            "wq": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.q_proj.weight"),
+            "wk": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.k_proj.weight"),
+            "wv": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.v_proj.weight"),
+            "wo": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.o_proj.weight"),
+            "q_norm": _stack_vecs(
+                sd, L, "model.layers.{}.self_attn.q_norm.weight"),
+            "k_norm": _stack_vecs(
+                sd, L, "model.layers.{}.self_attn.k_norm.weight"),
+            "mlp_norm": _stack_vecs(
+                sd, L, "model.layers.{}.post_attention_layernorm.weight"),
+            "router": _stack_layers(
+                sd, L, "model.layers.{}.mlp.gate.weight"),
+            "e_gate": _stack_experts(
+                sd, L, E, "model.layers.{}.mlp.experts.{}.gate_proj.weight"),
+            "e_up": _stack_experts(
+                sd, L, E, "model.layers.{}.mlp.experts.{}.up_proj.weight"),
+            "e_down": _stack_experts(
+                sd, L, E, "model.layers.{}.mlp.experts.{}.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy()),
+        "lm_head": jnp.asarray(sd["lm_head.weight"].numpy().T),
+    }
+
+    B, T = 2, 15
+    ids = np.random.default_rng(13).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_matches_huggingface_mixtral():
+    """Mixtral: softmax over top-k logits == renormalized top-k of the
+    full softmax (one implementation covers both MoE conventions)."""
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    L, E = 2, 4
+    hf_cfg = MixtralConfig(vocab_size=128, hidden_size=128,
+                           intermediate_size=64, num_hidden_layers=L,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           max_position_embeddings=256, rms_norm_eps=1e-5,
+                           rope_theta=10000.0, tie_word_embeddings=False,
+                           attention_dropout=0.0, num_local_experts=E,
+                           num_experts_per_tok=2, sliding_window=None,
+                           output_router_logits=False, pad_token_id=0)
+    torch.manual_seed(10)
+    hf_model = MixtralForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.block_sparse_moe.gate.weight" in sd
+
+    cfg = llama.LlamaConfig(vocab_size=128, dim=128, n_layers=L, n_heads=4,
+                            n_kv_heads=2, hidden_dim=64, max_seq_len=256,
+                            dtype="float32", n_experts=E,
+                            n_experts_per_tok=2, norm_topk_prob=True)
+
+    base = "model.layers.{}.block_sparse_moe."
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy()),
+        "layers": {
+            "attn_norm": _stack_vecs(
+                sd, L, "model.layers.{}.input_layernorm.weight"),
+            "wq": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.q_proj.weight"),
+            "wk": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.k_proj.weight"),
+            "wv": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.v_proj.weight"),
+            "wo": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm": _stack_vecs(
+                sd, L, "model.layers.{}.post_attention_layernorm.weight"),
+            "router": _stack_layers(sd, L, base + "gate.weight"),
+            "e_gate": _stack_experts(
+                sd, L, E, base.replace("{}", "{0}") + "experts.{1}.w1.weight"),
+            "e_up": _stack_experts(
+                sd, L, E, base.replace("{}", "{0}") + "experts.{1}.w3.weight"),
+            "e_down": _stack_experts(
+                sd, L, E, base.replace("{}", "{0}") + "experts.{1}.w2.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy()),
+        "lm_head": jnp.asarray(sd["lm_head.weight"].numpy().T),
+    }
+
+    B, T = 2, 14
+    ids = np.random.default_rng(14).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
+
+    # MoE serves end-to-end: dense and paged engines agree greedily
+    from lmcache_tpu.serving import SamplingParams, ServingEngine
+    from lmcache_tpu.serving.paged_engine import PagedServingEngine
+    prompt = np.random.default_rng(15).integers(0, 128, 21, dtype=np.int32)
+    [r] = ServingEngine(cfg, params, max_batch=2, max_seq=64,
+                        use_pallas=False).generate(
+                            [prompt], SamplingParams(max_new_tokens=5))
+    [p] = PagedServingEngine(cfg, params, max_batch=2, max_seq=64,
+                             num_pages=16, page_size=16,
+                             use_pallas=False).generate(
+                                 [prompt], SamplingParams(max_new_tokens=5))
+    assert r.output_tokens == p.output_tokens and len(r.output_tokens) == 5

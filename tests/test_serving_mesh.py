@@ -171,3 +171,30 @@ def test_paged_generate_on_mesh_pallas():
                              mesh=mesh)
     [req] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
     assert req.output_tokens == golden.output_tokens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_moe_generate_on_mesh():
+    """MoE family on a TP mesh: expert weights column/row-parallel on
+    "model" (parallel/mesh.spec_for handles the [L, E, in, out] rank);
+    greedy output matches the unsharded golden."""
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512, n_experts=4,
+                                 n_experts_per_tok=2, moe_hidden_dim=256)
+    params = llama.init_params(jax.random.PRNGKey(11), cfg)
+    sparams = shard_params(params, mesh)
+    # expert weights actually sharded
+    assert "model" in str(sparams["layers"]["e_gate"].sharding.spec)
+    assert "model" in str(sparams["layers"]["e_down"].sharding.spec)
+
+    prompt = np.random.default_rng(3).integers(0, cfg.vocab_size, 19,
+                                               dtype=np.int32)
+    golden_eng = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                               use_pallas=False)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=5))
+    eng = ServingEngine(cfg, sparams, max_batch=2, max_seq=128,
+                        use_pallas=False, mesh=mesh)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert req.output_tokens == golden.output_tokens
