@@ -46,17 +46,22 @@ from lmcache_tpu.ops.attention import _NEG_INF
 
 
 def rope_shift_keys(keys: jax.Array, delta, theta: float,
-                    rotary_dim=None, interleaved=False) -> jax.Array:
+                    rotary_dim=None, interleaved=False,
+                    scaling=None) -> jax.Array:
     """Re-rotate RoPE'd keys by ``delta`` positions.
 
     keys: [..., T, H, D] (token axis third-from-last). delta: scalar or
-    broadcastable per-token offset. ``rotary_dim``/``interleaved``
-    follow models.llama._rope (GLM partial interleaved rotary).
+    broadcastable per-token offset. ``rotary_dim``/``interleaved``/
+    ``scaling`` follow models.llama._rope (GLM partial interleaved
+    rotary; linear/llama3 context-extension frequency scaling — the
+    shift must spin at the *scaled* frequencies or re-rotated keys land
+    at the wrong effective positions).
     """
+    from lmcache_tpu.models.llama import rope_inv_freq
     D = keys.shape[-1]
     rd = rotary_dim or D
     kr = keys[..., :rd].astype(jnp.float32)
-    inv_freq = 1.0 / (theta**(jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    inv_freq = rope_inv_freq(theta, rd, scaling)
     angles = jnp.asarray(delta, jnp.float32)[..., None] * inv_freq
     if interleaved:
         cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)
@@ -124,7 +129,7 @@ def blend_prefill(
         if cfg.qk_norm:
             y = _rms_norm(y, lp[norm], cfg.norm_eps)
         return _rope(y, pos, cfg.rope_theta, cfg.rotary_dim,
-                     cfg.rope_interleaved)
+                     cfg.rope_interleaved, cfg.rope_scaling_spec)
 
     # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
     x = params["embed"][tokens]  # [T, dim]
@@ -190,7 +195,7 @@ def blend_prefill(
 
 def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
                     theta: float, rotary_dim=None,
-                    interleaved=False) -> jax.Array:
+                    interleaved=False, scaling=None) -> jax.Array:
     """Concatenate independently-cached chunk KV (vllm fmt
     [L, 2, t_i, H, D], each prefilled at positions 0..t_i) into one
     position-corrected [L, 2, T, H, D] buffer."""
@@ -201,7 +206,7 @@ def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
         t = blob.shape[2]
         k = rope_shift_keys(blob[:, 0],  # [L, t, H, D]
                             jnp.full((t,), offset, jnp.float32), theta,
-                            rotary_dim, interleaved)
+                            rotary_dim, interleaved, scaling)
         parts.append(jnp.stack([k, blob[:, 1]], axis=1))
         offset += t
     return jnp.concatenate(parts, axis=2)
@@ -269,7 +274,8 @@ class CacheBlender:
         full = np.concatenate([np.asarray(t, np.int32) for t in chunk_tokens])
         blended = assemble_chunks(blobs, self.cfg.rope_theta,
                                   self.cfg.rotary_dim,
-                                  self.cfg.rope_interleaved)
+                                  self.cfg.rope_interleaved,
+                                  self.cfg.rope_scaling_spec)
         T = len(full)
         n_rec = max(1, min(T, int(np.ceil(self.ratio * T))))
         logits, kv = blend_prefill(self.params, self.cfg,

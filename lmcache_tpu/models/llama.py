@@ -59,6 +59,26 @@ class LlamaConfig:
     # ("interleaved") instead of llama's half-split.
     rotary_dim: "Optional[int]" = None
     rope_interleaved: bool = False
+    # RoPE frequency scaling for context extension. "linear" divides
+    # every frequency by the factor (longchat's rope condensation);
+    # "llama3" rescales only low-frequency channels with a smooth
+    # interpolation band (llama-3.1's scheme). Flat fields (not a dict)
+    # keep the config hashable for jit static args.
+    rope_scaling_type: "Optional[str]" = None  # None | "linear" | "llama3"
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_seq: "Optional[int]" = None
+
+    @property
+    def rope_scaling_spec(self):
+        """Hashable (type, factor, low, high, orig_max) tuple for the
+        rope helpers; None when unscaled."""
+        if self.rope_scaling_type is None:
+            return None
+        return (self.rope_scaling_type, self.rope_scaling_factor,
+                self.rope_low_freq_factor, self.rope_high_freq_factor,
+                self.rope_original_max_seq)
     # sandwich norms (Glm4-0414 family, HF `glm4` arch): extra RMSNorms
     # on the attention and MLP *outputs* before the residual add
     # (post_self_attn_layernorm / post_mlp_layernorm in modeling_glm4)
@@ -104,9 +124,13 @@ class LlamaConfig:
 
     @staticmethod
     def longchat_7b_16k() -> "LlamaConfig":
-        # llama-2-7b arch with 16k rope-scaled context (the reference's
-        # CacheGen eval model, lmcache/serde/cachegen_basics.py:36)
-        return LlamaConfig(max_seq_len=16384, rope_theta=10000.0)
+        # llama-2-7b arch with 16k context via linear rope condensation
+        # (factor 8 over the 2k base — the reference's CacheGen eval
+        # model, lmcache/serde/cachegen_basics.py:36)
+        return LlamaConfig(max_seq_len=16384, rope_theta=10000.0,
+                           rope_scaling_type="linear",
+                           rope_scaling_factor=8.0,
+                           rope_original_max_seq=2048)
 
     @staticmethod
     def mistral_7b() -> "LlamaConfig":
@@ -120,6 +144,20 @@ class LlamaConfig:
         return LlamaConfig(vocab_size=128256, dim=4096, n_layers=32,
                            n_heads=32, n_kv_heads=8, hidden_dim=14336,
                            rope_theta=500000.0, max_seq_len=8192)
+
+    @staticmethod
+    def llama3_1_8b() -> "LlamaConfig":
+        # llama-3.1-8b: llama3 geometry + frequency-dependent rope
+        # scaling to 128k (the reference CacheGen family table's
+        # llama-3.1 entry)
+        return LlamaConfig(vocab_size=128256, dim=4096, n_layers=32,
+                           n_heads=32, n_kv_heads=8, hidden_dim=14336,
+                           rope_theta=500000.0, max_seq_len=131072,
+                           rope_scaling_type="llama3",
+                           rope_scaling_factor=8.0,
+                           rope_low_freq_factor=1.0,
+                           rope_high_freq_factor=4.0,
+                           rope_original_max_seq=8192)
 
     @staticmethod
     def qwen_7b() -> "LlamaConfig":
@@ -195,7 +233,31 @@ class LlamaConfig:
         factor = getattr(hc, "partial_rotary_factor", 1.0)
         if factor and factor != 1.0:
             rotary_dim = int(head_dim * factor)
+        scaling = {}
+        rs = getattr(hc, "rope_scaling", None)
+        if rs:
+            kind = rs.get("rope_type") or rs.get("type")
+            if kind == "default":
+                pass
+            elif kind in ("linear", "llama3"):
+                scaling = dict(
+                    rope_scaling_type=kind,
+                    rope_scaling_factor=float(rs.get("factor", 1.0)),
+                    rope_low_freq_factor=float(
+                        rs.get("low_freq_factor", 1.0)),
+                    rope_high_freq_factor=float(
+                        rs.get("high_freq_factor", 4.0)),
+                    rope_original_max_seq=rs.get(
+                        "original_max_position_embeddings",
+                        hc.max_position_embeddings),
+                )
+            else:
+                # silent mispositioning corrupts every cached chunk —
+                # fail loudly on schemes we don't implement (yarn, ...)
+                raise NotImplementedError(
+                    f"rope_scaling type {kind!r} is not supported")
         return LlamaConfig(
+            **scaling,
             vocab_size=hc.vocab_size,
             dim=hc.hidden_size,
             n_layers=hc.num_hidden_layers,
@@ -514,13 +576,42 @@ def _qkv_heads(h, lp, cfg, positions):
         q = _rms_norm(q, lp["q_norm"], cfg.norm_eps)
         k = _rms_norm(k, lp["k_norm"], cfg.norm_eps)
     q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
-              cfg.rope_interleaved)
+              cfg.rope_interleaved, cfg.rope_scaling_spec)
     k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
-              cfg.rope_interleaved)
+              cfg.rope_interleaved, cfg.rope_scaling_spec)
     return q, k, v
 
 
-def _rope(x, positions, theta, rotary_dim=None, interleaved=False):
+def rope_inv_freq(theta, rd, scaling=None):
+    """Rotary inverse frequencies [rd/2], with optional context-
+    extension scaling (LlamaConfig.rope_scaling_spec):
+
+    - ``linear``: every frequency divided by the factor (longchat-style
+      position condensation; HF ``rope_type: linear``);
+    - ``llama3``: frequencies whose wavelength exceeds
+      ``orig_max / low_freq`` are divided by the factor, ones below
+      ``orig_max / high_freq`` stay, and the band between interpolates
+      smoothly (HF ``_compute_llama3_parameters``).
+    """
+    inv_freq = 1.0 / (theta**(jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    if scaling is None:
+        return inv_freq
+    kind, factor, low, high, orig_max = scaling
+    if kind == "linear":
+        return inv_freq / factor
+    if kind == "llama3":
+        wavelen = 2.0 * jnp.pi / inv_freq
+        scaled = jnp.where(wavelen > orig_max / low, inv_freq / factor,
+                           inv_freq)
+        smooth = (orig_max / wavelen - low) / (high - low)
+        interp = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
+        mid = (wavelen <= orig_max / low) & (wavelen >= orig_max / high)
+        return jnp.where(mid, interp, scaled)
+    raise ValueError(f"unknown rope scaling type {kind!r}")
+
+
+def _rope(x, positions, theta, rotary_dim=None, interleaved=False,
+          scaling=None):
     """HF-convention rotary embedding. x: [B, T, H, D]; positions: [B, T].
 
     ``rotary_dim`` rotates only the leading channels (GLM partial
@@ -530,7 +621,7 @@ def _rope(x, positions, theta, rotary_dim=None, interleaved=False):
     D = x.shape[-1]
     rd = rotary_dim or D
     xr = x[..., :rd].astype(jnp.float32)
-    inv_freq = 1.0 / (theta**(jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    inv_freq = rope_inv_freq(theta, rd, scaling)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,rd/2]
     if interleaved:
         cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)[:, :, None, :]
