@@ -61,7 +61,10 @@ def rope_shift_keys(keys: jax.Array, delta, theta: float,
     D = keys.shape[-1]
     rd = rotary_dim or D
     kr = keys[..., :rd].astype(jnp.float32)
-    inv_freq = rope_inv_freq(theta, rd, scaling)
+    # the shift is a pure rotation at the scaled frequencies: the keys
+    # already carry the yarn mscale from their original roping, so it
+    # is NOT reapplied here
+    inv_freq, _ = rope_inv_freq(theta, rd, scaling)
     angles = jnp.asarray(delta, jnp.float32)[..., None] * inv_freq
     if interleaved:
         cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)

@@ -62,23 +62,28 @@ class LlamaConfig:
     # RoPE frequency scaling for context extension. "linear" divides
     # every frequency by the factor (longchat's rope condensation);
     # "llama3" rescales only low-frequency channels with a smooth
-    # interpolation band (llama-3.1's scheme). Flat fields (not a dict)
-    # keep the config hashable for jit static args.
-    rope_scaling_type: "Optional[str]" = None  # None | "linear" | "llama3"
+    # interpolation band (llama-3.1's scheme); "yarn" is NTK-by-parts
+    # interpolation with an attention-temperature mscale (Qwen long-
+    # context). Flat fields (not a dict) keep the config hashable for
+    # jit static args.
+    rope_scaling_type: "Optional[str]" = None  # linear | llama3 | yarn
     rope_scaling_factor: float = 1.0
-    rope_low_freq_factor: float = 1.0
-    rope_high_freq_factor: float = 4.0
+    rope_low_freq_factor: float = 1.0  # llama3
+    rope_high_freq_factor: float = 4.0  # llama3
+    rope_beta_fast: float = 32.0  # yarn
+    rope_beta_slow: float = 1.0  # yarn
+    rope_attention_factor: "Optional[float]" = None  # yarn mscale
     rope_original_max_seq: "Optional[int]" = None
 
     @property
     def rope_scaling_spec(self):
-        """Hashable (type, factor, low, high, orig_max) tuple for the
-        rope helpers; None when unscaled."""
+        """Hashable tuple for the rope helpers; None when unscaled."""
         if self.rope_scaling_type is None:
             return None
         return (self.rope_scaling_type, self.rope_scaling_factor,
                 self.rope_low_freq_factor, self.rope_high_freq_factor,
-                self.rope_original_max_seq)
+                self.rope_original_max_seq, self.rope_beta_fast,
+                self.rope_beta_slow, self.rope_attention_factor)
     # sandwich norms (Glm4-0414 family, HF `glm4` arch): extra RMSNorms
     # on the attention and MLP *outputs* before the residual add
     # (post_self_attn_layernorm / post_mlp_layernorm in modeling_glm4)
@@ -239,7 +244,7 @@ class LlamaConfig:
             kind = rs.get("rope_type") or rs.get("type")
             if kind == "default":
                 pass
-            elif kind in ("linear", "llama3"):
+            elif kind in ("linear", "llama3", "yarn"):
                 scaling = dict(
                     rope_scaling_type=kind,
                     rope_scaling_factor=float(rs.get("factor", 1.0)),
@@ -247,13 +252,16 @@ class LlamaConfig:
                         rs.get("low_freq_factor", 1.0)),
                     rope_high_freq_factor=float(
                         rs.get("high_freq_factor", 4.0)),
+                    rope_beta_fast=float(rs.get("beta_fast", 32.0)),
+                    rope_beta_slow=float(rs.get("beta_slow", 1.0)),
+                    rope_attention_factor=rs.get("attention_factor"),
                     rope_original_max_seq=rs.get(
                         "original_max_position_embeddings",
                         hc.max_position_embeddings),
                 )
             else:
                 # silent mispositioning corrupts every cached chunk —
-                # fail loudly on schemes we don't implement (yarn, ...)
+                # fail loudly on schemes we don't implement
                 raise NotImplementedError(
                     f"rope_scaling type {kind!r} is not supported")
         return LlamaConfig(
@@ -583,22 +591,30 @@ def _qkv_heads(h, lp, cfg, positions):
 
 
 def rope_inv_freq(theta, rd, scaling=None):
-    """Rotary inverse frequencies [rd/2], with optional context-
-    extension scaling (LlamaConfig.rope_scaling_spec):
+    """Rotary inverse frequencies [rd/2] and the attention-temperature
+    scale, with optional context-extension scaling
+    (LlamaConfig.rope_scaling_spec):
 
     - ``linear``: every frequency divided by the factor (longchat-style
       position condensation; HF ``rope_type: linear``);
     - ``llama3``: frequencies whose wavelength exceeds
       ``orig_max / low_freq`` are divided by the factor, ones below
       ``orig_max / high_freq`` stay, and the band between interpolates
-      smoothly (HF ``_compute_llama3_parameters``).
+      smoothly (HF ``_compute_llama3_parameters``);
+    - ``yarn``: NTK-by-parts — a beta_fast..beta_slow correction ramp
+      blends interpolated (1/factor) and extrapolated frequencies, and
+      cos/sin are tempered by mscale = 0.1·ln(factor) + 1 (HF
+      ``_compute_yarn_parameters``).
+
+    Returns ``(inv_freq [rd/2], mscale scalar)`` — mscale is 1.0 for
+    every scheme but yarn.
     """
     inv_freq = 1.0 / (theta**(jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     if scaling is None:
-        return inv_freq
-    kind, factor, low, high, orig_max = scaling
+        return inv_freq, 1.0
+    kind, factor, low, high, orig_max = scaling[:5]
     if kind == "linear":
-        return inv_freq / factor
+        return inv_freq / factor, 1.0
     if kind == "llama3":
         wavelen = 2.0 * jnp.pi / inv_freq
         scaled = jnp.where(wavelen > orig_max / low, inv_freq / factor,
@@ -606,7 +622,28 @@ def rope_inv_freq(theta, rd, scaling=None):
         smooth = (orig_max / wavelen - low) / (high - low)
         interp = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
         mid = (wavelen <= orig_max / low) & (wavelen >= orig_max / high)
-        return jnp.where(mid, interp, scaled)
+        return jnp.where(mid, interp, scaled), 1.0
+    if kind == "yarn":
+        beta_fast, beta_slow, attn_factor = scaling[5:8]
+        if attn_factor is not None:
+            mscale = attn_factor
+        elif factor > 1.0:
+            mscale = 0.1 * float(np.log(factor)) + 1.0
+        else:
+            mscale = 1.0
+
+        def correction_dim(beta):
+            return (rd * np.log(orig_max / (beta * 2.0 * np.pi))
+                    / (2.0 * np.log(theta)))
+
+        lo = max(int(np.floor(correction_dim(beta_fast))), 0)
+        hi = min(int(np.ceil(correction_dim(beta_slow))), rd - 1)
+        ramp = jnp.clip(
+            (jnp.arange(rd // 2, dtype=jnp.float32) - lo)
+            / max(hi - lo, 1e-3), 0.0, 1.0)
+        extrap_w = 1.0 - ramp  # 1 where extrapolated (high freq)
+        return (inv_freq / factor * (1.0 - extrap_w)
+                + inv_freq * extrap_w), mscale
     raise ValueError(f"unknown rope scaling type {kind!r}")
 
 
@@ -621,7 +658,7 @@ def _rope(x, positions, theta, rotary_dim=None, interleaved=False,
     D = x.shape[-1]
     rd = rotary_dim or D
     xr = x[..., :rd].astype(jnp.float32)
-    inv_freq = rope_inv_freq(theta, rd, scaling)
+    inv_freq, mscale = rope_inv_freq(theta, rd, scaling)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,rd/2]
     if interleaved:
         cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)[:, :, None, :]
@@ -633,7 +670,9 @@ def _rope(x, positions, theta, rotary_dim=None, interleaved=False,
         sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)[:, :, None, :]
         x1, x2 = jnp.split(xr, 2, axis=-1)
         rotated = jnp.concatenate([-x2, x1], axis=-1)
-    out = (xr * cos + rotated * sin).astype(x.dtype)
+    # yarn attention temperature rides the cos/sin (HF convention:
+    # both q and k are tempered, so scores scale by mscale^2)
+    out = (xr * (cos * mscale) + rotated * (sin * mscale)).astype(x.dtype)
     if rd == D:
         return out
     return jnp.concatenate([out, x[..., rd:]], axis=-1)

@@ -686,6 +686,11 @@ def test_matches_huggingface_mixtral():
           rope_original_max_seq=64),
      {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
       "high_freq_factor": 4.0, "original_max_position_embeddings": 64}),
+    (dict(rope_scaling_type="yarn", rope_scaling_factor=4.0,
+          rope_beta_fast=32.0, rope_beta_slow=1.0,
+          rope_original_max_seq=64),
+     {"rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
+      "beta_slow": 1.0, "original_max_position_embeddings": 64}),
 ])
 def test_rope_scaling_matches_huggingface(rs_kw, hf_rs):
     """Context-extension rope scaling: linear (longchat-style position
@@ -777,3 +782,15 @@ def test_blend_shift_respects_rope_scaling():
     # and an unscaled shift over scaled keys is wrong
     bad = blend.rope_shift_keys(at_pos0[0], jnp.full((T,), 9.0), 10000.0)
     assert np.abs(np.asarray(bad) - np.asarray(at_pos9[0])).max() > 1e-3
+
+    # yarn: keys already carry the attention-temperature mscale from
+    # their original roping; the shift must rotate at yarn frequencies
+    # WITHOUT reapplying mscale
+    yscaling = ("yarn", 4.0, 1.0, 4.0, 64, 32.0, 1.0, None)
+    y_pos9 = llama._rope(x, jnp.arange(9, 9 + T)[None], 10000.0,
+                         scaling=yscaling)
+    y_pos0 = llama._rope(x, jnp.arange(T)[None], 10000.0, scaling=yscaling)
+    yshift = blend.rope_shift_keys(y_pos0[0], jnp.full((T,), 9.0),
+                                   10000.0, scaling=yscaling)
+    np.testing.assert_allclose(np.asarray(yshift), np.asarray(y_pos9[0]),
+                               atol=1e-5, rtol=1e-5)
