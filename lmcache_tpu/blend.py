@@ -84,19 +84,31 @@ def rope_shift_keys(keys: jax.Array, delta, theta: float,
     return jnp.concatenate([out, keys[..., rd:]], axis=-1)
 
 
-def _attend_selected(q, k, v, qpos, kv_len, group):
+def _attend_selected(q, k, v, qpos, kv_len, group, sm_scale=None,
+                     logit_softcap=None, sliding_window=None,
+                     is_global=None):
     """Attention for gathered (non-contiguous) query tokens.
 
     q: [n, H, D] at global positions qpos [n]; k/v: [T, H_kv, D].
-    Causal over global positions; kv valid below kv_len.
-    """
+    Causal over global positions; kv valid below kv_len. Family traits
+    mirror ops.attention.mha_reference: ``sm_scale``/``logit_softcap``
+    (Gemma), ``sliding_window`` with an optional traced per-layer
+    ``is_global`` override (alternating-pattern families — a global
+    layer ignores the window)."""
     n, H, D = q.shape
     T, Hkv = k.shape[0], k.shape[1]
     qh = q.reshape(n, Hkv, group, D).astype(jnp.float32)
     scores = jnp.einsum("nhgd,thd->nhgt", qh, k.astype(jnp.float32))
-    scores = scores / (D**0.5)
+    scores = scores * (sm_scale if sm_scale is not None else 1.0 / D**0.5)
+    if logit_softcap is not None:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     kpos = jnp.arange(T)
     mask = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] < kv_len)
+    if sliding_window is not None:
+        wmask = kpos[None, :] > qpos[:, None] - sliding_window
+        if is_global is not None:
+            wmask = wmask | is_global
+        mask &= wmask
     scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("nhgt,thd->nhgd", probs, v.astype(jnp.float32))
@@ -118,6 +130,10 @@ def blend_prefill(
     group = cfg.n_heads // cfg.n_kv_heads
     positions = jnp.arange(T)
     kv_len = jnp.int32(T)
+    wins = cfg.layer_windows()  # static per-layer is-global flags
+    attend = functools.partial(_attend_selected, sm_scale=cfg.sm_scale,
+                               logit_softcap=cfg.attn_logit_softcap,
+                               sliding_window=cfg.sliding_window)
 
     lp0 = jax.tree.map(lambda a: a[0], params["layers"])
 
@@ -130,27 +146,28 @@ def blend_prefill(
         rope — mirroring models.llama._qkv_heads for gathered tokens."""
         y = _proj(h, lp, w, b).reshape(1, -1, n_heads, D)
         if cfg.qk_norm:
-            y = _rms_norm(y, lp[norm], cfg.norm_eps)
+            y = _rms_norm(y, lp[norm], cfg.norm_eps, cfg.norm_one_offset)
         return _rope(y, pos, cfg.rope_theta, cfg.rotary_dim,
                      cfg.rope_interleaved, cfg.rope_scaling_spec)
 
     # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
-    x = params["embed"][tokens]  # [T, dim]
-    h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps)
+    x = llama._embed(params, cfg, tokens)  # [T, dim]
+    h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
     q0 = _qk(h, lp0, "wq", "bq", "q_norm", cfg.n_heads, positions[None])[0]
     k0 = _qk(h, lp0, "wk", "bk", "k_norm", Hkv, positions[None])[0]
     v0 = _proj(h, lp0, "wv", "bv").reshape(T, Hkv, D)
     kv0 = jnp.stack([k0, v0]).astype(blended_kv.dtype)  # exact layer-0 KV
     blended_kv = blended_kv.at[0].set(kv0)
 
-    attn = _attend_selected(q0, k0, v0, positions, kv_len, group)
+    attn = attend(q0, k0, v0, positions, kv_len, group,
+                  is_global=bool(wins[0]))
     x = _attn_residual(x, attn, lp0, cfg)
     x = _mlp_residual(x, lp0, cfg)
 
     # true layer-1 KV for all tokens (cheap: projections only)
     lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
                        params["layers"])
-    h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps)
+    h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
     k1_true = _qk(h1, lp1, "wk", "bk", "k_norm", Hkv, positions[None])[0]
     v1_true = _proj(h1, lp1, "wv", "bv").reshape(T, Hkv, D)
 
@@ -172,8 +189,8 @@ def blend_prefill(
 
     def layer(carry, scanned):
         xs, _ = carry
-        lp, kv_l = scanned  # kv_l: [2, T, H_kv, D]
-        h = _rms_norm(xs, lp["attn_norm"], cfg.norm_eps)
+        lp, kv_l, g = scanned  # kv_l: [2, T, H_kv, D]
+        h = _rms_norm(xs, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
         n = xs.shape[0]
         q = _qk(h, lp, "wq", "bq", "q_norm", cfg.n_heads, sel_pos[None])[0]
         k = _qk(h, lp, "wk", "bk", "k_norm", Hkv, sel_pos[None])[0]
@@ -181,18 +198,18 @@ def blend_prefill(
         # scatter healed KV before attending
         kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))
         kv_l = kv_l.at[1, sel].set(v.astype(kv_l.dtype))
-        attn = _attend_selected(q, kv_l[0], kv_l[1], sel_pos, kv_len, group)
+        attn = attend(q, kv_l[0], kv_l[1], sel_pos, kv_len, group,
+                      is_global=g)
         xs = _attn_residual(xs, attn, lp, cfg)
         xs = _mlp_residual(xs, lp, cfg)
         return (xs, None), kv_l
 
     rest = jax.tree.map(lambda a: a[1:], params["layers"])
-    (xs, _), healed = jax.lax.scan(layer, (xs, None),
-                                   (rest, blended_kv[1:]))
+    (xs, _), healed = jax.lax.scan(
+        layer, (xs, None), (rest, blended_kv[1:], jnp.asarray(wins[1:])))
     blended_kv = jnp.concatenate([blended_kv[:1], healed], axis=0)
 
-    xf = _rms_norm(xs[-1:], params["final_norm"], cfg.norm_eps)
-    logits = (xf @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = llama._lm_logits(xs[-1:], params, cfg)[0]
     return logits, blended_kv
 
 

@@ -102,10 +102,54 @@ class LlamaConfig:
     # decoupled head dim (Qwen3-4B-class: head_dim != dim // n_heads);
     # None = dim // n_heads
     head_dim_override: "Optional[int]" = None
+    # --- Gemma-family traits -------------------------------------------
+    # MLP activation on the gate projection: "silu" (llama SwiGLU) or
+    # "gelu_tanh" (Gemma's GeGLU, HF hidden_activation
+    # "gelu_pytorch_tanh")
+    mlp_act: str = "silu"
+    # RMSNorm multiplies by (1 + weight) in float32 (Gemma convention;
+    # weights are deltas around identity)
+    norm_one_offset: bool = False
+    # embeddings scaled by sqrt(dim) after lookup (Gemma)
+    embed_scale: bool = False
+    # attention scores bounded to (-cap, cap) via cap*tanh(s/cap)
+    # before masking (Gemma-2 attn_logit_softcapping)
+    attn_logit_softcap: "Optional[float]" = None
+    # final lm_head logits bounded the same way (Gemma-2
+    # final_logit_softcapping)
+    final_logit_softcap: "Optional[float]" = None
+    # attention score scale = query_pre_attn_scalar**-0.5 instead of
+    # head_dim**-0.5 (Gemma-2; e.g. 27B uses dim/n_heads != head_dim)
+    query_pre_attn_scalar: "Optional[float]" = None
+    # alternating local/global attention: with pattern p, layer i uses
+    # FULL attention iff (i + 1) % p == 0 and the sliding window
+    # otherwise (Gemma-2: p=2; Gemma-3: p=6). None = every layer slides
+    # when sliding_window is set (Mistral).
+    sliding_window_pattern: "Optional[int]" = None
 
     @property
     def head_dim(self) -> int:
         return self.head_dim_override or self.dim // self.n_heads
+
+    @property
+    def sm_scale(self) -> "Optional[float]":
+        """Attention score scale override; None = 1/sqrt(head_dim)."""
+        if self.query_pre_attn_scalar is None:
+            return None
+        return float(self.query_pre_attn_scalar)**-0.5
+
+    def layer_windows(self) -> np.ndarray:
+        """Per-layer bool [L]: True where the layer attends GLOBALLY
+        (full causal), False where it uses the sliding window. All-True
+        when no window is configured; all-False (every layer windowed)
+        for Mistral-style uniform windows."""
+        if self.sliding_window is None:
+            return np.ones(self.n_layers, bool)
+        if self.sliding_window_pattern is None:
+            return np.zeros(self.n_layers, bool)
+        p = self.sliding_window_pattern
+        return np.asarray(
+            [(i + 1) % p == 0 for i in range(self.n_layers)], bool)
 
     @staticmethod
     def tiny(**over) -> "LlamaConfig":
@@ -227,6 +271,23 @@ class LlamaConfig:
                            rope_interleaved=True, post_norms=True)
 
     @staticmethod
+    def gemma2_9b() -> "LlamaConfig":
+        # google/gemma-2-9b: GeGLU, (1+w) norms, scaled embeddings,
+        # sandwich norms, alternating 4k-local/global attention,
+        # score + logit softcaps, decoupled head_dim 256
+        return LlamaConfig(vocab_size=256000, dim=3584, n_layers=42,
+                           n_heads=16, n_kv_heads=8, hidden_dim=14336,
+                           rope_theta=10000.0, max_seq_len=8192,
+                           norm_eps=1e-6, head_dim_override=256,
+                           mlp_act="gelu_tanh", norm_one_offset=True,
+                           embed_scale=True, post_norms=True,
+                           attn_logit_softcap=50.0,
+                           final_logit_softcap=30.0,
+                           query_pre_attn_scalar=256.0,
+                           sliding_window=4096,
+                           sliding_window_pattern=2)
+
+    @staticmethod
     def from_hf(model_name: str) -> "LlamaConfig":
         """Read the architecture from a HuggingFace config."""
         from transformers import AutoConfig
@@ -284,7 +345,7 @@ class LlamaConfig:
             # HF's glm/glm4 ports apply cos/sin via repeat_interleave +
             # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
             rope_interleaved=model_type in ("glm", "glm4"),
-            post_norms=model_type == "glm4",
+            post_norms=model_type in ("glm4", "gemma2"),
             qk_norm=model_type in ("qwen3", "qwen3_moe"),
             head_dim_override=(
                 head_dim if head_dim != hc.hidden_size
@@ -296,6 +357,22 @@ class LlamaConfig:
             n_experts_per_tok=getattr(hc, "num_experts_per_tok", 2),
             moe_hidden_dim=getattr(hc, "moe_intermediate_size", None),
             norm_topk_prob=bool(getattr(hc, "norm_topk_prob", True)),
+            # Gemma family: GeGLU, (1+w) norms, scaled embeddings;
+            # gemma2 adds sandwich norms, alternating local/global
+            # attention (pattern 2), score/logit softcaps, and a
+            # query_pre_attn_scalar score scale
+            mlp_act=("gelu_tanh" if model_type in ("gemma", "gemma2")
+                     else "silu"),
+            norm_one_offset=model_type in ("gemma", "gemma2"),
+            embed_scale=model_type in ("gemma", "gemma2"),
+            attn_logit_softcap=getattr(hc, "attn_logit_softcapping", None),
+            final_logit_softcap=getattr(hc, "final_logit_softcapping",
+                                        None),
+            query_pre_attn_scalar=getattr(hc, "query_pre_attn_scalar",
+                                          None),
+            sliding_window_pattern=(2 if model_type == "gemma2" else
+                                    getattr(hc, "sliding_window_pattern",
+                                            None)),
         )
 
 
@@ -309,13 +386,15 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
         return (jax.random.normal(k, shape, jnp.float32) *
                 (fan_in**-0.5)).astype(dt)
 
+    # identity norm weight: 1.0 normally, 0.0 for (1 + w) families
+    nw = jnp.zeros if cfg.norm_one_offset else jnp.ones
     layers = {
-        "attn_norm": jnp.ones((L, dim), dt),
+        "attn_norm": nw((L, dim), dt),
         "wq": w(keys[1], (L, dim, nh * hd), dim),
         "wk": w(keys[2], (L, dim, nkv * hd), dim),
         "wv": w(keys[3], (L, dim, nkv * hd), dim),
         "wo": w(keys[4], (L, nh * hd, dim), nh * hd),
-        "mlp_norm": jnp.ones((L, dim), dt),
+        "mlp_norm": nw((L, dim), dt),
     }
     if cfg.n_experts:
         E = cfg.n_experts
@@ -333,15 +412,15 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
         layers["bk"] = jnp.zeros((L, nkv * hd), dt)
         layers["bv"] = jnp.zeros((L, nkv * hd), dt)
     if cfg.post_norms:
-        layers["post_attn_norm"] = jnp.ones((L, dim), dt)
-        layers["post_mlp_norm"] = jnp.ones((L, dim), dt)
+        layers["post_attn_norm"] = nw((L, dim), dt)
+        layers["post_mlp_norm"] = nw((L, dim), dt)
     if cfg.qk_norm:
-        layers["q_norm"] = jnp.ones((L, hd), dt)
-        layers["k_norm"] = jnp.ones((L, hd), dt)
+        layers["q_norm"] = nw((L, hd), dt)
+        layers["k_norm"] = nw((L, hd), dt)
     return {
         "embed": w(keys[0], (cfg.vocab_size, dim), dim),
         "layers": layers,
-        "final_norm": jnp.ones((dim,), dt),
+        "final_norm": nw((dim,), dt),
         "lm_head": w(keys[0], (dim, cfg.vocab_size), dim),
     }
 
@@ -427,10 +506,22 @@ def load_hf(model_name: str,
         layers["bk"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
         layers["bv"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
     if cfg.post_norms:
-        layers["post_attn_norm"] = stack_vec(
-            "model.layers.{}.post_self_attn_layernorm.weight")
-        layers["post_mlp_norm"] = stack_vec(
-            "model.layers.{}.post_mlp_layernorm.weight")
+        if "model.layers.0.pre_feedforward_layernorm.weight" in sd:
+            # Gemma-2 sandwich naming: the pre-MLP norm is
+            # pre_feedforward_layernorm and post_attention_layernorm is
+            # the attention OUTPUT norm (not the pre-MLP norm as in
+            # llama) — HF modeling_gemma2.Gemma2DecoderLayer
+            layers["mlp_norm"] = stack_vec(
+                "model.layers.{}.pre_feedforward_layernorm.weight")
+            layers["post_attn_norm"] = stack_vec(
+                "model.layers.{}.post_attention_layernorm.weight")
+            layers["post_mlp_norm"] = stack_vec(
+                "model.layers.{}.post_feedforward_layernorm.weight")
+        else:
+            layers["post_attn_norm"] = stack_vec(
+                "model.layers.{}.post_self_attn_layernorm.weight")
+            layers["post_mlp_norm"] = stack_vec(
+                "model.layers.{}.post_mlp_layernorm.weight")
     if cfg.qk_norm:
         layers["q_norm"] = stack_vec("model.layers.{}.self_attn.q_norm.weight")
         layers["k_norm"] = stack_vec("model.layers.{}.self_attn.k_norm.weight")
@@ -493,10 +584,24 @@ def new_quantized_kv_cache(cfg: LlamaConfig, batch: int,
     }
 
 
-def _rms_norm(x, weight, eps):
+def _rms_norm(x, weight, eps, one_offset=False):
     x32 = x.astype(jnp.float32)
     rms = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    if one_offset:
+        # Gemma convention: (1 + w), multiplied in float32 before the
+        # cast back (HF GemmaRMSNorm)
+        return (x32 * rms * (1.0 + weight.astype(jnp.float32))).astype(
+            x.dtype)
     return (x32 * rms).astype(x.dtype) * weight
+
+
+def _act(x, kind):
+    """Gate activation: llama SwiGLU's silu or Gemma GeGLU's tanh-gelu."""
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown mlp_act {kind!r}")
 
 
 def _attn_residual(x, attn_flat, lp, cfg):
@@ -505,7 +610,7 @@ def _attn_residual(x, attn_flat, lp, cfg):
     when the family has one."""
     y = attn_flat.astype(x.dtype) @ lp["wo"]
     if cfg.post_norms:
-        y = _rms_norm(y, lp["post_attn_norm"], cfg.norm_eps)
+        y = _rms_norm(y, lp["post_attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
     return x + y
 
 
@@ -533,7 +638,7 @@ def _moe_mlp(h, lp, cfg):
 
     def expert(acc, sc):
         g, u, d, we = sc  # per-expert weights + [...] combine weight
-        gate = jax.nn.silu((h @ g).astype(jnp.float32))
+        gate = _act((h @ g).astype(jnp.float32), cfg.mlp_act)
         up = (h @ u).astype(jnp.float32)
         y = ((gate * up).astype(h.dtype) @ d).astype(jnp.float32)
         return acc + we[..., None] * y, None
@@ -549,15 +654,15 @@ def _mlp_residual(x, lp, cfg):
     """MLP + residual: dense SwiGLU or sparse MoE (cfg.n_experts), with
     the Glm4-0414 sandwich norm on the output when the family has
     one."""
-    h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps, cfg.norm_one_offset)
     if cfg.n_experts:
         y = _moe_mlp(h, lp, cfg)
     else:
-        gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+        gate = _act((h @ lp["w_gate"]).astype(jnp.float32), cfg.mlp_act)
         up = (h @ lp["w_up"]).astype(jnp.float32)
         y = (gate * up).astype(x.dtype) @ lp["w_down"]
     if cfg.post_norms:
-        y = _rms_norm(y, lp["post_mlp_norm"], cfg.norm_eps)
+        y = _rms_norm(y, lp["post_mlp_norm"], cfg.norm_eps, cfg.norm_one_offset)
     return x + y
 
 
@@ -581,8 +686,8 @@ def _qkv_heads(h, lp, cfg, positions):
     k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
     if cfg.qk_norm:
-        q = _rms_norm(q, lp["q_norm"], cfg.norm_eps)
-        k = _rms_norm(k, lp["k_norm"], cfg.norm_eps)
+        q = _rms_norm(q, lp["q_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        k = _rms_norm(k, lp["k_norm"], cfg.norm_eps, cfg.norm_one_offset)
     q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
               cfg.rope_interleaved, cfg.rope_scaling_spec)
     k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
@@ -678,6 +783,52 @@ def _rope(x, positions, theta, rotary_dim=None, interleaved=False,
     return jnp.concatenate([out, x[..., rd:]], axis=-1)
 
 
+def _attend_dispatch(cfg, make):
+    """Build the per-layer attention dispatcher for a family's attention
+    pattern. ``make(window)`` returns an attend callable with that
+    STATIC sliding window (None = full causal). Returns
+    ``(attend, layer_globals)``: ``attend(g, *args)`` runs the right
+    variant for a layer whose is-global flag is ``g``, and
+    ``layer_globals`` is the per-layer bool [L] to ride the layer scan.
+    Uniform patterns (all-full / all-windowed) skip the ``lax.cond``
+    entirely; alternating families (Gemma-2/3) branch per layer between
+    two separately-compiled kernels, each keeping its static window (the
+    windowed one keeps its shrunk KV grid)."""
+    wins = cfg.layer_windows()
+    dummy = jnp.zeros(cfg.n_layers, bool)
+    if wins.all():
+        full = make(None)
+        return (lambda g, *a: full(*a)), dummy
+    if not wins.any():
+        win = make(cfg.sliding_window)
+        return (lambda g, *a: win(*a)), dummy
+    full, win = make(None), make(cfg.sliding_window)
+
+    def attend(g, *args):
+        return jax.lax.cond(g, lambda a: full(*a), lambda a: win(*a), args)
+
+    return attend, jnp.asarray(wins)
+
+
+def _embed(params, cfg, tokens):
+    """Token embedding lookup, with Gemma's sqrt(dim) scaling."""
+    x = params["embed"][tokens]
+    if cfg.embed_scale:
+        x = x * jnp.asarray(np.sqrt(cfg.dim), x.dtype)
+    return x
+
+
+def _lm_logits(x, params, cfg):
+    """Final-norm + lm_head, with Gemma-2's logit softcap."""
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps,
+                  cfg.norm_one_offset)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        c = cfg.final_logit_softcap
+        logits = c * jnp.tanh(logits / c)
+    return logits
+
+
 def forward(
     params: Params,
     cfg: LlamaConfig,
@@ -701,17 +852,23 @@ def forward(
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
     if use_pallas:
-        attend = functools.partial(flash_attention,
-                                   sliding_window=cfg.sliding_window,
-                                   kv_head_major=True)
+        def make(w):
+            return functools.partial(
+                flash_attention, sliding_window=w, kv_head_major=True,
+                sm_scale=cfg.sm_scale,
+                logit_softcap=cfg.attn_logit_softcap)
     else:
-        def attend(q, kh, vh, q_off, kvl):
-            # CPU fallback: the reference impl is token-major
-            return mha_reference(q, kh.transpose(0, 2, 1, 3),
-                                 vh.transpose(0, 2, 1, 3), q_off, kvl,
-                                 sliding_window=cfg.sliding_window)
+        def make(w):
+            def attend(q, kh, vh, q_off, kvl):
+                # CPU fallback: the reference impl is token-major
+                return mha_reference(
+                    q, kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3),
+                    q_off, kvl, sliding_window=w, sm_scale=cfg.sm_scale,
+                    logit_softcap=cfg.attn_logit_softcap)
+            return attend
+    attend, layer_globals = _attend_dispatch(cfg, make)
 
-    x = params["embed"][tokens]  # [B, T, dim]
+    x = _embed(params, cfg, tokens)  # [B, T, dim]
 
     def write_at(cache_bt, new_bt, offsets):
         # cache_bt [B, H, S, D], new_bt [B, T, H, D], offsets int32 [B]
@@ -722,24 +879,23 @@ def forward(
                 cache_bt, new_hm, offsets)
 
     def layer(x, scanned):
-        lp, cache_l = scanned  # cache_l: [2, B, H_kv, S, D]
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        lp, cache_l, g = scanned  # cache_l: [2, B, H_kv, S, D]
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
         q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         new_k = write_at(cache_l[0], k.astype(cache_l.dtype), start_pos)
         new_v = write_at(cache_l[1], v.astype(cache_l.dtype), start_pos)
 
-        attn = attend(q, new_k, new_v, start_pos, kv_len)
+        attn = attend(g, q, new_k, new_v, start_pos, kv_len)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, jnp.stack((new_k, new_v))
 
-    x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+    x, new_cache = jax.lax.scan(
+        layer, x, (params["layers"], kv_cache, layer_globals))
     if last_logit_only:
         x = x[:, -1:]
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, new_cache
+    return _lm_logits(x, params, cfg), new_cache
 
 
 def forward_quantized(
@@ -766,16 +922,23 @@ def forward_quantized(
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     kv_len = start_pos + T
     if use_pallas:
-        attend = functools.partial(quantized_flash_attention,
-                                   kv_head_major=True,
-                                   sliding_window=cfg.sliding_window)
+        def make(w):
+            return functools.partial(
+                quantized_flash_attention, kv_head_major=True,
+                sliding_window=w, sm_scale=cfg.sm_scale,
+                logit_softcap=cfg.attn_logit_softcap)
     else:
-        def attend(q, ks, vs, ksc, vsc, q_off, kvl):
-            return quantized_attention_reference(
-                q, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
-                ksc, vsc, q_off, kvl, sliding_window=cfg.sliding_window)
+        def make(w):
+            def attend(q, ks, vs, ksc, vsc, q_off, kvl):
+                return quantized_attention_reference(
+                    q, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
+                    ksc, vsc, q_off, kvl, sliding_window=w,
+                    sm_scale=cfg.sm_scale,
+                    logit_softcap=cfg.attn_logit_softcap)
+            return attend
+    attend, layer_globals = _attend_dispatch(cfg, make)
 
-    x = params["embed"][tokens]
+    x = _embed(params, cfg, tokens)
 
     def quant_tokens(t):  # [B, T, H_kv, D] -> int8 sym + f32 [B, T] scale
         t32 = t.astype(jnp.float32)
@@ -797,8 +960,8 @@ def forward_quantized(
                 scale_bt, new_bt, offsets)
 
     def layer(x, scanned):
-        lp, cache_l = scanned  # {"sym" [2,B,H,S,D], "scale" [2,B,S]}
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        lp, cache_l, g = scanned  # {"sym" [2,B,H,S,D], "scale" [2,B,S]}
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
         q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         k_sym, k_scale = quant_tokens(k)
@@ -812,16 +975,15 @@ def forward_quantized(
             write_scale(cache_l["scale"][1], v_scale, start_pos),
         ])
 
-        attn = attend(q, sym[0], sym[1], scale[0], scale[1], start_pos,
+        attn = attend(g, q, sym[0], sym[1], scale[0], scale[1], start_pos,
                       kv_len)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, {"sym": sym, "scale": scale}
 
-    x, new_cache = jax.lax.scan(layer, x, (params["layers"], kv_cache))
+    x, new_cache = jax.lax.scan(
+        layer, x, (params["layers"], kv_cache, layer_globals))
     if last_logit_only:
         x = x[:, -1:]
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, new_cache
+    return _lm_logits(x, params, cfg), new_cache
 

@@ -198,12 +198,19 @@ def forward_paged(
                 if D % 128 == 0 or 128 % D == 0 else paged_attention)
     else:
         impl = paged_attention_reference
-    attend = functools.partial(impl, sliding_window=cfg.sliding_window)
-    if use_pallas and mesh is not None:
-        sharded = _shard_paged_attend(attend, mesh, cfg.n_kv_heads, B,
-                                      quantized=False)
-        if sharded is not None:
-            attend = sharded
+
+    def make(w):
+        a = functools.partial(impl, sliding_window=w,
+                              sm_scale=cfg.sm_scale,
+                              logit_softcap=cfg.attn_logit_softcap)
+        if use_pallas and mesh is not None:
+            sharded = _shard_paged_attend(a, mesh, cfg.n_kv_heads, B,
+                                          quantized=False)
+            if sharded is not None:
+                a = sharded
+        return a
+
+    attend, layer_globals = llama._attend_dispatch(cfg, make)
 
     # per-(batch, new-token) page id and in-page offset
     pidx = jnp.take_along_axis(page_table, positions // page,
@@ -211,11 +218,11 @@ def forward_paged(
     poff = positions % page
     heads = jnp.arange(cfg.n_kv_heads)[None, None, :]  # [1, 1, H_kv]
 
-    x = params["embed"][tokens]
+    x = llama._embed(params, cfg, tokens)
 
     def layer(x, scanned):
-        lp, pool_l = scanned  # pool_l: [2, P, H_kv, page, D]
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        lp, pool_l, g = scanned  # pool_l: [2, P, H_kv, page, D]
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
         q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         # scatter [B, T, H, D] new tokens into head-major pages:
@@ -225,18 +232,17 @@ def forward_paged(
         pool_l = pool_l.at[1, pidx[..., None], heads,
                            poff[..., None]].set(v.astype(pool_l.dtype))
 
-        attn = attend(q, pool_l[0], pool_l[1], page_table, start_pos,
+        attn = attend(g, q, pool_l[0], pool_l[1], page_table, start_pos,
                       kv_len)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, pool_l
 
-    x, new_pool = jax.lax.scan(layer, x, (params["layers"], kv_pool))
+    x, new_pool = jax.lax.scan(
+        layer, x, (params["layers"], kv_pool, layer_globals))
     if last_logit_only:
         x = x[:, -1:]
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, new_pool
+    return llama._lm_logits(x, params, cfg), new_pool
 
 
 def new_quantized_paged_pool(cfg: llama.LlamaConfig, num_pages: int,
@@ -281,18 +287,25 @@ def forward_paged_quantized(
                 else quantized_paged_attention)
     else:
         impl = quantized_paged_attention_reference
-    attend = functools.partial(impl, sliding_window=cfg.sliding_window)
-    if use_pallas and mesh is not None:
-        sharded = _shard_paged_attend(attend, mesh, cfg.n_kv_heads, B,
-                                      quantized=True)
-        if sharded is not None:
-            attend = sharded
+
+    def make(w):
+        a = functools.partial(impl, sliding_window=w,
+                              sm_scale=cfg.sm_scale,
+                              logit_softcap=cfg.attn_logit_softcap)
+        if use_pallas and mesh is not None:
+            sharded = _shard_paged_attend(a, mesh, cfg.n_kv_heads, B,
+                                          quantized=True)
+            if sharded is not None:
+                a = sharded
+        return a
+
+    attend, layer_globals = llama._attend_dispatch(cfg, make)
 
     pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
     poff = positions % page
     heads = jnp.arange(cfg.n_kv_heads)[None, None, :]
 
-    x = params["embed"][tokens]
+    x = llama._embed(params, cfg, tokens)
 
     def quant_tokens(t):  # [B, T, H_kv, D] -> i8 sym + [B, T] scale
         t32 = t.astype(jnp.float32)
@@ -302,8 +315,8 @@ def forward_paged_quantized(
         return jnp.clip(sym, -127, 127).astype(jnp.int8), scale
 
     def layer(x, scanned):
-        lp, pool_l = scanned  # {"sym" [2,P,H,page,D], "scale" [2,P,page]}
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        lp, pool_l, g = scanned  # {"sym" [2,P,H,page,D], "scale" ...}
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
         q, k, v = _qkv_heads(h, lp, cfg, positions)
 
         k_sym, k_scale = quant_tokens(k)
@@ -314,15 +327,14 @@ def forward_paged_quantized(
         scl = pool_l["scale"].at[0, pidx, poff].set(k_scale)
         scl = scl.at[1, pidx, poff].set(v_scale)
 
-        attn = attend(q, sym[0], sym[1], scl[0], scl[1], page_table,
+        attn = attend(g, q, sym[0], sym[1], scl[0], scl[1], page_table,
                       start_pos, kv_len)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, {"sym": sym, "scale": scl}
 
-    x, new_pool = jax.lax.scan(layer, x, (params["layers"], kv_pool))
+    x, new_pool = jax.lax.scan(
+        layer, x, (params["layers"], kv_pool, layer_globals))
     if last_logit_only:
         x = x[:, -1:]
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, new_pool
+    return llama._lm_logits(x, params, cfg), new_pool

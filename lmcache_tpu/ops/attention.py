@@ -37,14 +37,18 @@ _NEG_INF = -1e30
 
 
 def mha_reference(q, k, v, q_offset, kv_len,
-                  sliding_window=None) -> jax.Array:
+                  sliding_window=None, sm_scale=None,
+                  logit_softcap=None) -> jax.Array:
     """jnp reference (and CPU fallback). Shapes as module docstring.
     ``sliding_window``: keys older than ``window`` positions behind the
-    query are masked (Mistral-family attention)."""
+    query are masked (Mistral-family attention). ``sm_scale`` overrides
+    the 1/sqrt(D) score scale (Gemma's query_pre_attn_scalar);
+    ``logit_softcap`` bounds scores to (-cap, cap) via cap*tanh(s/cap)
+    before masking (Gemma-2)."""
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
-    scale = 1.0 / (D**0.5)
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
     # [B, Hkv, G, T, D] x [B, Hkv, S, D] -> [B, Hkv, G, T, S]
     qh = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 3, 1, 4)
@@ -52,6 +56,8 @@ def mha_reference(q, k, v, q_offset, kv_len,
     vh = v.transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qh.astype(jnp.float32),
                         kh.astype(jnp.float32)) * scale
+    if logit_softcap is not None:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
     qpos = q_offset[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kpos = jnp.arange(S)[None, :]  # [1, S]
@@ -77,7 +83,7 @@ def _window_start_block(q_off, iq, *, block_q, block_k, total_kb, num_kb,
 
 def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
                   scale, sliding_window=None, total_kb=None,
-                  has_slot=False):
+                  has_slot=False, logit_softcap=None):
     if has_slot:
         # extra scalar-prefetch ref (the pool row index) — consumed by
         # the index_map only; the body masks with q_off/kv_len as usual
@@ -113,6 +119,8 @@ def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    if logit_softcap is not None:
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
 
     qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (group * block_q, block_k), 0) % block_q)
@@ -153,7 +161,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "sliding_window",
-                     "kv_head_major"),
+                     "kv_head_major", "sm_scale", "logit_softcap"),
 )
 def flash_attention(
     q: jax.Array,
@@ -168,6 +176,8 @@ def flash_attention(
     sliding_window: Optional[int] = None,
     kv_head_major: bool = False,
     kv_slot: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """Pallas flash attention. See module docstring for shapes/semantics.
 
@@ -201,7 +211,7 @@ def flash_attention(
     if H % Hkv:
         raise ValueError(f"H ({H}) must be a multiple of H_kv ({Hkv})")
     group = H // Hkv
-    scale = 1.0 / (D**0.5)
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
     bk = min(block_k, _round_up(S, 128))
@@ -241,7 +251,8 @@ def flash_attention(
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               total_kb=total_kb, has_slot=has_slot)
+                               total_kb=total_kb, has_slot=has_slot,
+                               logit_softcap=logit_softcap)
     scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
     if has_slot:
         scalar_args.append(kv_slot.astype(jnp.int32))

@@ -32,7 +32,8 @@ from lmcache_tpu.ops.attention import _NEG_INF, _round_up, mha_reference
 
 
 def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
-                              kv_len, sliding_window=None) -> jax.Array:
+                              kv_len, sliding_window=None, sm_scale=None,
+                              logit_softcap=None) -> jax.Array:
     """Gather pages densely, then dense attention (tests / CPU path).
 
     q: [B, T, H, D]; k/v_pool: [P, H_kv, page, D] (head-major pages);
@@ -47,7 +48,8 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
     v = v_pool[page_table].transpose(0, 1, 3, 2, 4).reshape(
         B, NP * page, Hkv, D)
     return mha_reference(q, k, v, q_offset, kv_len,
-                         sliding_window=sliding_window)
+                         sliding_window=sliding_window, sm_scale=sm_scale,
+                         logit_softcap=logit_softcap)
 
 
 def _window_start_page(q_off, iq, *, block_q, page, total_pages, num_j,
@@ -61,7 +63,7 @@ def _window_start_page(q_off, iq, *, block_q, page, total_pages, num_j,
 def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
                 l_scr, acc_scr, *, block_q, page, group, scale,
                 sliding_window=None, total_pages=None, ks_ref=None,
-                vs_ref=None):
+                vs_ref=None, logit_softcap=None):
     """Shared online-softmax body; ks/vs present => fused int8 dequant
     (per-token scales correct score/probability columns, as in
     ops/quantized_attention.py)."""
@@ -105,6 +107,8 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
                                 preferred_element_type=jnp.float32) * scale
         if ks_ref is not None:
             s = s * ks_ref[0].astype(jnp.float32)  # [1, page]
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s / logit_softcap)
 
         qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (group * block_q, page), 0) % block_q)
@@ -148,7 +152,8 @@ def _paged_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
+                              "sm_scale", "logit_softcap"))
 def paged_attention(
     q: jax.Array,
     k_pool: jax.Array,
@@ -160,6 +165,8 @@ def paged_attention(
     block_q: int = 128,
     interpret: Optional[bool] = None,
     sliding_window: Optional[int] = None,
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """Attention over paged KV.
 
@@ -181,7 +188,7 @@ def paged_attention(
     if H % Hkv:
         raise ValueError(f"H ({H}) must divide into H_kv ({Hkv})")
     group = H // Hkv
-    scale = 1.0 / (D**0.5)
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
     Tp = _round_up(T, bq)
@@ -215,7 +222,8 @@ def paged_attention(
     kernel = functools.partial(_paged_kernel, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               total_pages=NP)
+                               total_pages=NP,
+                               logit_softcap=logit_softcap)
 
     out = pl.pallas_call(
         kernel,
@@ -246,7 +254,8 @@ def paged_attention(
 def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
                                         k_scale_pool, v_scale_pool,
                                         page_table, q_offset, kv_len,
-                                        sliding_window=None):
+                                        sliding_window=None, sm_scale=None,
+                                        logit_softcap=None):
     """Dequantize pages densely, then dense attention (tests/CPU)."""
     B = q.shape[0]
     P, Hkv, page, D = k_sym_pool.shape
@@ -260,11 +269,13 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
 
     return mha_reference(q, deq(k_sym_pool, k_scale_pool),
                          deq(v_sym_pool, v_scale_pool), q_offset, kv_len,
-                         sliding_window=sliding_window)
+                         sliding_window=sliding_window, sm_scale=sm_scale,
+                         logit_softcap=logit_softcap)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
+                              "sm_scale", "logit_softcap"))
 def quantized_paged_attention(
     q: jax.Array,
     k_sym_pool: jax.Array,  # int8 [P, H_kv, page, D] (head-major pages)
@@ -278,6 +289,8 @@ def quantized_paged_attention(
     block_q: int = 128,
     interpret: Optional[bool] = None,
     sliding_window: Optional[int] = None,
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """Paged attention over an int8 page arena — pages stream from HBM at
     half the bytes, dequantized in-register via the column-correction
@@ -288,7 +301,7 @@ def quantized_paged_attention(
     P, Hkv, page, _ = k_sym_pool.shape
     NP = page_table.shape[1]
     group = H // Hkv
-    scale = 1.0 / (D**0.5)
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
     Tp = _round_up(T, bq)
@@ -322,7 +335,8 @@ def quantized_paged_attention(
     kernel = functools.partial(_paged_kernel_q, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               total_pages=NP)
+                               total_pages=NP,
+                               logit_softcap=logit_softcap)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -433,7 +447,7 @@ def _packed_scale_perm(scale_pool, *, page, D):
 
 def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                       v_hbm, o_ref, *, block_q, page, group, scale,
-                      sliding_window=None):
+                      sliding_window=None, logit_softcap=None):
     """One program per (batch, kv-head, q-block): the KV pool stays in
     HBM (memory_space=ANY) and the kernel itself streams the sequence's
     LIVE pages through a double-buffered async-copy pipeline.
@@ -504,6 +518,8 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             kv_k = k_scr[slot].astype(jnp.float32)  # [page*D/128, 128]
             kv_v = v_scr[slot].astype(jnp.float32)
             s = _packed_scores(q, kv_k, page=page, D=D) * scale
+            if logit_softcap is not None:
+                s = logit_softcap * jnp.tanh(s / logit_softcap)
 
             qpos = (q_off_ref[b] + iq * block_q
                     + jax.lax.broadcasted_iota(
@@ -563,7 +579,8 @@ def _dma_page_view(pool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
+                              "sm_scale", "logit_softcap"))
 def paged_attention_dma(
     q: jax.Array,
     k_pool: jax.Array,  # [P, H_kv, page, D] head-major pages (HBM)
@@ -575,6 +592,8 @@ def paged_attention_dma(
     block_q: int = 128,
     interpret: Optional[bool] = None,
     sliding_window: Optional[int] = None,
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """:func:`paged_attention` with kernel-driven page DMA (see
     _paged_dma_kernel). Same contract; preferred for decode."""
@@ -585,7 +604,7 @@ def paged_attention_dma(
     if H % Hkv:
         raise ValueError(f"H ({H}) must divide into H_kv ({Hkv})")
     group = H // Hkv
-    scale = 1.0 / (D**0.5)
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
     Tp = _round_up(T, bq)
@@ -597,7 +616,8 @@ def paged_attention_dma(
     grid = (B, Hkv, Tp // bq)
     kernel = functools.partial(_paged_dma_kernel, block_q=bq, page=page,
                                group=group, scale=scale,
-                               sliding_window=sliding_window)
+                               sliding_window=sliding_window,
+                               logit_softcap=logit_softcap)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -621,7 +641,8 @@ def paged_attention_dma(
 
 def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                         v_hbm, ks_hbm, vs_hbm, o_ref, *, block_q, page,
-                        group, scale, sliding_window=None):
+                        group, scale, sliding_window=None,
+                        logit_softcap=None):
     """Int8 variant of :func:`_paged_dma_kernel`: pages stream as int8
     (half the bytes) together with their per-token scale rows; dequant
     is the usual column-correction fused into the online softmax."""
@@ -680,6 +701,8 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             ksc = ks_scr[slot][:, :page].astype(jnp.float32)  # [1, page]
             vsc = vs_scr[slot][:, :page].astype(jnp.float32)
             s = _packed_scores(q, kv_k, page=page, D=D) * (ksc * scale)
+            if logit_softcap is not None:
+                s = logit_softcap * jnp.tanh(s / logit_softcap)
 
             qpos = (q_off_ref[b] + iq * block_q
                     + jax.lax.broadcasted_iota(
@@ -723,7 +746,8 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "interpret", "sliding_window"))
+    jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
+                              "sm_scale", "logit_softcap"))
 def quantized_paged_attention_dma(
     q: jax.Array,
     k_sym_pool: jax.Array,  # int8 [P, H_kv, page, D]
@@ -737,6 +761,8 @@ def quantized_paged_attention_dma(
     block_q: int = 128,
     interpret: Optional[bool] = None,
     sliding_window: Optional[int] = None,
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """:func:`quantized_paged_attention` with kernel-driven page DMA."""
     if interpret is None:
@@ -744,7 +770,7 @@ def quantized_paged_attention_dma(
     B, T, H, D = q.shape
     P, Hkv, page, _ = k_sym_pool.shape
     group = H // Hkv
-    scale = 1.0 / (D**0.5)
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
     Tp = _round_up(T, bq)
@@ -763,7 +789,8 @@ def quantized_paged_attention_dma(
     grid = (B, Hkv, Tp // bq)
     kernel = functools.partial(_paged_dma_kernel_q, block_q=bq, page=page,
                                group=group, scale=scale,
-                               sliding_window=sliding_window)
+                               sliding_window=sliding_window,
+                               logit_softcap=logit_softcap)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -66,7 +66,7 @@ def dequantize_kv(sym: jax.Array, scale: jax.Array,
 
 def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
                    block_k, group, scale, sliding_window=None,
-                   total_kb=None, has_slot=False):
+                   total_kb=None, has_slot=False, logit_softcap=None):
     if has_slot:
         (_slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr,
          l_scr, acc_scr) = rest
@@ -104,6 +104,8 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * (k_scale * scale)  # fused K dequant: per-column correction
+    if logit_softcap is not None:
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
 
     qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (group * block_q, block_k), 0) % block_q)
@@ -139,7 +141,8 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret",
-                                    "kv_head_major", "sliding_window"))
+                                    "kv_head_major", "sliding_window",
+                                    "sm_scale", "logit_softcap"))
 def quantized_flash_attention(
     q: jax.Array,
     k_sym: jax.Array,
@@ -155,6 +158,8 @@ def quantized_flash_attention(
     kv_head_major: bool = False,
     sliding_window: Optional[int] = None,
     kv_slot: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """Flash attention reading int8 KV directly from HBM.
 
@@ -177,7 +182,7 @@ def quantized_flash_attention(
     if H % Hkv:
         raise ValueError(f"H ({H}) must be a multiple of H_kv ({Hkv})")
     group = H // Hkv
-    scale = 1.0 / (D**0.5)
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
     bq = min(block_q, _round_up(T, 16))
     bk = min(block_k, _round_up(S, 128))  # int8 sublane tile
@@ -217,7 +222,8 @@ def quantized_flash_attention(
     kernel = functools.partial(_qflash_kernel, block_q=bq, block_k=bk,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               total_kb=total_kb, has_slot=has_slot)
+                               total_kb=total_kb, has_slot=has_slot,
+                               logit_softcap=logit_softcap)
     scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
     if has_slot:
         scalar_args.append(kv_slot.astype(jnp.int32))
@@ -250,9 +256,11 @@ def quantized_flash_attention(
 
 def quantized_attention_reference(q, k_sym, v_sym, k_scale, v_scale,
                                   q_offset, kv_len,
-                                  sliding_window=None) -> jax.Array:
+                                  sliding_window=None, sm_scale=None,
+                                  logit_softcap=None) -> jax.Array:
     """Unfused reference: dequantize then dense attention (for tests)."""
     k = dequantize_kv(k_sym, k_scale)
     v = dequantize_kv(v_sym, v_scale)
     return mha_reference(q, k, v, q_offset, kv_len,
-                         sliding_window=sliding_window)
+                         sliding_window=sliding_window, sm_scale=sm_scale,
+                         logit_softcap=logit_softcap)

@@ -794,3 +794,143 @@ def test_blend_shift_respects_rope_scaling():
                                    10000.0, scaling=yscaling)
     np.testing.assert_allclose(np.asarray(yshift), np.asarray(y_pos9[0]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_matches_huggingface_gemma2():
+    """Gemma-2: GeGLU, (1+w) RMSNorms, sqrt(dim)-scaled embeddings,
+    sandwich norms, alternating sliding/global attention (pattern 2),
+    attention + final logit softcapping, and a query_pre_attn_scalar
+    score scale (HF modeling_gemma2.py; eager attention for softcap)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    L = 4  # layers 0/2 sliding, 1/3 global
+    hf_cfg = Gemma2Config(vocab_size=128, hidden_size=64,
+                          intermediate_size=128, num_hidden_layers=L,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          head_dim=16, max_position_embeddings=256,
+                          rms_norm_eps=1e-6, rope_theta=10000.0,
+                          attention_bias=False, attention_dropout=0.0,
+                          hidden_activation="gelu_pytorch_tanh",
+                          query_pre_attn_scalar=24.0, sliding_window=16,
+                          attn_logit_softcapping=50.0,
+                          final_logit_softcapping=30.0, pad_token_id=0,
+                          attn_implementation="eager")
+    torch.manual_seed(33)
+    hf_model = Gemma2ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.pre_feedforward_layernorm.weight" in sd
+
+    cfg = llama.LlamaConfig(vocab_size=128, dim=64, n_layers=L, n_heads=4,
+                            n_kv_heads=2, hidden_dim=128, max_seq_len=256,
+                            dtype="float32", norm_eps=1e-6,
+                            head_dim_override=16, mlp_act="gelu_tanh",
+                            norm_one_offset=True, embed_scale=True,
+                            post_norms=True, attn_logit_softcap=50.0,
+                            final_logit_softcap=30.0,
+                            query_pre_attn_scalar=24.0, sliding_window=16,
+                            sliding_window_pattern=2)
+    assert list(cfg.layer_windows()) == [False, True, False, True]
+
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy()),
+        "layers": {
+            "attn_norm": _stack_vecs(
+                sd, L, "model.layers.{}.input_layernorm.weight"),
+            "wq": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.q_proj.weight"),
+            "wk": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.k_proj.weight"),
+            "wv": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.v_proj.weight"),
+            "wo": _stack_layers(
+                sd, L, "model.layers.{}.self_attn.o_proj.weight"),
+            "post_attn_norm": _stack_vecs(
+                sd, L, "model.layers.{}.post_attention_layernorm.weight"),
+            "mlp_norm": _stack_vecs(
+                sd, L, "model.layers.{}.pre_feedforward_layernorm.weight"),
+            "post_mlp_norm": _stack_vecs(
+                sd, L, "model.layers.{}.post_feedforward_layernorm.weight"),
+            "w_gate": _stack_layers(
+                sd, L, "model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": _stack_layers(
+                sd, L, "model.layers.{}.mlp.up_proj.weight"),
+            "w_down": _stack_layers(
+                sd, L, "model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd["model.norm.weight"].numpy()),
+        # tied embeddings
+        "lm_head": jnp.asarray(sd["model.embed_tokens.weight"].numpy().T),
+    }
+
+    B, T = 2, 48  # T > sliding_window so local/global layers diverge
+    ids = np.random.default_rng(34).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 64)
+    logits, cache = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                                  jnp.zeros(B, jnp.int32), cache,
+                                  use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
+
+    # the alternating pattern is load-bearing: all-sliding diverges
+    uni = llama.LlamaConfig(**{**cfg.__dict__,
+                               "sliding_window_pattern": None})
+    bad, _ = llama.forward(params, uni, jnp.asarray(ids, jnp.int32),
+                           jnp.zeros(B, jnp.int32),
+                           llama.new_kv_cache(uni, B, 64),
+                           use_pallas=False)
+    assert np.abs(np.asarray(bad) - hf_logits).max() > 1e-2
+
+    # prefill+decode equals one-shot (cache semantics under the pattern)
+    cache2 = llama.new_kv_cache(cfg, B, 64)
+    l1, cache2 = llama.forward(params, cfg,
+                               jnp.asarray(ids[:, :T - 1], jnp.int32),
+                               jnp.zeros(B, jnp.int32), cache2,
+                               use_pallas=False)
+    l2, _ = llama.forward(params, cfg, jnp.asarray(ids[:, T - 1:],
+                                                   jnp.int32),
+                          jnp.full((B,), T - 1, jnp.int32), cache2,
+                          use_pallas=False)
+    np.testing.assert_allclose(np.asarray(l2[:, 0]),
+                               np.asarray(logits[:, -1]), atol=1e-4,
+                               rtol=1e-4)
+
+    # serving: dense and paged engines agree greedily
+    from lmcache_tpu.serving import SamplingParams, ServingEngine
+    from lmcache_tpu.serving.paged_engine import PagedServingEngine
+    prompt = np.random.default_rng(35).integers(0, 128, 21, dtype=np.int32)
+    [r] = ServingEngine(cfg, params, max_batch=2, max_seq=64,
+                        use_pallas=False).generate(
+                            [prompt], SamplingParams(max_new_tokens=5))
+    [p] = PagedServingEngine(cfg, params, max_batch=2, max_seq=64,
+                             num_pages=16, page_size=16,
+                             use_pallas=False).generate(
+                                 [prompt], SamplingParams(max_new_tokens=5))
+    assert r.output_tokens == p.output_tokens and len(r.output_tokens) == 5
+
+
+def test_gemma2_from_hf_config():
+    """from_hf maps every Gemma-2 trait off the HF config."""
+    pytest.importorskip("torch")
+    from unittest import mock
+
+    from transformers import Gemma2Config
+    hc = Gemma2Config(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=4,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, max_position_embeddings=256,
+                      rms_norm_eps=1e-6, query_pre_attn_scalar=24.0,
+                      sliding_window=16, attn_logit_softcapping=50.0,
+                      final_logit_softcapping=30.0)
+    with mock.patch("transformers.AutoConfig.from_pretrained",
+                    return_value=hc):
+        cfg = llama.LlamaConfig.from_hf("local/gemma2-test")
+    assert cfg.mlp_act == "gelu_tanh" and cfg.norm_one_offset
+    assert cfg.embed_scale and cfg.post_norms
+    assert cfg.attn_logit_softcap == 50.0
+    assert cfg.final_logit_softcap == 30.0
+    assert cfg.query_pre_attn_scalar == 24.0
+    assert cfg.sliding_window == 16 and cfg.sliding_window_pattern == 2
+    assert cfg.head_dim == 16
