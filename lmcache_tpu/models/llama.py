@@ -292,6 +292,17 @@ class LlamaConfig:
         """Read the architecture from a HuggingFace config."""
         from transformers import AutoConfig
         hc = AutoConfig.from_pretrained(model_name)
+
+        def _check_all_sparse(hc):
+            n = (getattr(hc, "num_experts", None)
+                 or getattr(hc, "num_local_experts", None))
+            if n and (getattr(hc, "mlp_only_layers", None)
+                      or getattr(hc, "decoder_sparse_step", 1) != 1):
+                raise NotImplementedError(
+                    "mixed dense/sparse MoE layouts (mlp_only_layers / "
+                    "decoder_sparse_step != 1) are not supported; every "
+                    "layer is modeled as sparse")
+            return n
         model_type = getattr(hc, "model_type", "")
         head_dim = getattr(hc, "head_dim", None) or (
             hc.hidden_size // hc.num_attention_heads)
@@ -351,9 +362,11 @@ class LlamaConfig:
                 head_dim if head_dim != hc.hidden_size
                 // hc.num_attention_heads else None),
             # MoE families (qwen3_moe: num_experts; mixtral:
-            # num_local_experts)
-            n_experts=(getattr(hc, "num_experts", None)
-                       or getattr(hc, "num_local_experts", None)),
+            # num_local_experts). We model every layer as sparse —
+            # checkpoints that mix dense and MoE layers
+            # (qwen3_moe mlp_only_layers / decoder_sparse_step) would be
+            # silently mis-modeled, so fail loudly.
+            n_experts=_check_all_sparse(hc),
             n_experts_per_tok=getattr(hc, "num_experts_per_tok", 2),
             moe_hidden_dim=getattr(hc, "moe_intermediate_size", None),
             norm_topk_prob=bool(getattr(hc, "norm_topk_prob", True)),
@@ -380,7 +393,7 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
     dt = jnp.dtype(cfg.dtype)
     L, dim, hd = cfg.n_layers, cfg.dim, cfg.head_dim
     nh, nkv, hid = cfg.n_heads, cfg.n_kv_heads, cfg.hidden_dim
-    keys = jax.random.split(rng, 8)
+    keys = jax.random.split(rng, 9)
 
     def w(k, shape, fan_in):
         return (jax.random.normal(k, shape, jnp.float32) *
@@ -399,7 +412,7 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
     if cfg.n_experts:
         E = cfg.n_experts
         mh = cfg.moe_hidden_dim or hid
-        layers["router"] = w(keys[5], (L, dim, E), dim)
+        layers["router"] = w(keys[8], (L, dim, E), dim)
         layers["e_gate"] = w(keys[5], (L, E, dim, mh), dim)
         layers["e_up"] = w(keys[6], (L, E, dim, mh), dim)
         layers["e_down"] = w(keys[7], (L, E, mh, dim), mh)
@@ -465,9 +478,7 @@ def load_hf(model_name: str,
         "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
         "mlp_norm":
         stack_vec("model.layers.{}.post_attention_layernorm.weight"),
-        "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
     }
-    del layers["w_down"]
     if cfg.n_experts:
         # MoE families. Qwen3-MoE: mlp.gate (router) +
         # mlp.experts.{e}.{gate,up,down}_proj; Mixtral:

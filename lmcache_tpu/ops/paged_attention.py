@@ -379,6 +379,10 @@ def _pack_factor(page, D):
     consecutive tokens (D must divide 128; lane-crossing reshapes back
     to [page, D] do not lower in-kernel)."""
     if D >= 128:
+        if D % 128:
+            raise ValueError(
+                f"head_dim {D} >= 128 must be a multiple of 128 "
+                "(HBM DMA slices are 128-lane aligned)")
         return 1
     if 128 % D:
         raise ValueError(f"head_dim {D} < 128 must divide 128")

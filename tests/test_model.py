@@ -934,3 +934,62 @@ def test_gemma2_from_hf_config():
     assert cfg.query_pre_attn_scalar == 24.0
     assert cfg.sliding_window == 16 and cfg.sliding_window_pattern == 2
     assert cfg.head_dim == 16
+
+
+def test_load_hf_moe_checkpoint(tmp_path):
+    """load_hf handles MoE state dicts (no dense mlp.down_proj present)
+    end-to-end: save a tiny Mixtral, load it through load_hf, and match
+    HF logits. Regression: the initial layers dict used to eagerly stack
+    mlp.down_proj.weight and KeyError on every MoE checkpoint."""
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    L, E = 2, 4
+    hf_cfg = MixtralConfig(vocab_size=128, hidden_size=128,
+                           intermediate_size=64, num_hidden_layers=L,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           max_position_embeddings=256, rms_norm_eps=1e-5,
+                           rope_theta=10000.0, tie_word_embeddings=False,
+                           attention_dropout=0.0, num_local_experts=E,
+                           num_experts_per_tok=2, sliding_window=None,
+                           output_router_logits=False, pad_token_id=0)
+    torch.manual_seed(11)
+    hf_model = MixtralForCausalLM(hf_cfg).eval().float()
+    path = tmp_path / "tiny-mixtral"
+    hf_model.save_pretrained(path)
+
+    import dataclasses
+    cfg = dataclasses.replace(llama.LlamaConfig.from_hf(str(path)),
+                              dtype="float32")
+    cfg, params = llama.load_hf(str(path), cfg)
+    assert cfg.n_experts == E and "e_down" in params["layers"]
+    assert "w_down" not in params["layers"]
+
+    B, T = 2, 11
+    ids = np.random.default_rng(7).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=3e-3,
+                               rtol=3e-3)
+
+
+def test_from_hf_rejects_mixed_sparse():
+    """Mixed dense/sparse MoE layouts fail loudly instead of silently
+    computing MoE on dense layers."""
+    pytest.importorskip("torch")
+    from unittest import mock
+
+    from transformers import Qwen3MoeConfig
+    hc = Qwen3MoeConfig(vocab_size=128, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=4,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        head_dim=16, num_experts=4, num_experts_per_tok=2,
+                        moe_intermediate_size=32, mlp_only_layers=[0])
+    with mock.patch("transformers.AutoConfig.from_pretrained",
+                    return_value=hc):
+        with pytest.raises(NotImplementedError, match="mlp_only_layers"):
+            llama.LlamaConfig.from_hf("local/qwen3-moe-mixed")

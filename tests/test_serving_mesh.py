@@ -64,7 +64,7 @@ def test_paged_generate_on_mesh():
     assert req.output_tokens == golden.output_tokens
 
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs >= 8 devices")
 def test_paged_pallas_shard_map_parity():
     """The pallas paged kernels run under shard_map with the arena's kv
     heads on "model" (models/paged._shard_paged_attend): the sharded
