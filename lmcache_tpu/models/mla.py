@@ -498,11 +498,14 @@ def load_hf(model_name: str,
 # ---------------------------------------------------------------------------
 
 
-def _mla_attention(x, lp, cfg: MLAConfig, cache_l, start_pos, positions):
+def _mla_attention(x, lp, cfg: MLAConfig, cache_l, start_pos, positions,
+                   use_pallas=False):
     """Absorbed-latent MLA attention for one layer.
 
     cache_l: ``[B, S, r+p]``. Returns (attn output [B, T, H*v],
-    new cache_l). Scores and softmax in float32."""
+    new cache_l). Scores and softmax in float32; with ``use_pallas``
+    the streaming single-read kernel (ops/latent_attention.py) replaces
+    the two-pass einsum."""
     B, T = x.shape[:2]
     H, n, p, r = (cfg.n_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
                   cfg.kv_lora_rank)
@@ -530,23 +533,23 @@ def _mla_attention(x, lp, cfg: MLAConfig, cache_l, start_pos, positions):
     cache_l = jax.vmap(
         lambda cb, nb, s: jax.lax.dynamic_update_slice(cb, nb, (s, 0)))(
             cache_l, new_tok.astype(cache_l.dtype), start_pos)
-    cache_c = cache_l[..., :r].astype(jnp.float32)  # [B, S, r]
-    cache_pe = cache_l[..., r:].astype(jnp.float32)  # [B, S, p]
 
     # absorb the per-head key factor into the query: q·(W_k c) = (W_kᵀq)·c
     q_lat = jnp.einsum("bthn,hnr->bthr", q_nope.astype(jnp.float32),
                        lp["w_kb_k"].astype(jnp.float32))
-    scores = (jnp.einsum("bthr,bsr->bhts", q_lat, cache_c)
-              + jnp.einsum("bthp,bsp->bhts", q_pe.astype(jnp.float32),
-                           cache_pe)) * cfg.sm_scale
+    q_full = jnp.concatenate([q_lat, q_pe.astype(jnp.float32)], axis=-1)
 
-    S = cache_l.shape[1]
-    q_pos = positions[:, None, :, None]  # [B, 1, T, 1]
-    col = jnp.arange(S)[None, None, None, :]
-    scores = jnp.where(col <= q_pos, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-
-    ctx = jnp.einsum("bhts,bsr->bthr", probs, cache_c)
+    from lmcache_tpu.ops.latent_attention import (
+        latent_attention_reference, latent_flash_attention)
+    if use_pallas:
+        # stream in the pool's dtype (bf16 x bf16 -> f32 on the MXU)
+        ctx = latent_flash_attention(q_full.astype(cache_l.dtype),
+                                     cache_l, start_pos, start_pos + T,
+                                     rank=r, scale=cfg.sm_scale)
+    else:
+        ctx = latent_attention_reference(q_full, cache_l, start_pos,
+                                         start_pos + T, rank=r,
+                                         scale=cfg.sm_scale)
     attn = jnp.einsum("bthr,hrv->bthv", ctx,
                       lp["w_kb_v"].astype(jnp.float32))
     return attn.astype(x.dtype).reshape(B, T, H * cfg.v_head_dim), cache_l
@@ -619,11 +622,12 @@ def _moe_mlp(h, lp, cfg: MLAConfig):
     return out
 
 
-def _layer_block(cfg: MLAConfig, moe: bool, start_pos, positions):
+def _layer_block(cfg: MLAConfig, moe: bool, start_pos, positions,
+                 use_pallas=False):
     def layer(x, scanned):
         lp, cache_l = scanned
         attn, cache_l = _mla_attention(x, lp, cfg, cache_l, start_pos,
-                                       positions)
+                                       positions, use_pallas=use_pallas)
         x = x + attn @ lp["wo"]
         h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         if moe:
@@ -643,6 +647,7 @@ def forward(
     start_pos: jax.Array,  # int32 [B]
     latent_cache: jax.Array,  # [L, B, S, r+p] (new_latent_cache)
     *,
+    use_pallas: bool = False,
     last_logit_only: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One forward step (prefill when T>1, decode when T==1), with the
@@ -657,12 +662,12 @@ def forward(
     caches = []
     if kd:
         x, dense_cache = jax.lax.scan(
-            _layer_block(cfg, False, start_pos, positions), x,
+            _layer_block(cfg, False, start_pos, positions, use_pallas), x,
             (params["dense_layers"], latent_cache[:kd]))
         caches.append(dense_cache)
     if kd < cfg.n_layers:
         x, moe_cache = jax.lax.scan(
-            _layer_block(cfg, True, start_pos, positions), x,
+            _layer_block(cfg, True, start_pos, positions, use_pallas), x,
             (params["moe_layers"], latent_cache[kd:]))
         caches.append(moe_cache)
     new_cache = caches[0] if len(caches) == 1 else jnp.concatenate(caches)

@@ -46,8 +46,11 @@ class MLAServingEngine(ServingEngine):
                 "(it is head-less) and shards only q/o projections")
         super().__init__(cfg, params, **kwargs)
 
+        use_pallas = self.use_pallas
+
         def fwd(params, tokens, start_pos, kv_cache):
-            return mla.forward(params, cfg, tokens, start_pos, kv_cache)
+            return mla.forward(params, cfg, tokens, start_pos, kv_cache,
+                               use_pallas=use_pallas)
 
         @functools.partial(jax.jit, static_argnames=("seg_len",),
                            donate_argnums=(3,))
