@@ -54,15 +54,28 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
 
 
 def shard_params(params, mesh: Mesh):
-    """Apply LLaMA sharding rules to a parameter pytree (by leaf path name).
+    """Apply tensor-parallel sharding rules to a parameter pytree (by
+    leaf path name).
 
     Convention (see models/llama.py param tree): stacked ``[L, in, out]``
     weights named ``wq/wk/wv`` and ``w_gate/w_up`` are column-parallel on
     "model" (last axis); ``wo`` and ``w_down`` are row-parallel
     (second-to-last axis); everything else replicated.
+
+    MLA (models/mla.py): ``wq``/``wq_b`` are column-parallel (contiguous
+    per-head blocks), the absorbed kv_b factors ``w_kb_k``/``w_kb_v``
+    ``[L, H, ., .]`` shard their HEAD axis, ``wo`` and the shared-expert
+    MLP follow the row/column rules — while ``wkv_a`` and the latent
+    cache stay REPLICATED: the latent has no head axis, which is MLA's
+    TP story (the cache is ~57x smaller and identical on every shard, so
+    cached latents are shareable across deployments of ANY TP degree —
+    per-head KV is only shareable between identically-sharded ones,
+    reference lmcache/utils.py:12-39).
     """
-    col = {"wq", "wk", "wv", "w_gate", "w_up", "e_gate", "e_up"}
-    row = {"wo", "w_down", "e_down"}
+    col = {"wq", "wk", "wv", "w_gate", "w_up", "e_gate", "e_up",
+           "wq_b", "s_gate", "s_up"}
+    row = {"wo", "w_down", "e_down", "s_down"}
+    head = {"w_kb_k", "w_kb_v"}  # [L, H, ., .]
 
     def spec_for(path, ndim) -> P:
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
@@ -70,6 +83,8 @@ def shard_params(params, mesh: Mesh):
             return P(*([None] * (ndim - 1)), "model")
         if name in row:
             return P(*([None] * (ndim - 2)), "model", None)
+        if name in head:
+            return P(None, "model", *([None] * (ndim - 2)))
         return P()
 
     def place(path, leaf):
@@ -84,6 +99,12 @@ def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
     batch on "data", kv-heads on "model" (the TP equivalent of the
     reference's per-worker key shards)."""
     return NamedSharding(mesh, P(None, None, "data", "model", None, None))
+
+
+def latent_cache_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the MLA latent pool [L, B, S, r+p]: batch on "data",
+    REPLICATED over "model" (no head axis — see shard_params)."""
+    return NamedSharding(mesh, P(None, "data", None, None))
 
 
 def kv_blob_sharding(mesh: Mesh, fmt: str = "vllm") -> NamedSharding:

@@ -39,11 +39,12 @@ class MLAServingEngine(ServingEngine):
             raise NotImplementedError(
                 "int8 latent pools are not implemented yet (the latent "
                 "cache is already ~57x smaller than expanded K/V)")
+        if kwargs.get("mesh") is not None and kwargs.get("use_pallas"):
+            raise ValueError(
+                "the latent pallas kernel has no GSPMD rule; on a mesh "
+                "run the einsum path (use_pallas=False)")
         if kwargs.get("mesh") is not None:
-            raise NotImplementedError(
-                "mesh sharding of the MLA engine is not implemented yet; "
-                "note MLA tensor-parallel REPLICATES the latent cache "
-                "(it is head-less) and shards only q/o projections")
+            kwargs.setdefault("use_pallas", False)
         super().__init__(cfg, params, **kwargs)
 
         use_pallas = self.use_pallas
@@ -125,8 +126,14 @@ class MLAServingEngine(ServingEngine):
         self._read_slot = read_slot
 
     def _alloc_pool(self):
-        return mla.new_latent_cache(self.cfg, self.B,
+        pool = mla.new_latent_cache(self.cfg, self.B,
                                     self.S + self._write_horizon)
+        if self.mesh is not None:
+            # batch on "data"; REPLICATED over "model" — the latent has
+            # no head axis to shard (parallel/mesh.py shard_params)
+            from lmcache_tpu.parallel.mesh import latent_cache_sharding
+            pool = jax.device_put(pool, latent_cache_sharding(self.mesh))
+        return pool
 
     def _get_blender(self):
         raise NotImplementedError(

@@ -198,3 +198,36 @@ def test_moe_generate_on_mesh():
                         use_pallas=False, mesh=mesh)
     [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
     assert req.output_tokens == golden.output_tokens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_mla_generate_on_mesh():
+    """MLA on a TP mesh: q/kb/o projections and experts sharded on
+    "model", the latent pool REPLICATED across it (no head axis) with
+    batch on "data"; greedy output matches the unsharded golden."""
+    from lmcache_tpu.models import mla
+    from lmcache_tpu.serving import MLAServingEngine
+
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = mla.MLAConfig.tiny(n_layers=2, n_routed_experts=4,
+                             n_shared_experts=1, n_experts_per_tok=2,
+                             moe_hidden_dim=64, first_k_dense_replace=1,
+                             q_lora_rank=32)
+    params = mla.init_params(jax.random.PRNGKey(13), cfg)
+    sparams = shard_params(params, mesh)
+    assert "model" in str(sparams["moe_layers"]["w_kb_k"].sharding.spec)
+    assert "model" in str(sparams["moe_layers"]["wq_b"].sharding.spec)
+    assert "model" in str(sparams["moe_layers"]["s_down"].sharding.spec)
+    # the latent path stays replicated
+    assert "model" not in str(sparams["moe_layers"]["wkv_a"].sharding.spec)
+
+    prompt = np.random.default_rng(5).integers(0, cfg.vocab_size, 19,
+                                               dtype=np.int32)
+    golden_eng = MLAServingEngine(cfg, params, max_batch=2, max_seq=128)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=5))
+    eng = MLAServingEngine(cfg, sparams, max_batch=2, max_seq=128,
+                           mesh=mesh)
+    assert len(eng.kv_pool.sharding.device_set) == 4
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert req.output_tokens == golden.output_tokens
