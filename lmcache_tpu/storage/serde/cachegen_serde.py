@@ -68,16 +68,23 @@ def _group_for(T: int, C: int) -> int:
 
 
 def _to_token_major(blob, fmt: str):
-    """[L, 2, ...] blob -> K, V as [L, T, C] plus (H, D)."""
+    """[L, N, ...] blob -> N halves as [L, T, C] plus (H, D).
+
+    N is 2 for K/V blobs and 1 for MLA latent blobs ([L, 1, T, 1, r+p],
+    models/mla.py). The explicit N check matters: jnp CLAMPS
+    out-of-bounds indices, so ``blob[:, 1]`` on a 1-stream blob would
+    silently duplicate stream 0 instead of failing."""
     import jax.numpy as jnp
-    if fmt == "huggingface":  # [L, 2, H, T, D] -> [L, 2, T, H, D]
+    if fmt == "huggingface":  # [L, N, H, T, D] -> [L, N, T, H, D]
         blob = jnp.transpose(jnp.asarray(blob), (0, 1, 3, 2, 4))
     else:
         blob = jnp.asarray(blob)
-    L, _, T, H, D = blob.shape
-    k = blob[:, 0].reshape(L, T, H * D)
-    v = blob[:, 1].reshape(L, T, H * D)
-    return k, v, H, D
+    L, N, T, H, D = blob.shape
+    if N not in (1, 2):
+        raise ValueError(f"blob axis 1 must be 1 (latent) or 2 (K/V), "
+                         f"got {N}")
+    halves = [blob[:, i].reshape(L, T, H * D) for i in range(N)]
+    return halves, H, D
 
 
 class CacheGenSerializer(Serializer):
@@ -100,16 +107,20 @@ class CacheGenSerializer(Serializer):
         import jax.numpy as jnp
         from lmcache_tpu.ops.quant import compute_cdf, quantize
 
-        k, v, H, D = _to_token_major(blob, self.fmt)
-        L, T, C = k.shape
+        halves, H, D = _to_token_major(blob, self.fmt)
+        N = len(halves)
+        L, T, C = halves[0].shape
         g = _group_for(T, C)
         Cg = C // g
         cg = self._cg(L)
         key_bins = jnp.asarray(cg.key_bins, jnp.int32)
         value_bins = jnp.asarray(cg.value_bins, jnp.int32)
+        # latent blobs (N == 1) take the key bin schedule
+        bins_per_half = ((key_bins, value_bins) if N == 2
+                         else (key_bins,))
 
         outs = []
-        for x, bins in ((k, key_bins), (v, value_bins)):
+        for x, bins in zip(halves, bins_per_half):
             sym, maxes = quantize(x, bins)
             # [L, T, C] -> [L, C, T] -> group g adjacent channels into one
             # [L, g*T, Cg] block so the CDF pools their histograms and the
@@ -120,16 +131,19 @@ class CacheGenSerializer(Serializer):
                          np.asarray(cdf)))
 
         dtype_name = str(blob.dtype).encode("ascii")
+        version = VERSION if N == 2 else 3  # v3 adds the stream count
         parts = [
-            _HDR.pack(MAGIC, VERSION, _FMT_CODE[self.fmt], len(dtype_name)),
+            _HDR.pack(MAGIC, version, _FMT_CODE[self.fmt], len(dtype_name)),
             dtype_name,
             _GEOM.pack(L, H, D, T),
             np.asarray(cg.key_bins, np.uint8).tobytes(),
             np.asarray(cg.value_bins, np.uint8).tobytes(),
             struct.pack("<B", g),
         ]
-        maxes_all = np.stack([outs[0][1], outs[1][1]])  # [2, L, T] f32
-        cdf_all = np.stack([outs[0][2], outs[1][2]])  # [2, L, Cg, 33] u16
+        if version >= 3:
+            parts.append(struct.pack("<B", N))
+        maxes_all = np.stack([o[1] for o in outs])  # [N, L, T] f32
+        cdf_all = np.stack([o[2] for o in outs])  # [N, L, Cg, 33] u16
         parts.append(maxes_all.astype(np.float32).tobytes())
         parts.append(cdf_all.tobytes())
 
@@ -140,7 +154,7 @@ class CacheGenSerializer(Serializer):
                 cdf.reshape(L * Cg, _MAX_BINS + 1))
             lens_parts.append(lens.astype(np.uint32))
             payloads.append(payload)
-        parts.append(np.stack(lens_parts).tobytes())  # [2, L*Cg] u32
+        parts.append(np.stack(lens_parts).tobytes())  # [N, L*Cg] u32
         parts.extend(payloads)
         return b"".join(parts)
 
@@ -159,7 +173,7 @@ class CacheGenDeserializer(Deserializer):
         magic, version, fmt_code, dlen = _HDR.unpack_from(bs, 0)
         if magic != MAGIC:
             raise ValueError("Not an LMCG container")
-        if version not in (1, 2):
+        if version not in (1, 2, 3):
             raise ValueError(f"Unsupported CacheGen container v{version}")
         off = _HDR.size
         dtype_name = bs[off:off + dlen].decode("ascii")
@@ -176,18 +190,24 @@ class CacheGenDeserializer(Deserializer):
         if version >= 2:
             (g,) = struct.unpack_from("<B", bs, off)
             off += 1
+        N = 2
+        if version >= 3:
+            (N,) = struct.unpack_from("<B", bs, off)
+            off += 1
         if g < 1 or C % g:
             raise ValueError(f"Corrupt LMCG container: group {g} "
                              f"does not divide {C} channels")
+        if N not in (1, 2):
+            raise ValueError(f"Corrupt LMCG container: {N} streams")
         Cg = C // g
-        maxes = np.frombuffer(bs, np.float32, 2 * L * T,
-                              off).reshape(2, L, T)
+        maxes = np.frombuffer(bs, np.float32, N * L * T,
+                              off).reshape(N, L, T)
         off += maxes.nbytes
-        cdf = np.frombuffer(bs, np.uint16, 2 * L * Cg * (_MAX_BINS + 1),
-                            off).reshape(2, L * Cg, _MAX_BINS + 1)
+        cdf = np.frombuffer(bs, np.uint16, N * L * Cg * (_MAX_BINS + 1),
+                            off).reshape(N, L * Cg, _MAX_BINS + 1)
         off += cdf.nbytes
-        lens = np.frombuffer(bs, np.uint32, 2 * L * Cg,
-                             off).reshape(2, L * Cg)
+        lens = np.frombuffer(bs, np.uint32, N * L * Cg,
+                             off).reshape(N, L * Cg)
         off += lens.nbytes
 
         # validate the stream-length table against the container size
@@ -200,7 +220,7 @@ class CacheGenDeserializer(Deserializer):
                 f"{len(bs) - off} remain")
 
         halves = []
-        for i, bins in enumerate((key_bins, value_bins)):
+        for i, bins in enumerate((key_bins, value_bins)[:N]):
             n = int(lens[i].sum())
             sym = decode_streams(bs[off:off + n], lens[i], g * T, cdf[i])
             off += n

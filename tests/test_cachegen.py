@@ -197,3 +197,71 @@ def test_cachegen_grouping_shrinks_short_chunks(monkeypatch):
     # and it still decodes
     back = np.asarray(cs.CacheGenDeserializer(cfg, meta).from_bytes(grouped))
     assert np.corrcoef(back.ravel(), blob.ravel())[0, 1] > 0.99
+
+
+def test_latent_blob_single_stream():
+    """MLA latent blobs [L, 1, T, 1, C] carry ONE stream (container v3).
+
+    Regression: jnp clamps out-of-bounds indices, so the old K/V-only
+    codec silently read blob[:, 1] as a duplicate of stream 0 and
+    emitted a [L, 2, ...] blob for a latent input."""
+    import lmcache_tpu.storage.serde.cachegen_serde as cs
+    from lmcache_tpu.config import (LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+
+    cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
+    meta = LMCacheEngineMetadata(model_name="tiny-mla", world_size=1,
+                                 worker_id=0, fmt="vllm", dtype="float32")
+    ser = cs.CacheGenSerializer(cfg, meta)
+    de = cs.CacheGenDeserializer(cfg, meta)
+
+    rng = np.random.default_rng(0)
+    blob = rng.standard_normal((4, 1, 256, 1, 80)).astype(np.float32)
+    bs = ser.to_bytes(blob)
+    out = np.asarray(de.from_bytes(bs))
+    assert out.shape == blob.shape  # N == 1 preserved
+    assert blob.nbytes / len(bs) > 2.5
+    assert np.corrcoef(out.ravel(), blob.ravel())[0, 1] > 0.99
+
+    with pytest.raises(ValueError, match="axis 1"):
+        ser.to_bytes(rng.standard_normal((2, 3, 16, 1, 8)).astype(
+            np.float32))
+
+
+def test_latent_cachegen_end_to_end_quality():
+    """Lossy-compressed latents still steer the model: suffix logits
+    after cachegen round-trip stay highly aligned with the exact-reuse
+    golden (random-init weights are the WORST case for codec noise)."""
+    import jax
+    import jax.numpy as jnp
+    import lmcache_tpu.storage.serde.cachegen_serde as cs
+    from lmcache_tpu.config import (LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+    from lmcache_tpu.models import mla
+
+    mcfg = mla.MLAConfig.tiny(n_layers=2)
+    params = mla.init_params(jax.random.PRNGKey(1), mcfg)
+    rng = np.random.default_rng(5)
+    prefix = rng.integers(0, mcfg.vocab_size, 96)
+    suffix = rng.integers(0, mcfg.vocab_size, 8)
+    ids = jnp.asarray(np.concatenate([prefix, suffix]), jnp.int32)[None]
+    cache = mla.new_latent_cache(mcfg, 1, 128)
+    golden, gc = mla.forward(params, mcfg, ids, jnp.zeros(1, jnp.int32),
+                             cache)
+
+    cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
+    meta = LMCacheEngineMetadata(model_name="tiny-mla", world_size=1,
+                                 worker_id=0, fmt="vllm", dtype="float32")
+    blob = np.asarray(mla.cache_to_blob(gc, 0, 96))
+    dec = cs.CacheGenDeserializer(cfg, meta).from_bytes(
+        cs.CacheGenSerializer(cfg, meta).to_bytes(blob))
+
+    c2 = mla.blob_into_cache(mla.new_latent_cache(mcfg, 1, 128),
+                             jnp.asarray(dec), 0, 0)
+    lg, _ = mla.forward(params, mcfg,
+                        jnp.asarray(suffix, jnp.int32)[None],
+                        jnp.full(1, 96, jnp.int32), c2)
+    g = np.asarray(golden[0, 96:]).ravel()
+    l = np.asarray(lg[0]).ravel()
+    cos = float((g * l).sum() / np.sqrt((g * g).sum() * (l * l).sum()))
+    assert cos > 0.95, cos
