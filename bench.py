@@ -215,6 +215,54 @@ def main():
         metrics.append({"metric": "decode_throughput_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})
 
+    # ---- MLA latent-cache serving (round 2: models/mla.py) ---------------
+    try:
+        from lmcache_tpu.models import mla
+        from lmcache_tpu.serving import MLAServingEngine
+
+        mcfg = mla.MLAConfig(
+            vocab_size=32000, dim=1024, n_layers=4, n_heads=16,
+            hidden_dim=2816, max_seq_len=1024, q_lora_rank=None,
+            kv_lora_rank=256, qk_nope_head_dim=64, qk_rope_head_dim=32,
+            v_head_dim=64)
+        mparams = mla.init_params(jax.random.PRNGKey(3), mcfg)
+        B_M, CTX_M, NEW_M = 4, 256, 32
+        meng = MLAServingEngine(mcfg, mparams, max_batch=B_M,
+                                max_seq=CTX_M + NEW_M + 16,
+                                decode_block=8)
+        rng3 = np.random.default_rng(2)
+        mprompts = [rng3.integers(0, mcfg.vocab_size, CTX_M,
+                                  dtype=np.int32) for _ in range(B_M)]
+        meng.generate([mprompts[0]],
+                      SamplingParams(max_new_tokens=8))  # warm/compile
+        from lmcache_tpu.serving.request import Request
+        mreqs = [Request(p, SamplingParams(max_new_tokens=NEW_M))
+                 for p in mprompts]
+        for r in mreqs:
+            meng.add_request(r)
+        while meng.waiting or meng.prefilling:
+            meng.step()
+        K = 6
+        t0 = time.perf_counter()
+        for _ in range(K):
+            meng._decode_all()
+        mla_wall = time.perf_counter() - t0
+        meng.run()
+        # cached bytes/token vs an equal-geometry GQA model (8 kv heads)
+        kv_equiv = 4 * 2 * 8 * 64  # L * 2 * H_kv * D
+        metrics.append({
+            "metric": "mla_decode_throughput", "unit": "tok/s",
+            "value": round(K * 8 * B_M / mla_wall, 1),
+            "vs_baseline": None,
+            "detail": {
+                "latent_floats_per_token_layer": mcfg.latent_dim,
+                "cache_reduction_vs_gqa_x": round(
+                    kv_equiv / (4 * mcfg.latent_dim), 1),
+                "batch": B_M, "ctx": CTX_M, "decode_block": 8}})
+    except Exception as e:
+        metrics.append({"metric": "mla_error", "unit": "",
+                        "value": 0, "vs_baseline": None, "error": str(e)})
+
     # ---- codec quality gate (BASELINE.md perplexity-delta criterion) -----
     try:
         from eval_quality import evaluate
