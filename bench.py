@@ -226,9 +226,11 @@ def main():
             kv_lora_rank=256, qk_nope_head_dim=64, qk_rope_head_dim=32,
             v_head_dim=64)
         mparams = mla.init_params(jax.random.PRNGKey(3), mcfg)
-        B_M, CTX_M, NEW_M = 4, 256, 32
+        B_M, CTX_M, NEW_M, K_M = 4, 256, 32, 6
+        # NEW_M + K_M*8 headroom so every row still decodes for the whole
+        # measured window (prefill drain below already consumes ~NEW_M).
         meng = MLAServingEngine(mcfg, mparams, max_batch=B_M,
-                                max_seq=CTX_M + NEW_M + 16,
+                                max_seq=CTX_M + NEW_M + K_M * 8 + 16,
                                 decode_block=8)
         rng3 = np.random.default_rng(2)
         mprompts = [rng3.integers(0, mcfg.vocab_size, CTX_M,
@@ -236,15 +238,14 @@ def main():
         meng.generate([mprompts[0]],
                       SamplingParams(max_new_tokens=8))  # warm/compile
         from lmcache_tpu.serving.request import Request
-        mreqs = [Request(p, SamplingParams(max_new_tokens=NEW_M))
+        mreqs = [Request(p, SamplingParams(max_new_tokens=NEW_M + K_M * 8))
                  for p in mprompts]
         for r in mreqs:
             meng.add_request(r)
         while meng.waiting or meng.prefilling:
             meng.step()
-        K = 6
         t0 = time.perf_counter()
-        for _ in range(K):
+        for _ in range(K_M):
             meng._decode_all()
         mla_wall = time.perf_counter() - t0
         meng.run()
@@ -252,7 +253,7 @@ def main():
         kv_equiv = 4 * 2 * 8 * 64  # L * 2 * H_kv * D
         metrics.append({
             "metric": "mla_decode_throughput", "unit": "tok/s",
-            "value": round(K * 8 * B_M / mla_wall, 1),
+            "value": round(K_M * 8 * B_M / mla_wall, 1),
             "vs_baseline": None,
             "detail": {
                 "latent_floats_per_token_layer": mcfg.latent_dim,

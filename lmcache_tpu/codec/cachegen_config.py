@@ -75,7 +75,7 @@ class CacheGenConfig:
                 key_schedule=[(10 * num_layers // 32, 32),
                               (num_layers, 16)],
                 value_schedule=[(min(2, num_layers), 32), (num_layers, 16)])
-        if "glm-4-9b" in name or "glm-4-" in name:  # incl. *-0414
+        if "glm-4-" in name:  # glm-4-9b and *-0414 variants
             return CacheGenConfig.graduated(
                 num_layers,
                 key_schedule=[(10, 32), (num_layers, 16)],

@@ -430,8 +430,9 @@ def load_hf(model_name: str,
             wkb = wkb.reshape(H, n + v, r)
             return wkb[:, :n, :], wkb[:, n:, :].transpose(0, 2, 1)
 
-        out["w_kb_k"] = jnp.asarray(np.stack([kb(i)[0] for i in idxs]), dt)
-        out["w_kb_v"] = jnp.asarray(np.stack([kb(i)[1] for i in idxs]), dt)
+        pairs = [kb(i) for i in idxs]
+        out["w_kb_k"] = jnp.asarray(np.stack([pk for pk, _ in pairs]), dt)
+        out["w_kb_v"] = jnp.asarray(np.stack([pv for _, pv in pairs]), dt)
         if cfg.q_lora_rank is None:
             out["wq"] = stack(
                 lambda i: t(p.format(i) + "self_attn.q_proj.weight"), idxs)

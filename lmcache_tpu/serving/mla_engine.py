@@ -43,8 +43,11 @@ class MLAServingEngine(ServingEngine):
             raise ValueError(
                 "the latent pallas kernel has no GSPMD rule; on a mesh "
                 "run the einsum path (use_pallas=False)")
-        if kwargs.get("mesh") is not None:
-            kwargs.setdefault("use_pallas", False)
+        if kwargs.get("mesh") is not None and kwargs.get("use_pallas") is None:
+            # An explicit None must not fall through to the base class, which
+            # resolves None -> True on TPU backends and would re-trip the
+            # GSPMD hazard the guard above exists to prevent.
+            kwargs["use_pallas"] = False
         super().__init__(cfg, params, **kwargs)
 
         use_pallas = self.use_pallas
