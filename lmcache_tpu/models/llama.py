@@ -794,6 +794,46 @@ def _rope(x, positions, theta, rotary_dim=None, interleaved=False,
     return jnp.concatenate([out, x[..., rd:]], axis=-1)
 
 
+def _shard_dense_attend(attend, mesh, n_kv_heads: int, batch: int, *,
+                        quantized: bool):
+    """Wrap a dense flash-attention kernel in ``shard_map`` over ``mesh``.
+
+    Pallas calls have no GSPMD partitioning rule, so under plain ``jit``
+    the mesh-sharded live pool would be all-gathered onto every chip
+    before each call. Flash attention is embarrassingly parallel over kv
+    heads (GQA groups never mix kv heads), so the manual-sharding
+    formulation is exact and collective-free: each chip streams its own
+    head slice of the pool against its own query-group slice. Batch
+    rides "data" when it divides; otherwise it is replicated (the head
+    sharding still avoids the pool gather, which is the cost that
+    matters). Mirrors :func:`lmcache_tpu.models.paged._shard_paged_attend`.
+
+    Returns ``None`` (caller keeps the unwrapped kernel) when the kv
+    heads don't divide the "model" axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from lmcache_tpu.parallel.mesh import shard_map_unchecked
+
+    tp = mesh.shape.get("model", 1)
+    dp = mesh.shape.get("data", 1)
+    if n_kv_heads % tp:
+        return None
+    bax = "data" if batch % dp == 0 else None
+
+    qspec = P(bax, None, "model", None)  # [B, T, H, D] heads grouped
+    kv = P(bax, "model", None, None)  # [B, H_kv, S, D] head-major pool
+    vec = P(bax,)  # [B]
+    if quantized:
+        scl = P(bax, None)  # [B, S] per-token scales, head-free
+        in_specs = (qspec, kv, kv, scl, scl, vec, vec)
+    else:
+        in_specs = (qspec, kv, kv, vec, vec)
+
+    return shard_map_unchecked(attend, mesh, in_specs=in_specs,
+                     out_specs=qspec)
+
+
 def _attend_dispatch(cfg, make):
     """Build the per-layer attention dispatcher for a family's attention
     pattern. ``make(window)`` returns an attend callable with that
@@ -849,6 +889,7 @@ def forward(
     *,
     use_pallas: bool = True,
     last_logit_only: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One forward step (prefill when T>1, decode when T==1).
 
@@ -858,16 +899,26 @@ def forward(
     only the suffix tokens. Returns (logits [B, T, vocab], new_kv_cache);
     with ``last_logit_only`` the lm_head runs on the final position only
     (logits [B, 1, vocab]) — the serving prefill path.
+
+    With ``mesh``, the pallas kernel runs under ``shard_map`` with the
+    pool's kv heads on "model" (see :func:`_shard_dense_attend`) — the
+    sharded pool is consumed in place, never gathered.
     """
     B, T = tokens.shape
     positions = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     kv_len = start_pos + T
     if use_pallas:
         def make(w):
-            return functools.partial(
+            a = functools.partial(
                 flash_attention, sliding_window=w, kv_head_major=True,
                 sm_scale=cfg.sm_scale,
                 logit_softcap=cfg.attn_logit_softcap)
+            if mesh is not None:
+                sharded = _shard_dense_attend(a, mesh, cfg.n_kv_heads, B,
+                                              quantized=False)
+                if sharded is not None:
+                    a = sharded
+            return a
     else:
         def make(w):
             def attend(q, kh, vh, q_off, kvl):
@@ -918,13 +969,15 @@ def forward_quantized(
     *,
     use_pallas: bool = True,
     last_logit_only: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """:func:`forward` with an int8 KV pool and fused dequant attention.
 
     New tokens' K/V are quantized per (layer, token) before the write;
     attention reads int8 directly from HBM via the fused kernel
     (ops/quantized_attention.py) — KV bandwidth and footprint are halved
-    vs bf16 at CacheGen-INT8-equivalent accuracy.
+    vs bf16 at CacheGen-INT8-equivalent accuracy. ``mesh`` as in
+    :func:`forward` (scales are head-free, so they shard on batch only).
     """
     from lmcache_tpu.ops.quantized_attention import (
         quantized_attention_reference, quantized_flash_attention)
@@ -934,10 +987,16 @@ def forward_quantized(
     kv_len = start_pos + T
     if use_pallas:
         def make(w):
-            return functools.partial(
+            a = functools.partial(
                 quantized_flash_attention, kv_head_major=True,
                 sliding_window=w, sm_scale=cfg.sm_scale,
                 logit_softcap=cfg.attn_logit_softcap)
+            if mesh is not None:
+                sharded = _shard_dense_attend(a, mesh, cfg.n_kv_heads, B,
+                                              quantized=True)
+                if sharded is not None:
+                    a = sharded
+            return a
     else:
         def make(w):
             def attend(q, ks, vs, ksc, vsc, q_off, kvl):

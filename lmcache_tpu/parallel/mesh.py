@@ -131,3 +131,19 @@ def shard_blob_slice(blob, fmt: str, shard_idx: int, num_shards: int):
     idx = [slice(None)] * blob.ndim
     idx[head_axis] = slice(shard_idx * per, (shard_idx + 1) * per)
     return blob[tuple(idx)]
+
+
+def shard_map_unchecked(f, mesh: Mesh, in_specs, out_specs):
+    """``shard_map`` with replication checking off, across jax versions
+    (0.8 renamed ``check_rep`` to ``check_vma`` and promoted the API out
+    of jax.experimental). The pallas attention wrappers use this: their
+    outputs are genuinely sharded, but the kernels give the checker
+    nothing to infer from."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map  # type: ignore
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)

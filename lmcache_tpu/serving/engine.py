@@ -168,7 +168,7 @@ class ServingEngine:
 
         fwd = functools.partial(
             llama.forward_quantized if quantized else llama.forward,
-            cfg=cfg, use_pallas=self.use_pallas)
+            cfg=cfg, use_pallas=self.use_pallas, mesh=self.mesh)
 
         @functools.partial(jax.jit, static_argnames=("seg_len",),
                            donate_argnums=(3,))

@@ -39,22 +39,24 @@ class MLAServingEngine(ServingEngine):
             raise NotImplementedError(
                 "int8 latent pools are not implemented yet (the latent "
                 "cache is already ~57x smaller than expanded K/V)")
-        if kwargs.get("mesh") is not None and kwargs.get("use_pallas"):
-            raise ValueError(
-                "the latent pallas kernel has no GSPMD rule; on a mesh "
-                "run the einsum path (use_pallas=False)")
-        if kwargs.get("mesh") is not None and kwargs.get("use_pallas") is None:
-            # An explicit None must not fall through to the base class, which
-            # resolves None -> True on TPU backends and would re-trip the
-            # GSPMD hazard the guard above exists to prevent.
-            kwargs["use_pallas"] = False
         super().__init__(cfg, params, **kwargs)
+        if (self.mesh is not None and self.use_pallas
+                and cfg.n_heads % self.mesh.shape.get("model", 1)):
+            # the kernel runs under shard_map with q heads on "model"
+            # (mla._shard_latent_attend); an indivisible head count would
+            # silently fall back to an unwrapped pallas call, which has no
+            # GSPMD rule — fail loudly instead
+            raise ValueError(
+                f"n_heads ({cfg.n_heads}) must divide the mesh's model "
+                f"axis ({self.mesh.shape.get('model', 1)}) for the latent "
+                "pallas kernel; run the einsum path (use_pallas=False)")
 
         use_pallas = self.use_pallas
+        eng_mesh = self.mesh
 
         def fwd(params, tokens, start_pos, kv_cache):
             return mla.forward(params, cfg, tokens, start_pos, kv_cache,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, mesh=eng_mesh)
 
         @functools.partial(jax.jit, static_argnames=("seg_len",),
                            donate_argnums=(3,))

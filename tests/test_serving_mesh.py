@@ -231,3 +231,166 @@ def test_mla_generate_on_mesh():
     assert len(eng.kv_pool.sharding.device_set) == 4
     [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
     assert req.output_tokens == golden.output_tokens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs >= 8 devices")
+def test_dense_pallas_shard_map_parity():
+    """The dense flash kernel runs under shard_map with the live pool's
+    kv heads on "model" (models/llama._shard_dense_attend): the sharded
+    pool is consumed in place — no GSPMD gather — and logits match the
+    unsharded reference path."""
+    import jax.numpy as jnp
+    from lmcache_tpu.parallel import kv_cache_sharding
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    sparams = shard_params(params, mesh)
+
+    B, T, S = 4, 16, 64
+    pool = llama.new_kv_cache(cfg, B, S)
+    pool_sh = jax.device_put(pool, kv_cache_sharding(mesh))
+    tokens = np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (B, T), dtype=np.int32)
+    start = jnp.zeros((B,), jnp.int32)
+
+    ref_logits, ref_pool = llama.forward(
+        params, cfg, jnp.asarray(tokens), start, pool, use_pallas=False)
+    sh_logits, sh_pool = llama.forward(
+        sparams, cfg, jnp.asarray(tokens), start, pool_sh,
+        use_pallas=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_logits),
+                               np.asarray(ref_logits), atol=2e-3,
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(sh_pool), np.asarray(ref_pool),
+                               atol=2e-3, rtol=2e-3)
+    # the pool's head sharding survived the step (it was not gathered)
+    assert "model" in str(sh_pool.sharding.spec)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_dense_int8_pallas_shard_map_parity():
+    """forward_quantized on a mesh: int8 sym pools shard on "model"
+    kv heads, per-token scales are head-free (batch/"data" only)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lmcache_tpu.parallel import kv_cache_sharding
+
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    sparams = shard_params(params, mesh)
+
+    B, T, S = 2, 16, 64
+    pool = llama.new_quantized_kv_cache(cfg, B, S)
+    pool_sh = {
+        "sym": jax.device_put(pool["sym"], kv_cache_sharding(mesh)),
+        "scale": jax.device_put(
+            pool["scale"],
+            NamedSharding(mesh, P(None, None, "data", None))),
+    }
+    tokens = np.random.default_rng(6).integers(
+        0, cfg.vocab_size, (B, T), dtype=np.int32)
+    start = jnp.zeros((B,), jnp.int32)
+
+    ref_logits, _ = llama.forward_quantized(
+        params, cfg, jnp.asarray(tokens), start, pool, use_pallas=False)
+    sh_logits, _ = llama.forward_quantized(
+        sparams, cfg, jnp.asarray(tokens), start, pool_sh,
+        use_pallas=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_logits),
+                               np.asarray(ref_logits), atol=5e-3,
+                               rtol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_dense_generate_on_mesh_pallas():
+    """End-to-end dense engine on a mesh with the pallas kernels on:
+    greedy output matches the unsharded single-device golden."""
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512)
+    params = shard_params(
+        llama.init_params(jax.random.PRNGKey(7), cfg), mesh)
+
+    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, 21,
+                                               dtype=np.int32)
+    golden_eng = ServingEngine(cfg,
+                               llama.init_params(jax.random.PRNGKey(7),
+                                                 cfg), max_batch=2,
+                               max_seq=128, use_pallas=False)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=6))
+
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                        use_pallas=True, mesh=mesh)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
+    assert req.output_tokens == golden.output_tokens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_mla_pallas_shard_map_parity():
+    """The latent MQA kernel runs under shard_map with query heads on
+    "model" and the latent pool replicated (mla._shard_latent_attend);
+    logits match the einsum reference path."""
+    import jax.numpy as jnp
+    from lmcache_tpu.models import mla
+
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = mla.MLAConfig.tiny()
+    assert cfg.n_heads % 4 == 0
+    params = mla.init_params(jax.random.PRNGKey(13), cfg)
+    sparams = shard_params(params, mesh)
+
+    B, T, S = 2, 16, 64
+    cache = mla.new_latent_cache(cfg, B, S)
+    from lmcache_tpu.parallel.mesh import latent_cache_sharding
+    cache_sh = jax.device_put(cache, latent_cache_sharding(mesh))
+    tokens = np.random.default_rng(9).integers(
+        0, cfg.vocab_size, (B, T), dtype=np.int32)
+    start = jnp.zeros((B,), jnp.int32)
+
+    ref_logits, ref_cache = mla.forward(
+        params, cfg, jnp.asarray(tokens), start, cache, use_pallas=False)
+    sh_logits, sh_cache = mla.forward(
+        sparams, cfg, jnp.asarray(tokens), start, cache_sh,
+        use_pallas=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_logits),
+                               np.asarray(ref_logits), atol=2e-2,
+                               rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(sh_cache),
+                               np.asarray(ref_cache), atol=2e-2,
+                               rtol=2e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_mla_generate_on_mesh_pallas():
+    """MLA engine on a mesh with the latent pallas kernel on; greedy
+    parity with the unsharded golden, and indivisible head counts fail
+    loudly instead of hitting an unwrapped pallas call under GSPMD."""
+    from lmcache_tpu.models import mla
+    from lmcache_tpu.serving import MLAServingEngine
+
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = mla.MLAConfig.tiny()
+    params = mla.init_params(jax.random.PRNGKey(13), cfg)
+    sparams = shard_params(params, mesh)
+
+    prompt = np.random.default_rng(5).integers(0, cfg.vocab_size, 19,
+                                               dtype=np.int32)
+    golden_eng = MLAServingEngine(cfg, params, max_batch=2, max_seq=128,
+                                  use_pallas=False)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=5))
+    eng = MLAServingEngine(cfg, sparams, max_batch=2, max_seq=128,
+                           use_pallas=True, mesh=mesh)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert req.output_tokens == golden.output_tokens
+
+    bad = mla.MLAConfig.tiny(n_heads=6)
+    with pytest.raises(ValueError, match="divide the mesh"):
+        MLAServingEngine(bad, mla.init_params(jax.random.PRNGKey(1), bad),
+                         max_batch=2, max_seq=128, use_pallas=True,
+                         mesh=mesh)
