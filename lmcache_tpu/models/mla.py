@@ -42,6 +42,7 @@ treats model families via the CacheGen table only):
   rope_interleave flag :409-412)
 """
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -289,6 +290,16 @@ def new_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> jax.Array:
                      jnp.dtype(cfg.dtype))
 
 
+def new_paged_latent_pool(cfg: MLAConfig, num_pages: int,
+                          page_size: int) -> jax.Array:
+    """Paged latent arena ``[L, P, page, r+p]``. Page 0 is the null page
+    (parked writes land there, as in models/paged.new_paged_kv_pool).
+    No head axis — one latent page holds ~57x the tokens of an
+    expanded-KV page of equal bytes at DeepSeek-V2 geometry."""
+    return jnp.zeros((cfg.n_layers, num_pages, page_size, cfg.latent_dim),
+                     jnp.dtype(cfg.dtype))
+
+
 def cache_to_blob(cache: jax.Array, b: int = 0,
                   n: Optional[int] = None) -> jax.Array:
     """One batch row as a wire blob ``[L, 1, n, 1, r+p]`` — vllm-format
@@ -499,14 +510,38 @@ def load_hf(model_name: str,
 # ---------------------------------------------------------------------------
 
 
-def _mla_attention(x, lp, cfg: MLAConfig, cache_l, start_pos, positions,
-                   use_pallas=False):
-    """Absorbed-latent MLA attention for one layer.
+def _shard_latent_attend(attend, mesh, n_heads: int, batch: int):
+    """Wrap the latent MQA kernel in ``shard_map`` over ``mesh``.
 
-    cache_l: ``[B, S, r+p]``. Returns (attn output [B, T, H*v],
-    new cache_l). Scores and softmax in float32; with ``use_pallas``
-    the streaming single-read kernel (ops/latent_attention.py) replaces
-    the two-pass einsum."""
+    Absorbed MLA is MQA: every query head attends to the SAME latent
+    stream, so the kernel is embarrassingly parallel over *query* heads
+    — each chip streams the (replicated) latent pool against its own
+    query-head slice, collective-free. Batch rides "data" when it
+    divides; mirrors :func:`lmcache_tpu.models.llama._shard_dense_attend`.
+
+    Returns ``None`` when the query heads don't divide the "model" axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from lmcache_tpu.parallel.mesh import shard_map_unchecked
+
+    tp = mesh.shape.get("model", 1)
+    dp = mesh.shape.get("data", 1)
+    if n_heads % tp:
+        return None
+    bax = "data" if batch % dp == 0 else None
+
+    qspec = P(bax, None, "model", None)  # [B, T, H, C] q heads
+    lat = P(bax, None, None)  # [B, S, r+p] one stream, replicated on tp
+    vec = P(bax,)  # [B]
+    return shard_map_unchecked(attend, mesh, in_specs=(qspec, lat, vec, vec),
+                     out_specs=qspec)
+
+
+def _mla_project(x, lp, cfg: MLAConfig, positions):
+    """Shared MLA projections for one layer: returns
+    (q_full [B, T, H, r+p] float32 — the absorbed query, new_tok
+    [B, T, r+p] — the token's latent row to cache)."""
     B, T = x.shape[:2]
     H, n, p, r = (cfg.n_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
                   cfg.kv_lora_rank)
@@ -531,22 +566,43 @@ def _mla_attention(x, lp, cfg: MLAConfig, cache_l, start_pos, positions,
                  interleaved=cfg.rope_interleaved, scaling=spec)[:, :, 0]
 
     new_tok = jnp.concatenate([c, k_pe], axis=-1)  # [B, T, r+p]
-    cache_l = jax.vmap(
-        lambda cb, nb, s: jax.lax.dynamic_update_slice(cb, nb, (s, 0)))(
-            cache_l, new_tok.astype(cache_l.dtype), start_pos)
 
     # absorb the per-head key factor into the query: q·(W_k c) = (W_kᵀq)·c
     q_lat = jnp.einsum("bthn,hnr->bthr", q_nope.astype(jnp.float32),
                        lp["w_kb_k"].astype(jnp.float32))
     q_full = jnp.concatenate([q_lat, q_pe.astype(jnp.float32)], axis=-1)
+    return q_full, new_tok
+
+
+def _mla_attention(x, lp, cfg: MLAConfig, cache_l, start_pos, positions,
+                   use_pallas=False, mesh=None):
+    """Absorbed-latent MLA attention for one layer.
+
+    cache_l: ``[B, S, r+p]``. Returns (attn output [B, T, H*v],
+    new cache_l). Scores and softmax in float32; with ``use_pallas``
+    the streaming single-read kernel (ops/latent_attention.py) replaces
+    the two-pass einsum — under a ``mesh`` it runs in ``shard_map``
+    with query heads on "model" (see :func:`_shard_latent_attend`)."""
+    B, T = x.shape[:2]
+    H, r = cfg.n_heads, cfg.kv_lora_rank
+
+    q_full, new_tok = _mla_project(x, lp, cfg, positions)
+    cache_l = jax.vmap(
+        lambda cb, nb, s: jax.lax.dynamic_update_slice(cb, nb, (s, 0)))(
+            cache_l, new_tok.astype(cache_l.dtype), start_pos)
 
     from lmcache_tpu.ops.latent_attention import (
         latent_attention_reference, latent_flash_attention)
     if use_pallas:
         # stream in the pool's dtype (bf16 x bf16 -> f32 on the MXU)
-        ctx = latent_flash_attention(q_full.astype(cache_l.dtype),
-                                     cache_l, start_pos, start_pos + T,
-                                     rank=r, scale=cfg.sm_scale)
+        impl = functools.partial(latent_flash_attention, rank=r,
+                                 scale=cfg.sm_scale)
+        if mesh is not None:
+            sharded = _shard_latent_attend(impl, mesh, H, B)
+            if sharded is not None:
+                impl = sharded
+        ctx = impl(q_full.astype(cache_l.dtype), cache_l, start_pos,
+                   start_pos + T)
     else:
         ctx = latent_attention_reference(q_full, cache_l, start_pos,
                                          start_pos + T, rank=r,
@@ -624,11 +680,12 @@ def _moe_mlp(h, lp, cfg: MLAConfig):
 
 
 def _layer_block(cfg: MLAConfig, moe: bool, start_pos, positions,
-                 use_pallas=False):
+                 use_pallas=False, mesh=None):
     def layer(x, scanned):
         lp, cache_l = scanned
         attn, cache_l = _mla_attention(x, lp, cfg, cache_l, start_pos,
-                                       positions, use_pallas=use_pallas)
+                                       positions, use_pallas=use_pallas,
+                                       mesh=mesh)
         x = x + attn @ lp["wo"]
         h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         if moe:
@@ -650,11 +707,14 @@ def forward(
     *,
     use_pallas: bool = False,
     last_logit_only: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One forward step (prefill when T>1, decode when T==1), with the
     latent cache as the only recurrent state. Same contract as
     llama.forward: new tokens' latents are written at ``start_pos[b]``;
-    cached-prefix reuse = blob_into_cache + calling with the suffix."""
+    cached-prefix reuse = blob_into_cache + calling with the suffix.
+    With ``mesh``, the latent kernel runs under ``shard_map`` with query
+    heads on "model" (see :func:`_shard_latent_attend`)."""
     B, T = tokens.shape
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     x = params["embed"][tokens]
@@ -663,12 +723,14 @@ def forward(
     caches = []
     if kd:
         x, dense_cache = jax.lax.scan(
-            _layer_block(cfg, False, start_pos, positions, use_pallas), x,
+            _layer_block(cfg, False, start_pos, positions, use_pallas,
+                         mesh), x,
             (params["dense_layers"], latent_cache[:kd]))
         caches.append(dense_cache)
     if kd < cfg.n_layers:
         x, moe_cache = jax.lax.scan(
-            _layer_block(cfg, True, start_pos, positions, use_pallas), x,
+            _layer_block(cfg, True, start_pos, positions, use_pallas,
+                         mesh), x,
             (params["moe_layers"], latent_cache[kd:]))
         caches.append(moe_cache)
     new_cache = caches[0] if len(caches) == 1 else jnp.concatenate(caches)
@@ -678,3 +740,128 @@ def forward(
     x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, new_cache
+
+
+def _shard_paged_latent_attend(attend, mesh, n_heads: int, batch: int):
+    """:func:`_shard_latent_attend` for the paged kernel: q heads on
+    "model", the latent arena and page tables replicated (pages are the
+    cross-request resource — no batch or head axis to shard them on)."""
+    from jax.sharding import PartitionSpec as P
+
+    from lmcache_tpu.parallel.mesh import shard_map_unchecked
+
+    tp = mesh.shape.get("model", 1)
+    dp = mesh.shape.get("data", 1)
+    if n_heads % tp:
+        return None
+    bax = "data" if batch % dp == 0 else None
+
+    qspec = P(bax, None, "model", None)  # [B, T, H, C] q heads
+    pool = P(None, None, None)  # [P, page, C] arena, replicated
+    tab = P(bax, None)  # [B, NP]
+    vec = P(bax,)  # [B]
+    return shard_map_unchecked(attend, mesh,
+                     in_specs=(qspec, pool, tab, vec, vec),
+                     out_specs=qspec)
+
+
+def _mla_attention_paged(x, lp, cfg: MLAConfig, pool_l, page_table, pidx,
+                         poff, start_pos, positions, use_pallas=False,
+                         mesh=None):
+    """:func:`_mla_attention` against one layer of the paged latent
+    arena: new tokens' latent rows scatter into the pages named by the
+    table; attention gathers pages by DMA inside the kernel
+    (ops/paged_latent_attention.py)."""
+    B, T = x.shape[:2]
+    H, r = cfg.n_heads, cfg.kv_lora_rank
+
+    q_full, new_tok = _mla_project(x, lp, cfg, positions)
+    # scatter [B, T, C] latent rows into pages: pool[p, o] = new[b, t]
+    pool_l = pool_l.at[pidx, poff].set(new_tok.astype(pool_l.dtype))
+
+    from lmcache_tpu.ops.paged_latent_attention import (
+        paged_latent_attention, paged_latent_attention_reference)
+    kv_len = start_pos + T
+    if use_pallas:
+        impl = functools.partial(paged_latent_attention, rank=r,
+                                 scale=cfg.sm_scale)
+        if mesh is not None:
+            sharded = _shard_paged_latent_attend(impl, mesh, H, B)
+            if sharded is not None:
+                impl = sharded
+        ctx = impl(q_full.astype(pool_l.dtype), pool_l, page_table,
+                   start_pos, kv_len)
+    else:
+        ctx = paged_latent_attention_reference(q_full, pool_l, page_table,
+                                               start_pos, kv_len, rank=r,
+                                               scale=cfg.sm_scale)
+    attn = jnp.einsum("bthr,hrv->bthv", ctx,
+                      lp["w_kb_v"].astype(jnp.float32))
+    return attn.astype(x.dtype).reshape(B, T, H * cfg.v_head_dim), pool_l
+
+
+def _layer_block_paged(cfg: MLAConfig, moe: bool, page_table, pidx, poff,
+                       start_pos, positions, use_pallas=False, mesh=None):
+    def layer(x, scanned):
+        lp, pool_l = scanned
+        attn, pool_l = _mla_attention_paged(
+            x, lp, cfg, pool_l, page_table, pidx, poff, start_pos,
+            positions, use_pallas=use_pallas, mesh=mesh)
+        x = x + attn @ lp["wo"]
+        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        if moe:
+            y = _moe_mlp(h, lp, cfg)
+        else:
+            gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+            up = (h @ lp["w_up"]).astype(jnp.float32)
+            y = (gate * up).astype(x.dtype) @ lp["w_down"]
+        return x + y, pool_l
+    return layer
+
+
+def forward_paged(
+    params: Params,
+    cfg: MLAConfig,
+    tokens: jax.Array,  # int32 [B, T]
+    start_pos: jax.Array,  # int32 [B]
+    latent_pool: jax.Array,  # [L, P, page, r+p] (new_paged_latent_pool)
+    page_table: jax.Array,  # int32 [B, NP]
+    *,
+    use_pallas: bool = False,
+    last_logit_only: bool = False,
+    mesh=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`forward` against the shared paged latent arena — the MLA
+    counterpart of models/paged.forward_paged. New tokens' latent rows
+    are scattered into the pages named by ``page_table``; attention
+    gathers pages by DMA inside the kernel. Returns (logits, updated
+    arena)."""
+    B, T = tokens.shape
+    page = latent_pool.shape[2]
+    positions = start_pos[:, None] + jnp.arange(T)[None, :]
+    # per-(batch, new-token) page id and in-page offset
+    pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
+    poff = positions % page
+    x = params["embed"][tokens]
+
+    kd = cfg.n_dense_layers
+    pools = []
+    if kd:
+        x, dense_pool = jax.lax.scan(
+            _layer_block_paged(cfg, False, page_table, pidx, poff,
+                               start_pos, positions, use_pallas, mesh), x,
+            (params["dense_layers"], latent_pool[:kd]))
+        pools.append(dense_pool)
+    if kd < cfg.n_layers:
+        x, moe_pool = jax.lax.scan(
+            _layer_block_paged(cfg, True, page_table, pidx, poff,
+                               start_pos, positions, use_pallas, mesh), x,
+            (params["moe_layers"], latent_pool[kd:]))
+        pools.append(moe_pool)
+    new_pool = pools[0] if len(pools) == 1 else jnp.concatenate(pools)
+
+    if last_logit_only:
+        x = x[:, -1:]
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_pool

@@ -131,11 +131,9 @@ def _shard_paged_attend(attend, mesh, n_kv_heads: int, batch: int, *,
     head/batch extents don't divide the mesh — mirroring GSPMD's own
     divisibility requirement for the dense path.
     """
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # jax >= 0.5 moved it
-        from jax.sharding import shard_map  # type: ignore
     from jax.sharding import PartitionSpec as P
+
+    from lmcache_tpu.parallel.mesh import shard_map_unchecked
 
     tp = mesh.shape.get("model", 1)
     dp = mesh.shape.get("data", 1)
@@ -157,8 +155,8 @@ def _shard_paged_attend(attend, mesh, n_kv_heads: int, batch: int, *,
     else:
         in_specs = (qspec, pool, pool, tab, vec, vec)
 
-    return shard_map(attend, mesh=mesh, in_specs=in_specs,
-                     out_specs=qspec, check_rep=False)
+    return shard_map_unchecked(attend, mesh, in_specs=in_specs,
+                     out_specs=qspec)
 
 
 def forward_paged(

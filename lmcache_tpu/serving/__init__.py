@@ -11,9 +11,10 @@ skip, and asynchronous chunk store-back into the cache tiers.
 from lmcache_tpu.serving.request import Request, RequestState, SamplingParams
 from lmcache_tpu.serving.engine import ServingEngine
 from lmcache_tpu.serving.mla_engine import MLAServingEngine
+from lmcache_tpu.serving.mla_paged_engine import MLAPagedServingEngine
 from lmcache_tpu.serving.paged_engine import PagedServingEngine
 
 __all__ = [
     "Request", "RequestState", "SamplingParams", "ServingEngine",
-    "MLAServingEngine", "PagedServingEngine"
+    "MLAServingEngine", "MLAPagedServingEngine", "PagedServingEngine"
 ]

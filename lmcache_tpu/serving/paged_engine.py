@@ -162,10 +162,9 @@ class PagedServingEngine(ServingEngine):
     def _alloc_pool(self):
         """Build the page arena instead of the dense slot pool (ADVICE r1:
         the transient dense allocation defeated the paged memory model).
-        With a mesh, kv heads shard over "model" (pages are shared by
-        the whole batch, so there is no data-axis sharding — the arena
-        is the cross-request resource)."""
-        from lmcache_tpu.models.paged import new_quantized_paged_pool
+        The scheduler state (allocator, tables, prefix-sharing index) is
+        arena-agnostic; the arena tensor itself comes from
+        :meth:`_alloc_arena` (overridden by the MLA paged engine)."""
         # page-table width covers S + write-horizon positions: idle rows
         # park decode writes at >= S (engine.py _gather_sampling_rows)
         # and speculative verification may write past the end; those
@@ -181,6 +180,13 @@ class PagedServingEngine(ServingEngine):
         self._resident = {}  # hash -> page id
         self._page_hash = {}  # page id -> hash (reverse index)
         self._req_shared = {}  # request_id -> tokens served by shared pages
+        return self._alloc_arena()
+
+    def _alloc_arena(self):
+        """The arena tensor. With a mesh, kv heads shard over "model"
+        (pages are shared by the whole batch, so there is no data-axis
+        sharding — the arena is the cross-request resource)."""
+        from lmcache_tpu.models.paged import new_quantized_paged_pool
         pool = (new_quantized_paged_pool(self.cfg, self.num_pages,
                                          self.page_size)
                 if self.kv_dtype == "int8" else
