@@ -66,14 +66,22 @@ class LlamaConfig:
     # interpolation with an attention-temperature mscale (Qwen long-
     # context). Flat fields (not a dict) keep the config hashable for
     # jit static args.
-    rope_scaling_type: "Optional[str]" = None  # linear | llama3 | yarn
+    rope_scaling_type: "Optional[str]" = None  # linear|llama3|yarn|longrope
     rope_scaling_factor: float = 1.0
     rope_low_freq_factor: float = 1.0  # llama3
     rope_high_freq_factor: float = 4.0  # llama3
     rope_beta_fast: float = 32.0  # yarn
     rope_beta_slow: float = 1.0  # yarn
-    rope_attention_factor: "Optional[float]" = None  # yarn mscale
+    rope_attention_factor: "Optional[float]" = None  # yarn/longrope mscale
     rope_original_max_seq: "Optional[int]" = None
+    # longrope (Phi-3 family): per-dim frequency dividers [rd/2], chosen
+    # ONCE at config time (long_factor when the deployment context
+    # exceeds the pretraining context, else short_factor). HF switches
+    # factor sets dynamically on the running seq_len, which silently
+    # invalidates every already-cached K the moment a sequence crosses
+    # the boundary — a static per-deployment choice is what keeps cached
+    # chunks reusable (and is what serving engines do).
+    rope_freq_factors: "Optional[Tuple[float, ...]]" = None
 
     @property
     def rope_scaling_spec(self):
@@ -83,7 +91,8 @@ class LlamaConfig:
         return (self.rope_scaling_type, self.rope_scaling_factor,
                 self.rope_low_freq_factor, self.rope_high_freq_factor,
                 self.rope_original_max_seq, self.rope_beta_fast,
-                self.rope_beta_slow, self.rope_attention_factor)
+                self.rope_beta_slow, self.rope_attention_factor,
+                self.rope_freq_factors)
     # sandwich norms (Glm4-0414 family, HF `glm4` arch): extra RMSNorms
     # on the attention and MLP *outputs* before the residual add
     # (post_self_attn_layernorm / post_mlp_layernorm in modeling_glm4)
@@ -288,6 +297,17 @@ class LlamaConfig:
                            sliding_window_pattern=2)
 
     @staticmethod
+    def phi3_mini_4k() -> "LlamaConfig":
+        # microsoft/Phi-3-mini-4k-instruct: MHA (32/32 heads), fused
+        # qkv/gate_up checkpoints, 2047-token sliding window. The 128k
+        # variants add longrope scaling (load via from_hf — the per-dim
+        # factor lists live in the checkpoint config).
+        return LlamaConfig(vocab_size=32064, dim=3072, n_layers=32,
+                           n_heads=32, n_kv_heads=32, hidden_dim=8192,
+                           rope_theta=10000.0, max_seq_len=4096,
+                           sliding_window=2047)
+
+    @staticmethod
     def from_hf(model_name: str) -> "LlamaConfig":
         """Read the architecture from a HuggingFace config."""
         from transformers import AutoConfig
@@ -330,6 +350,27 @@ class LlamaConfig:
                     rope_original_max_seq=rs.get(
                         "original_max_position_embeddings",
                         hc.max_position_embeddings),
+                )
+            elif kind == "longrope":
+                # Phi-3 keeps original_max_position_embeddings at the
+                # config top level and derives factor from the context
+                # ratio (HF _compute_longrope_parameters). The factor-set
+                # choice is static per deployment: long when the target
+                # context exceeds the pretraining context (see the
+                # rope_freq_factors field comment).
+                orig = int(
+                    getattr(hc, "original_max_position_embeddings", None)
+                    or rs.get("original_max_position_embeddings")
+                    or hc.max_position_embeddings)
+                factor = hc.max_position_embeddings / orig
+                ext = (rs["long_factor"] if hc.max_position_embeddings
+                       > orig else rs["short_factor"])
+                scaling = dict(
+                    rope_scaling_type="longrope",
+                    rope_scaling_factor=float(factor),
+                    rope_attention_factor=rs.get("attention_factor"),
+                    rope_original_max_seq=orig,
+                    rope_freq_factors=tuple(float(f) for f in ext),
                 )
             else:
                 # silent mispositioning corrupts every cached chunk —
@@ -470,11 +511,26 @@ def load_hf(model_name: str,
 
     lm_head = ("lm_head.weight" if "lm_head.weight" in sd else
                "model.embed_tokens.weight")  # tied embeddings
+    if "model.layers.0.self_attn.qkv_proj.weight" in sd:
+        # Phi-3 fuses [q; k; v] into one projection — split the output
+        # columns (HF Phi3Attention slices qkv the same way)
+        nq = cfg.n_heads * cfg.head_dim
+        nkv = cfg.n_kv_heads * cfg.head_dim
+        fused = [t("model.layers.{}.self_attn.qkv_proj.weight".format(i))
+                 for i in range(cfg.n_layers)]  # [dim, nq+2*nkv] each
+        wq = jnp.asarray(np.stack([f[:, :nq] for f in fused]), dt)
+        wk = jnp.asarray(
+            np.stack([f[:, nq:nq + nkv] for f in fused]), dt)
+        wv = jnp.asarray(np.stack([f[:, nq + nkv:] for f in fused]), dt)
+    else:
+        wq = stack("model.layers.{}.self_attn.q_proj.weight")
+        wk = stack("model.layers.{}.self_attn.k_proj.weight")
+        wv = stack("model.layers.{}.self_attn.v_proj.weight")
     layers = {
         "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
-        "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
-        "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
-        "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+        "wq": wq,
+        "wk": wk,
+        "wv": wv,
         "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
         "mlp_norm":
         stack_vec("model.layers.{}.post_attention_layernorm.weight"),
@@ -720,10 +776,15 @@ def rope_inv_freq(theta, rd, scaling=None):
     - ``yarn``: NTK-by-parts — a beta_fast..beta_slow correction ramp
       blends interpolated (1/factor) and extrapolated frequencies, and
       cos/sin are tempered by mscale = 0.1·ln(factor) + 1 (HF
-      ``_compute_yarn_parameters``).
+      ``_compute_yarn_parameters``);
+    - ``longrope``: every frequency divided by its own per-dim factor
+      (Phi-3's evolutionary-searched dividers), cos/sin tempered by
+      ``sqrt(1 + ln(factor)/ln(orig_max))`` (HF
+      ``_compute_longrope_parameters``; the long/short factor-set choice
+      is already baked into the config's ``rope_freq_factors``).
 
     Returns ``(inv_freq [rd/2], mscale scalar)`` — mscale is 1.0 for
-    every scheme but yarn.
+    every scheme but yarn and longrope.
     """
     inv_freq = 1.0 / (theta**(jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     if scaling is None:
@@ -760,6 +821,21 @@ def rope_inv_freq(theta, rd, scaling=None):
         extrap_w = 1.0 - ramp  # 1 where extrapolated (high freq)
         return (inv_freq / factor * (1.0 - extrap_w)
                 + inv_freq * extrap_w), mscale
+    if kind == "longrope":
+        attn_factor, freq_factors = scaling[7:9]
+        if attn_factor is not None:
+            mscale = attn_factor
+        elif factor > 1.0:
+            mscale = float(np.sqrt(
+                1.0 + np.log(factor) / np.log(orig_max)))
+        else:
+            mscale = 1.0
+        ext = jnp.asarray(freq_factors, jnp.float32)
+        if ext.shape != inv_freq.shape:
+            raise ValueError(
+                f"longrope needs {inv_freq.shape[0]} per-dim factors, "
+                f"got {ext.shape[0]}")
+        return inv_freq / ext, mscale
     raise ValueError(f"unknown rope scaling type {kind!r}")
 
 

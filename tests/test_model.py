@@ -977,6 +977,115 @@ def test_load_hf_moe_checkpoint(tmp_path):
                                rtol=3e-3)
 
 
+def test_matches_huggingface_phi3(tmp_path):
+    """Phi-3 family end-to-end through load_hf: fused qkv/gate_up
+    checkpoint split + longrope per-dim frequency scaling, vs
+    transformers' Phi3ForCausalLM. T runs past
+    original_max_position_embeddings so HF's dynamic longrope update
+    selects the long factor set — matching our static per-deployment
+    choice (max_seq_len > original)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    ORIG, EXT = 32, 256
+    short = [1.0] * 8
+    long = [1.5, 2.0, 2.5, 3.0, 4.0, 5.0, 6.5, 8.0]  # head_dim 16 -> 8
+    hf_cfg = Phi3Config(vocab_size=128, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        max_position_embeddings=EXT,
+                        original_max_position_embeddings=ORIG,
+                        rope_scaling={"type": "longrope",
+                                      "short_factor": short,
+                                      "long_factor": long},
+                        rms_norm_eps=1e-5, rope_theta=10000.0,
+                        tie_word_embeddings=False, sliding_window=None,
+                        resid_pdrop=0.0, embd_pdrop=0.0,
+                        attention_dropout=0.0, pad_token_id=0)
+    torch.manual_seed(13)
+    hf_model = Phi3ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.self_attn.qkv_proj.weight" in sd  # family trait
+    assert "model.layers.0.mlp.gate_up_proj.weight" in sd
+    path = tmp_path / "tiny-phi3"
+    hf_model.save_pretrained(path)
+
+    import dataclasses
+    cfg = dataclasses.replace(llama.LlamaConfig.from_hf(str(path)),
+                              dtype="float32")
+    assert cfg.rope_scaling_type == "longrope"
+    assert cfg.rope_scaling_factor == EXT / ORIG
+    assert cfg.rope_freq_factors == tuple(long)  # max_seq > orig -> long
+    cfg, params = llama.load_hf(str(path), cfg)
+
+    B, T = 2, 48  # spans past ORIG so HF switches to the long factors
+    ids = np.random.default_rng(17).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 64)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=3e-3,
+                               rtol=3e-3)
+
+    # paged path ropes with the same longrope frequencies
+    from lmcache_tpu.models.paged import forward_paged, new_paged_kv_pool
+    pool = new_paged_kv_pool(cfg, 16, 16)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        for j in range(3):
+            table[b, j] = 1 + b * 3 + j
+    plogits, _ = forward_paged(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.zeros(B, jnp.int32), pool,
+                               jnp.asarray(table), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=3e-3,
+                               rtol=3e-3)
+
+    # prefill/decode split agrees with the one-shot forward (cache
+    # correctness under longrope positions)
+    cache2 = llama.new_kv_cache(cfg, B, 64)
+    _, cache2 = llama.forward(params, cfg, jnp.asarray(ids[:, :40],
+                                                       jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache2,
+                              use_pallas=False)
+    step_logits = None
+    for t in range(40, T):
+        step_logits, cache2 = llama.forward(
+            params, cfg, jnp.asarray(ids[:, t:t + 1], jnp.int32),
+            jnp.full(B, t, jnp.int32), cache2, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                               hf_logits[:, -1], atol=3e-3, rtol=3e-3)
+
+
+def test_phi3_short_context_uses_short_factors():
+    """A deployment at the pretraining context (max == original) selects
+    the short factor set and applies no attention temperature."""
+    pytest.importorskip("torch")
+    from unittest import mock
+
+    from transformers import Phi3Config
+    short = [1.0, 1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6]
+    hc = Phi3Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=2, max_position_embeddings=32,
+                    original_max_position_embeddings=32,
+                    rope_scaling={"type": "longrope",
+                                  "short_factor": short,
+                                  "long_factor": [9.0] * 8})
+    with mock.patch("transformers.AutoConfig.from_pretrained",
+                    return_value=hc):
+        cfg = llama.LlamaConfig.from_hf("local/tiny-phi3-short")
+    assert cfg.rope_freq_factors == tuple(short)
+    inv, mscale = llama.rope_inv_freq(cfg.rope_theta, cfg.head_dim,
+                                      cfg.rope_scaling_spec)
+    assert mscale == 1.0  # factor == 1 -> no temperature
+    base, _ = llama.rope_inv_freq(cfg.rope_theta, cfg.head_dim, None)
+    np.testing.assert_allclose(np.asarray(inv),
+                               np.asarray(base) / np.asarray(short),
+                               rtol=1e-6)
+
+
 def test_from_hf_rejects_mixed_sparse():
     """Mixed dense/sparse MoE layouts fail loudly instead of silently
     computing MoE on dense layers."""
