@@ -47,7 +47,7 @@ from lmcache_tpu.ops.attention import _NEG_INF
 
 def rope_shift_keys(keys: jax.Array, delta, theta: float,
                     rotary_dim=None, interleaved=False,
-                    scaling=None) -> jax.Array:
+                    scaling=None, inv_freq=None) -> jax.Array:
     """Re-rotate RoPE'd keys by ``delta`` positions.
 
     keys: [..., T, H, D] (token axis third-from-last). delta: scalar or
@@ -55,7 +55,10 @@ def rope_shift_keys(keys: jax.Array, delta, theta: float,
     ``scaling`` follow models.llama._rope (GLM partial interleaved
     rotary; linear/llama3 context-extension frequency scaling — the
     shift must spin at the *scaled* frequencies or re-rotated keys land
-    at the wrong effective positions).
+    at the wrong effective positions). ``inv_freq`` overrides the
+    derived frequencies; it may carry leading broadcast axes (e.g.
+    ``[L, 1, rd/2]`` for per-layer dual-theta families) that broadcast
+    against ``delta[..., None]``.
     """
     from lmcache_tpu.models.llama import rope_inv_freq
     D = keys.shape[-1]
@@ -64,7 +67,8 @@ def rope_shift_keys(keys: jax.Array, delta, theta: float,
     # the shift is a pure rotation at the scaled frequencies: the keys
     # already carry the yarn mscale from their original roping, so it
     # is NOT reapplied here
-    inv_freq, _ = rope_inv_freq(theta, rd, scaling)
+    if inv_freq is None:
+        inv_freq, _ = rope_inv_freq(theta, rd, scaling)
     angles = jnp.asarray(delta, jnp.float32)[..., None] * inv_freq
     if interleaved:
         cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)
@@ -141,20 +145,31 @@ def blend_prefill(
         y = h @ lp[w]
         return y + lp[b] if cfg.attention_bias else y  # Qwen/GLM bias
 
-    def _qk(h, lp, w, b, norm, n_heads, pos):
+    def _freqs(g):
+        """Per-layer dual-theta rope frequencies (Gemma-3); None for
+        single-theta families."""
+        if cfg.rope_local_theta is None:
+            return None
+        return llama._layer_rope_freqs(cfg, g)
+
+    def _qk(h, lp, w, b, norm, n_heads, pos, freqs=None):
         """q or k heads [1, t, H, D]: project, per-head qk-norm (Qwen3),
         rope — mirroring models.llama._qkv_heads for gathered tokens."""
         y = _proj(h, lp, w, b).reshape(1, -1, n_heads, D)
         if cfg.qk_norm:
             y = _rms_norm(y, lp[norm], cfg.norm_eps, cfg.norm_one_offset)
         return _rope(y, pos, cfg.rope_theta, cfg.rotary_dim,
-                     cfg.rope_interleaved, cfg.rope_scaling_spec)
+                     cfg.rope_interleaved, cfg.rope_scaling_spec,
+                     freqs=freqs)
 
     # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
     x = llama._embed(params, cfg, tokens)  # [T, dim]
     h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
-    q0 = _qk(h, lp0, "wq", "bq", "q_norm", cfg.n_heads, positions[None])[0]
-    k0 = _qk(h, lp0, "wk", "bk", "k_norm", Hkv, positions[None])[0]
+    f0 = _freqs(bool(wins[0]))
+    q0 = _qk(h, lp0, "wq", "bq", "q_norm", cfg.n_heads, positions[None],
+             freqs=f0)[0]
+    k0 = _qk(h, lp0, "wk", "bk", "k_norm", Hkv, positions[None],
+             freqs=f0)[0]
     v0 = _proj(h, lp0, "wv", "bv").reshape(T, Hkv, D)
     kv0 = jnp.stack([k0, v0]).astype(blended_kv.dtype)  # exact layer-0 KV
     blended_kv = blended_kv.at[0].set(kv0)
@@ -168,7 +183,8 @@ def blend_prefill(
     lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
                        params["layers"])
     h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
-    k1_true = _qk(h1, lp1, "wk", "bk", "k_norm", Hkv, positions[None])[0]
+    k1_true = _qk(h1, lp1, "wk", "bk", "k_norm", Hkv, positions[None],
+                  freqs=_freqs(bool(wins[min(1, cfg.n_layers - 1)])))[0]
     v1_true = _proj(h1, lp1, "wv", "bv").reshape(T, Hkv, D)
 
     # ---- deviation-guided token selection --------------------------------
@@ -192,8 +208,11 @@ def blend_prefill(
         lp, kv_l, g = scanned  # kv_l: [2, T, H_kv, D]
         h = _rms_norm(xs, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
         n = xs.shape[0]
-        q = _qk(h, lp, "wq", "bq", "q_norm", cfg.n_heads, sel_pos[None])[0]
-        k = _qk(h, lp, "wk", "bk", "k_norm", Hkv, sel_pos[None])[0]
+        fl = _freqs(g)
+        q = _qk(h, lp, "wq", "bq", "q_norm", cfg.n_heads, sel_pos[None],
+                freqs=fl)[0]
+        k = _qk(h, lp, "wk", "bk", "k_norm", Hkv, sel_pos[None],
+                freqs=fl)[0]
         v = _proj(h, lp, "wv", "bv").reshape(n, Hkv, D)
         # scatter healed KV before attending
         kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))
@@ -215,10 +234,25 @@ def blend_prefill(
 
 def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
                     theta: float, rotary_dim=None,
-                    interleaved=False, scaling=None) -> jax.Array:
+                    interleaved=False, scaling=None,
+                    local_theta=None, global_layers=None) -> jax.Array:
     """Concatenate independently-cached chunk KV (vllm fmt
     [L, 2, t_i, H, D], each prefilled at positions 0..t_i) into one
-    position-corrected [L, 2, T, H, D] buffer."""
+    position-corrected [L, 2, T, H, D] buffer.
+
+    ``local_theta``/``global_layers`` (dual-theta families, Gemma-3):
+    sliding layers' keys were roped at ``local_theta`` unscaled, so
+    their shift must spin at those frequencies — a per-layer
+    ``[L, 1, rd/2]`` inv_freq rides the layer axis of the blob."""
+    from lmcache_tpu.models.llama import rope_inv_freq
+    inv = None
+    if local_theta is not None:
+        D = jnp.asarray(chunk_blobs[0]).shape[-1]
+        rd = rotary_dim or D
+        inv_g, _ = rope_inv_freq(theta, rd, scaling)
+        inv_l, _ = rope_inv_freq(local_theta, rd, None)
+        glb = jnp.asarray(global_layers, bool)[:, None, None]  # [L,1,1]
+        inv = jnp.where(glb, inv_g, inv_l)  # [L, 1, rd/2]
     parts = []
     offset = 0
     for blob in chunk_blobs:
@@ -226,7 +260,7 @@ def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
         t = blob.shape[2]
         k = rope_shift_keys(blob[:, 0],  # [L, t, H, D]
                             jnp.full((t,), offset, jnp.float32), theta,
-                            rotary_dim, interleaved, scaling)
+                            rotary_dim, interleaved, scaling, inv_freq=inv)
         parts.append(jnp.stack([k, blob[:, 1]], axis=1))
         offset += t
     return jnp.concatenate(parts, axis=2)
@@ -292,10 +326,13 @@ class CacheBlender:
             blobs.append(blob)
 
         full = np.concatenate([np.asarray(t, np.int32) for t in chunk_tokens])
-        blended = assemble_chunks(blobs, self.cfg.rope_theta,
-                                  self.cfg.rotary_dim,
-                                  self.cfg.rope_interleaved,
-                                  self.cfg.rope_scaling_spec)
+        blended = assemble_chunks(
+            blobs, self.cfg.rope_theta, self.cfg.rotary_dim,
+            self.cfg.rope_interleaved, self.cfg.rope_scaling_spec,
+            local_theta=self.cfg.rope_local_theta,
+            global_layers=(tuple(self.cfg.layer_windows())
+                           if self.cfg.rope_local_theta is not None
+                           else None))
         T = len(full)
         n_rec = max(1, min(T, int(np.ceil(self.ratio * T))))
         logits, kv = blend_prefill(self.params, self.cfg,

@@ -135,6 +135,13 @@ class LlamaConfig:
     # otherwise (Gemma-2: p=2; Gemma-3: p=6). None = every layer slides
     # when sliding_window is set (Mistral).
     sliding_window_pattern: "Optional[int]" = None
+    # explicit per-layer is-global map [L] (HF `layer_types` lists:
+    # True = full_attention). Overrides sliding_window_pattern.
+    global_layer_map: "Optional[Tuple[bool, ...]]" = None
+    # dual-theta rotary (Gemma-3): sliding layers rope at this base
+    # frequency with NO context-extension scaling; global layers keep
+    # rope_theta + rope_scaling (HF rope_local_base_freq)
+    rope_local_theta: "Optional[float]" = None
 
     @property
     def head_dim(self) -> int:
@@ -154,6 +161,12 @@ class LlamaConfig:
         for Mistral-style uniform windows."""
         if self.sliding_window is None:
             return np.ones(self.n_layers, bool)
+        if self.global_layer_map is not None:
+            if len(self.global_layer_map) != self.n_layers:
+                raise ValueError(
+                    f"global_layer_map has {len(self.global_layer_map)} "
+                    f"entries for {self.n_layers} layers")
+            return np.asarray(self.global_layer_map, bool)
         if self.sliding_window_pattern is None:
             return np.zeros(self.n_layers, bool)
         p = self.sliding_window_pattern
@@ -297,6 +310,26 @@ class LlamaConfig:
                            sliding_window_pattern=2)
 
     @staticmethod
+    def gemma3_4b() -> "LlamaConfig":
+        # google/gemma-3-4b (text stack): gemma-2 traits minus the
+        # softcaps, plus per-head qk-norm, 5-local:1-global attention
+        # (pattern 6, 1k window), and dual-theta rotary — sliding layers
+        # at 10k base, global layers at 1M with linear factor-8 scaling
+        return LlamaConfig(vocab_size=262208, dim=2560, n_layers=34,
+                           n_heads=8, n_kv_heads=4, hidden_dim=10240,
+                           rope_theta=1000000.0, max_seq_len=131072,
+                           norm_eps=1e-6, head_dim_override=256,
+                           mlp_act="gelu_tanh", norm_one_offset=True,
+                           embed_scale=True, post_norms=True,
+                           qk_norm=True, query_pre_attn_scalar=256.0,
+                           sliding_window=1024,
+                           sliding_window_pattern=6,
+                           rope_local_theta=10000.0,
+                           rope_scaling_type="linear",
+                           rope_scaling_factor=8.0,
+                           rope_original_max_seq=131072)
+
+    @staticmethod
     def phi3_mini_4k() -> "LlamaConfig":
         # microsoft/Phi-3-mini-4k-instruct: MHA (32/32 heads), fused
         # qkv/gate_up checkpoints, 2047-token sliding window. The 128k
@@ -312,6 +345,10 @@ class LlamaConfig:
         """Read the architecture from a HuggingFace config."""
         from transformers import AutoConfig
         hc = AutoConfig.from_pretrained(model_name)
+        # multimodal wrappers (Gemma-3) nest the language model's config;
+        # we serve the text stack
+        if getattr(hc, "text_config", None) is not None:
+            hc = hc.text_config
 
         def _check_all_sparse(hc):
             n = (getattr(hc, "num_experts", None)
@@ -397,8 +434,8 @@ class LlamaConfig:
             # HF's glm/glm4 ports apply cos/sin via repeat_interleave +
             # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
             rope_interleaved=model_type in ("glm", "glm4"),
-            post_norms=model_type in ("glm4", "gemma2"),
-            qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            post_norms=model_type in ("glm4", "gemma2", "gemma3_text"),
+            qk_norm=model_type in ("qwen3", "qwen3_moe", "gemma3_text"),
             head_dim_override=(
                 head_dim if head_dim != hc.hidden_size
                 // hc.num_attention_heads else None),
@@ -414,11 +451,15 @@ class LlamaConfig:
             # Gemma family: GeGLU, (1+w) norms, scaled embeddings;
             # gemma2 adds sandwich norms, alternating local/global
             # attention (pattern 2), score/logit softcaps, and a
-            # query_pre_attn_scalar score scale
-            mlp_act=("gelu_tanh" if model_type in ("gemma", "gemma2")
+            # query_pre_attn_scalar score scale; gemma3 drops the
+            # softcaps and adds qk-norm, explicit layer_types, and
+            # dual-theta rotary (rope_local_base_freq on sliding layers)
+            mlp_act=("gelu_tanh"
+                     if model_type in ("gemma", "gemma2", "gemma3_text")
                      else "silu"),
-            norm_one_offset=model_type in ("gemma", "gemma2"),
-            embed_scale=model_type in ("gemma", "gemma2"),
+            norm_one_offset=model_type in ("gemma", "gemma2",
+                                           "gemma3_text"),
+            embed_scale=model_type in ("gemma", "gemma2", "gemma3_text"),
             attn_logit_softcap=getattr(hc, "attn_logit_softcapping", None),
             final_logit_softcap=getattr(hc, "final_logit_softcapping",
                                         None),
@@ -427,6 +468,11 @@ class LlamaConfig:
             sliding_window_pattern=(2 if model_type == "gemma2" else
                                     getattr(hc, "sliding_window_pattern",
                                             None)),
+            global_layer_map=(tuple(t == "full_attention"
+                                    for t in hc.layer_types)
+                              if getattr(hc, "layer_types", None)
+                              else None),
+            rope_local_theta=getattr(hc, "rope_local_base_freq", None),
         )
 
 
@@ -743,10 +789,30 @@ def _qkv(h, lp, cfg):
     return q, k, v
 
 
-def _qkv_heads(h, lp, cfg, positions):
+def _layer_rope_freqs(cfg, g):
+    """Per-layer rotary ``(inv_freq, mscale)`` for dual-theta families
+    (Gemma-3: sliding layers rope at ``rope_local_theta`` with no
+    context-extension scaling; global layers at ``rope_theta`` with the
+    configured scaling — HF modeling_gemma3 position_embeddings_local /
+    _global). ``g`` is the layer's is-global flag: a python bool selects
+    statically, a traced bool (riding the layer scan) selects with
+    ``jnp.where`` on the [rd/2] constants."""
+    rd = cfg.rotary_dim or cfg.head_dim
+    inv_g, ms_g = rope_inv_freq(cfg.rope_theta, rd, cfg.rope_scaling_spec)
+    inv_l, _ = rope_inv_freq(cfg.rope_local_theta, rd, None)
+    if isinstance(g, (bool, np.bool_)):
+        return (inv_g, ms_g) if g else (inv_l, 1.0)
+    g = jnp.asarray(g)
+    return (jnp.where(g, inv_g, inv_l),
+            jnp.where(g, jnp.float32(ms_g), jnp.float32(1.0)))
+
+
+def _qkv_heads(h, lp, cfg, positions, g=None):
     """QKV as per-head tensors [B, T, H, D], with the family's optional
     qk-norm (Qwen3: per-head RMSNorm on q and k before RoPE,
-    modeling_qwen3.py) and rotary applied."""
+    modeling_qwen3.py) and rotary applied. ``g`` (the layer's is-global
+    flag from the layer scan) selects the frequency set for dual-theta
+    families (Gemma-3)."""
     B, T = h.shape[:2]
     q, k, v = _qkv(h, lp, cfg)
     q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
@@ -755,10 +821,17 @@ def _qkv_heads(h, lp, cfg, positions):
     if cfg.qk_norm:
         q = _rms_norm(q, lp["q_norm"], cfg.norm_eps, cfg.norm_one_offset)
         k = _rms_norm(k, lp["k_norm"], cfg.norm_eps, cfg.norm_one_offset)
+    freqs = None
+    if cfg.rope_local_theta is not None:
+        if g is None:
+            raise ValueError(
+                "dual-theta rope (rope_local_theta) needs the layer's "
+                "is-global flag")
+        freqs = _layer_rope_freqs(cfg, g)
     q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
-              cfg.rope_interleaved, cfg.rope_scaling_spec)
+              cfg.rope_interleaved, cfg.rope_scaling_spec, freqs=freqs)
     k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
-              cfg.rope_interleaved, cfg.rope_scaling_spec)
+              cfg.rope_interleaved, cfg.rope_scaling_spec, freqs=freqs)
     return q, k, v
 
 
@@ -840,17 +913,22 @@ def rope_inv_freq(theta, rd, scaling=None):
 
 
 def _rope(x, positions, theta, rotary_dim=None, interleaved=False,
-          scaling=None):
+          scaling=None, freqs=None):
     """HF-convention rotary embedding. x: [B, T, H, D]; positions: [B, T].
 
     ``rotary_dim`` rotates only the leading channels (GLM partial
     rotary); ``interleaved`` pairs channels (2i, 2i+1) instead of the
     llama half-split (i, i + D/2) — matching HF modeling_glm.py's
-    ``repeat_interleave`` cos/sin and interleaved ``rotate_half``."""
+    ``repeat_interleave`` cos/sin and interleaved ``rotate_half``.
+    ``freqs=(inv_freq, mscale)`` overrides the theta/scaling-derived
+    frequencies (dual-theta layers, :func:`_layer_rope_freqs`)."""
     D = x.shape[-1]
     rd = rotary_dim or D
     xr = x[..., :rd].astype(jnp.float32)
-    inv_freq, mscale = rope_inv_freq(theta, rd, scaling)
+    if freqs is not None:
+        inv_freq, mscale = freqs
+    else:
+        inv_freq, mscale = rope_inv_freq(theta, rd, scaling)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,rd/2]
     if interleaved:
         cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)[:, :, None, :]
@@ -1019,7 +1097,7 @@ def forward(
     def layer(x, scanned):
         lp, cache_l, g = scanned  # cache_l: [2, B, H_kv, S, D]
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
-        q, k, v = _qkv_heads(h, lp, cfg, positions)
+        q, k, v = _qkv_heads(h, lp, cfg, positions, g)
 
         new_k = write_at(cache_l[0], k.astype(cache_l.dtype), start_pos)
         new_v = write_at(cache_l[1], v.astype(cache_l.dtype), start_pos)
@@ -1108,7 +1186,7 @@ def forward_quantized(
     def layer(x, scanned):
         lp, cache_l, g = scanned  # {"sym" [2,B,H,S,D], "scale" [2,B,S]}
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
-        q, k, v = _qkv_heads(h, lp, cfg, positions)
+        q, k, v = _qkv_heads(h, lp, cfg, positions, g)
 
         k_sym, k_scale = quant_tokens(k)
         v_sym, v_scale = quant_tokens(v)

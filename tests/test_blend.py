@@ -143,6 +143,11 @@ def test_cache_blender_end_to_end(setup):
     dict(qk_norm=True),                              # Qwen3-style
     dict(n_experts=4, n_experts_per_tok=2,
          moe_hidden_dim=64),                         # MoE (Mixtral-style)
+    dict(qk_norm=True, norm_one_offset=True, post_norms=True,
+         mlp_act="gelu_tanh", embed_scale=True,
+         query_pre_attn_scalar=24.0, sliding_window=16,
+         global_layer_map=(False, True), rope_theta=1000000.0,
+         rope_local_theta=10000.0),                  # Gemma-3-style
 ])
 def test_blend_exact_anchor_other_families(family_kw):
     """ratio=1.0 blending must equal a full prefill for bias and
@@ -156,8 +161,11 @@ def test_blend_exact_anchor_other_families(family_kw):
     full = np.concatenate(docs)
 
     blobs = [_standalone_blob(cfg, params, d) for d in docs]
-    blended = blend.assemble_chunks(blobs, cfg.rope_theta, cfg.rotary_dim,
-                                    cfg.rope_interleaved)
+    blended = blend.assemble_chunks(
+        blobs, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved,
+        local_theta=cfg.rope_local_theta,
+        global_layers=(tuple(cfg.layer_windows())
+                       if cfg.rope_local_theta is not None else None))
     logits, kv = blend.blend_prefill(params, cfg, jnp.asarray(full),
                                      blended, len(full))
     gold_logits, gold_kv = _golden_logits(cfg, params, full)

@@ -911,6 +911,94 @@ def test_matches_huggingface_gemma2():
     assert r.output_tokens == p.output_tokens and len(r.output_tokens) == 5
 
 
+def test_matches_huggingface_gemma3(tmp_path):
+    """Gemma-3 (text stack) end-to-end through load_hf: Gemma-2 traits
+    minus softcaps, plus per-head (1+w) qk-norm, explicit layer_types
+    (5 sliding : 1 full), and DUAL-THETA rotary — sliding layers rope at
+    rope_local_base_freq unscaled, global layers at rope_theta with
+    linear scaling (HF modeling_gemma3 position_embeddings_local/
+    _global)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+    L = 6  # default layer_types: 5 sliding_attention then full_attention
+    hf_cfg = Gemma3TextConfig(vocab_size=128, hidden_size=64,
+                              intermediate_size=128, num_hidden_layers=L,
+                              num_attention_heads=4, num_key_value_heads=2,
+                              head_dim=16, max_position_embeddings=256,
+                              rms_norm_eps=1e-6, rope_theta=1000000.0,
+                              rope_local_base_freq=10000.0,
+                              rope_scaling={"rope_type": "linear",
+                                            "factor": 4.0},
+                              query_pre_attn_scalar=24.0, sliding_window=8,
+                              attention_dropout=0.0, pad_token_id=0,
+                              attn_implementation="eager")
+    torch.manual_seed(44)
+    hf_model = Gemma3ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.self_attn.q_norm.weight" in sd  # family trait
+    path = tmp_path / "tiny-gemma3"
+    hf_model.save_pretrained(path)
+
+    import dataclasses
+    cfg = dataclasses.replace(llama.LlamaConfig.from_hf(str(path)),
+                              dtype="float32")
+    assert cfg.rope_local_theta == 10000.0
+    assert cfg.qk_norm and cfg.norm_one_offset and cfg.post_norms
+    assert cfg.attn_logit_softcap is None
+    assert cfg.global_layer_map == (False,) * 5 + (True,)
+    assert list(cfg.layer_windows()) == [False] * 5 + [True]
+    cfg, params = llama.load_hf(str(path), cfg)
+
+    B, T = 2, 48  # T > window so local/global layers diverge
+    ids = np.random.default_rng(45).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 64)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
+
+    # the dual theta is load-bearing: roping every layer at the global
+    # frequencies diverges
+    import dataclasses as dc
+    uni = dc.replace(cfg, rope_local_theta=None)
+    bad, _ = llama.forward(params, uni, jnp.asarray(ids, jnp.int32),
+                           jnp.zeros(B, jnp.int32),
+                           llama.new_kv_cache(uni, B, 64),
+                           use_pallas=False)
+    assert np.abs(np.asarray(bad) - hf_logits).max() > 1e-2
+
+    # prefill+decode equals one-shot (cache semantics under dual theta)
+    cache2 = llama.new_kv_cache(cfg, B, 64)
+    _, cache2 = llama.forward(params, cfg,
+                              jnp.asarray(ids[:, :T - 1], jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache2,
+                              use_pallas=False)
+    l2, _ = llama.forward(params, cfg, jnp.asarray(ids[:, T - 1:],
+                                                   jnp.int32),
+                          jnp.full((B,), T - 1, jnp.int32), cache2,
+                          use_pallas=False)
+    np.testing.assert_allclose(np.asarray(l2[:, 0]),
+                               np.asarray(logits[:, -1]), atol=1e-4,
+                               rtol=1e-4)
+
+    # serving: dense and paged engines agree greedily
+    from lmcache_tpu.serving import SamplingParams, ServingEngine
+    from lmcache_tpu.serving.paged_engine import PagedServingEngine
+    prompt = np.random.default_rng(46).integers(0, 128, 21, dtype=np.int32)
+    [r] = ServingEngine(cfg, params, max_batch=2, max_seq=64,
+                        use_pallas=False).generate(
+                            [prompt], SamplingParams(max_new_tokens=5))
+    [p] = PagedServingEngine(cfg, params, max_batch=2, max_seq=64,
+                             num_pages=16, page_size=16,
+                             use_pallas=False).generate(
+                                 [prompt], SamplingParams(max_new_tokens=5))
+    assert r.output_tokens == p.output_tokens and len(r.output_tokens) == 5
+
+
 def test_gemma2_from_hf_config():
     """from_hf maps every Gemma-2 trait off the HF config."""
     pytest.importorskip("torch")
