@@ -13,6 +13,7 @@ transfer. All shapes are static per chunk, which is what keeps the jitted
 consumers (attention, codec kernels) compile-once.
 """
 
+import functools
 from typing import List, Sequence, Tuple, Union
 
 import numpy as np
@@ -88,8 +89,21 @@ def chunk_blob(blob: Array, fmt: str, chunk_size: int,
     ]
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_concat(axis: int):
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda *bs: jnp.concatenate(bs, axis=axis))
+
+
 def concat_blobs(blobs: Sequence[Array], fmt: str) -> Array:
     xp = _xp(blobs[0])
+    if xp is not np:
+        # device blobs: run the concat under jit — the eager op pays a
+        # per-call lowering that is ~10x the copy itself at 62 chunks.
+        # One persistent wrapper per axis; jit's own cache keys on
+        # (arity, shapes, dtype), which the fixed chunk_size keeps tiny.
+        return _jit_concat(token_axis(fmt))(*blobs)
     return xp.concatenate(list(blobs), axis=token_axis(fmt))
 
 

@@ -112,38 +112,52 @@ def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
             total_kb=total_kb, num_kb=num_k,
             sliding_window=sliding_window)
 
-    # whole GQA group per program: [group, bq, D] -> [group*bq, D]
-    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)  # [bk, D]
-    v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
+    # causal block skip: blocks fully above the diagonal contribute
+    # nothing — the index_map pinned their DMA to the last live block
+    # (repeat index -> Mosaic skips the refetch) and the body skips the
+    # matmuls/softmax entirely. On a full causal prefill this halves
+    # both the HBM reads and the MXU work.
+    qpos_max = q_off_ref[b] + (iq + 1) * block_q - 1
+    live = kb * block_k <= qpos_max
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    if logit_softcap is not None:
-        s = logit_softcap * jnp.tanh(s / logit_softcap)
+    @pl.when(live)
+    def _():
+        # whole GQA group per program: [group, bq, D] -> [group*bq, D].
+        # The dots run on the native bf16 inputs with f32 accumulation
+        # (preferred_element_type) — casting inputs to f32 first would
+        # halve MXU throughput for identical results.
+        q = q_ref[0].reshape(group * block_q, -1)
+        k = k_ref[0, 0]  # [bk, D]
+        v = v_ref[0, 0]  # [bk, D]
 
-    qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (group * block_q, block_k), 0) % block_q)
-    kpos = (kb * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (group * block_q, block_k), 1))
-    mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
-    if sliding_window is not None:
-        mask &= kpos > qpos - sliding_window
-    s = jnp.where(mask, s, _NEG_INF)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s / logit_softcap)
 
-    m_prev = m_scr[:]  # [group*bq, 1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [group*bq, bk]
+        qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (group * block_q, block_k), 0) % block_q)
+        kpos = (kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (group * block_q, block_k), 1))
+        mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+        if sliding_window is not None:
+            mask &= kpos > qpos - sliding_window
+        s = jnp.where(mask, s, _NEG_INF)
 
-    l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-    acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_prev = m_scr[:]  # [group*bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [group*bq, bk]
 
-    m_scr[:] = m_new
-    l_scr[:] = l_new
-    acc_scr[:] = acc_new
+        l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+        acc_scr[:] = acc_new
 
     @pl.when(ik == num_k - 1)
     def _():
@@ -170,8 +184,8 @@ def flash_attention(
     q_offset: jax.Array,
     kv_len: jax.Array,
     *,
-    block_q: int = 128,
-    block_k: int = 2048,
+    block_q: Optional[int] = None,
+    block_k: int = 1024,
     interpret: Optional[bool] = None,
     sliding_window: Optional[int] = None,
     kv_head_major: bool = False,
@@ -213,6 +227,12 @@ def flash_attention(
     group = H // Hkv
     scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
+    if block_q is None:
+        # each program holds the whole GQA group: cap the score tile at
+        # ~1024 rows (group * bq) so the f32 score scratch stays within
+        # VMEM across group sizes (G=16 GLM-class included), and widen
+        # the q block for small groups to amortize grid overhead
+        block_q = min(max(1024 // group, 64), 256)
     bq = min(block_q, _round_up(T, 16))
     bk = min(block_k, _round_up(S, 128))
     Tp, Sp = _round_up(T, bq), _round_up(S, bk)
@@ -242,7 +262,13 @@ def flash_attention(
         q_off = scalars[0]
         kb = b if not has_slot else scalars[-1][0]
         if sliding_window is None:
-            return (kb, h, ik, 0)
+            # pin blocks above the causal limit to the last live block:
+            # the repeated index makes Mosaic skip their DMA and the
+            # kernel body skips their compute (full-prefill HBM reads
+            # and MXU work halve)
+            qpos_max = q_off[b] + (iq + 1) * bq - 1
+            limit = jnp.minimum(qpos_max // bk, total_kb - 1)
+            return (kb, h, jnp.minimum(ik, limit), 0)
         start = _window_start_block(
             q_off[b], iq, block_q=bq, block_k=bk, total_kb=total_kb,
             num_kb=num_kb, sliding_window=sliding_window)

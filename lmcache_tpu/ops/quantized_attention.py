@@ -94,42 +94,56 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
             total_kb=total_kb, num_kb=num_k,
             sliding_window=sliding_window)
 
-    # whole GQA group per program (KV streamed once per kv head)
-    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)  # [bk, D] (int8 -> f32 in-register)
-    v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
-    k_scale = ks_ref[0].astype(jnp.float32)  # [1, bk]
-    v_scale = vs_ref[0].astype(jnp.float32)  # [1, bk]
+    # causal block skip: index_map pinned above-diagonal blocks' DMA to
+    # the last live block; the body skips their compute entirely (see
+    # ops/attention._flash_kernel)
+    qpos_max = q_off_ref[b] + (iq + 1) * block_q - 1
+    live = kb * block_k <= qpos_max
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s * (k_scale * scale)  # fused K dequant: per-column correction
-    if logit_softcap is not None:
-        s = logit_softcap * jnp.tanh(s / logit_softcap)
+    @pl.when(live)
+    def _():
+        # whole GQA group per program (KV streamed once per kv head).
+        # int8 KV dequantizes into the QUERY dtype in-register (int8 is
+        # exact in bf16) so the MXU runs at bf16 rate; scores accumulate
+        # f32 via preferred_element_type.
+        q = q_ref[0].reshape(group * block_q, -1)
+        k = k_ref[0, 0].astype(q.dtype)  # [bk, D]
+        v = v_ref[0, 0].astype(q.dtype)  # [bk, D]
+        k_scale = ks_ref[0].astype(jnp.float32)  # [1, bk]
+        v_scale = vs_ref[0].astype(jnp.float32)  # [1, bk]
 
-    qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (group * block_q, block_k), 0) % block_q)
-    kpos = (kb * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (group * block_q, block_k), 1))
-    mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
-    if sliding_window is not None:
-        mask &= kpos > qpos - sliding_window
-    s = jnp.where(mask, s, _NEG_INF)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (k_scale * scale)  # fused K dequant: per-column correction
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s / logit_softcap)
 
-    m_prev = m_scr[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+        qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (group * block_q, block_k), 0) % block_q)
+        kpos = (kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (group * block_q, block_k), 1))
+        mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+        if sliding_window is not None:
+            mask &= kpos > qpos - sliding_window
+        s = jnp.where(mask, s, _NEG_INF)
 
-    l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-    pv = p * v_scale  # fused V dequant: per-column correction of probs
-    acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
-        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_prev = m_scr[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
 
-    m_scr[:] = m_new
-    l_scr[:] = l_new
-    acc_scr[:] = acc_new
+        l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        # fused V dequant: per-column correction of probs (in f32, before
+        # the matmul-rate cast)
+        pv = (p * v_scale).astype(v.dtype)
+        acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+        acc_scr[:] = acc_new
 
     @pl.when(ik == num_k - 1)
     def _():
@@ -152,8 +166,8 @@ def quantized_flash_attention(
     q_offset: jax.Array,
     kv_len: jax.Array,
     *,
-    block_q: int = 128,
-    block_k: int = 2048,
+    block_q: Optional[int] = None,
+    block_k: int = 1024,
     interpret: Optional[bool] = None,
     kv_head_major: bool = False,
     sliding_window: Optional[int] = None,
@@ -184,6 +198,10 @@ def quantized_flash_attention(
     group = H // Hkv
     scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
+    if block_q is None:
+        # cap group * bq at ~1024 rows (VMEM score scratch) and widen
+        # the q block for small groups (see ops.attention)
+        block_q = min(max(1024 // group, 64), 256)
     bq = min(block_q, _round_up(T, 16))
     bk = min(block_k, _round_up(S, 128))  # int8 sublane tile
     Tp, Sp = _round_up(T, bq), _round_up(S, bk)
@@ -207,7 +225,11 @@ def quantized_flash_attention(
         q_off = scalars[0]
         kb = b if not has_slot else scalars[-1][0]
         if sliding_window is None:
-            return (kb, h, ik, 0)
+            # pin above-causal blocks to the last live block (repeat
+            # index -> no refetch; body skips compute)
+            qpos_max = q_off[b] + (iq + 1) * bq - 1
+            limit = jnp.minimum(qpos_max // bk, total_kb - 1)
+            return (kb, h, jnp.minimum(ik, limit), 0)
         from lmcache_tpu.ops.attention import _window_start_block
         start = _window_start_block(
             q_off[b], iq, block_q=bq, block_k=bk, total_kb=total_kb,
