@@ -93,15 +93,20 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
     # their DMA to the previous live block (revisit => no HBM read) and
     # this guard skips their compute
     live = je * page < kv_len_ref[b]
+    # causal skip: pages fully above this q block's diagonal contribute
+    # nothing (multi-block paged prefill)
+    live &= je * page <= q_off_ref[b] + (iq + 1) * block_q - 1
     if sliding_window is not None:
         live &= ((je + 1) * page
                  > q_off_ref[b] + iq * block_q - sliding_window)
 
     @pl.when(live)
     def _():
-        q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)  # [page, D]
-        v = v_ref[0, 0].astype(jnp.float32)
+        # native-dtype MXU dots with f32 accumulation; int8 pages
+        # dequantize into the query dtype in-register (exact in bf16)
+        q = q_ref[0].reshape(group * block_q, -1)
+        k = k_ref[0, 0].astype(q.dtype)  # [page, D]
+        v = v_ref[0, 0].astype(q.dtype)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -127,7 +132,7 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
         if vs_ref is not None:
             p = p * vs_ref[0].astype(jnp.float32)
         acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:] = m_new
 
@@ -216,7 +221,10 @@ def paged_attention(
                 q_off[b], iq, block_q=bq, page=page, total_pages=NP,
                 num_j=num_j, sliding_window=sliding_window)
         live = jnp.maximum((kv_len[b] + page - 1) // page, 1)
-        jm = jnp.minimum(je, live - 1)
+        # pages above this q block's causal limit are dead too (paged
+        # prefill): pin them with the same revisit trick
+        causal = (q_off[b] + (iq + 1) * bq - 1) // page + 1
+        jm = jnp.minimum(je, jnp.minimum(live, causal) - 1)
         return (pt[b, jm], h, 0, 0)
 
     kernel = functools.partial(_paged_kernel, block_q=bq, page=page,
@@ -324,7 +332,9 @@ def quantized_paged_attention(
                 q_off[b], iq, block_q=bq, page=page, total_pages=NP,
                 num_j=num_j, sliding_window=sliding_window)
         live = jnp.maximum((kv_len[b] + page - 1) // page, 1)
-        return pt[b, jnp.minimum(je, live - 1)]
+        # causal-dead pages (above this q block's diagonal) pin too
+        causal = (q_off[b] + (iq + 1) * bq - 1) // page + 1
+        return pt[b, jnp.minimum(je, jnp.minimum(live, causal) - 1)]
 
     def kv_index(b, h, iq, j, pt, q_off, kv_len):
         return (_page_slot(j, iq, pt, q_off, kv_len, b), h, 0, 0)
@@ -476,13 +486,18 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
     iq = pl.program_id(2)
 
     live = (kv_len_ref[b] + page - 1) // page
+    # pages above this q block's causal diagonal are dead (multi-block
+    # paged prefill): the loop simply never visits them
+    live = jnp.minimum(
+        live, (q_off_ref[b] + (iq + 1) * block_q - 1) // page + 1)
     start_pg = jnp.int32(0)
     if sliding_window is not None:
         start_pg = jnp.maximum(
             (q_off_ref[b] + iq * block_q - sliding_window + 1) // page, 0)
     num_j = live - start_pg
 
-    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
+    # native-dtype MXU dots, f32 accumulation (see ops/attention.py)
+    q = q_ref[0].reshape(group * block_q, -1)
 
     def scoped(k_scr, v_scr, sem):
         # k_scr/v_scr: [2, page, D] VMEM double buffers
@@ -519,8 +534,8 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             dv.wait()
 
             D = q.shape[-1]
-            kv_k = k_scr[slot].astype(jnp.float32)  # [page*D/128, 128]
-            kv_v = v_scr[slot].astype(jnp.float32)
+            kv_k = k_scr[slot].astype(q.dtype)  # [page*D/128, 128]
+            kv_v = v_scr[slot].astype(q.dtype)
             s = _packed_scores(q, kv_k, page=page, D=D) * scale
             if logit_softcap is not None:
                 s = logit_softcap * jnp.tanh(s / logit_softcap)
@@ -541,7 +556,8 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
             l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-            acc = alpha * acc + _packed_pv(p, kv_v, page=page, D=D)
+            acc = alpha * acc + _packed_pv(p.astype(kv_v.dtype), kv_v,
+                                           page=page, D=D)
             return m_new, l, acc
 
         rows = group * block_q
@@ -655,13 +671,17 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
     iq = pl.program_id(2)
 
     live = (kv_len_ref[b] + page - 1) // page
+    # causal-dead pages never visited (see _paged_dma_kernel)
+    live = jnp.minimum(
+        live, (q_off_ref[b] + (iq + 1) * block_q - 1) // page + 1)
     start_pg = jnp.int32(0)
     if sliding_window is not None:
         start_pg = jnp.maximum(
             (q_off_ref[b] + iq * block_q - sliding_window + 1) // page, 0)
     num_j = live - start_pg
 
-    q = q_ref[0].reshape(group * block_q, -1).astype(jnp.float32)
+    # native-dtype MXU dots, f32 accumulation (see ops/attention.py)
+    q = q_ref[0].reshape(group * block_q, -1)
 
     def scoped(k_scr, v_scr, ks_scr, vs_scr, sem):
         def dmas(slot, j):
@@ -697,8 +717,8 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                 d.wait()
 
             D = q.shape[-1]
-            kv_k = k_scr[slot].astype(jnp.float32)  # [page*D/128, 128]
-            kv_v = v_scr[slot].astype(jnp.float32)
+            kv_k = k_scr[slot].astype(q.dtype)  # [page*D/128, 128]
+            kv_v = v_scr[slot].astype(q.dtype)
             # scale rows land lane-padded to 128; the live entries are
             # the first `page`, already permuted by the wrapper into the
             # packed column order (_packed_scale_perm)
@@ -724,7 +744,8 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
             l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-            acc = alpha * acc + _packed_pv(p * vsc, kv_v, page=page, D=D)
+            acc = alpha * acc + _packed_pv((p * vsc).astype(kv_v.dtype),
+                                           kv_v, page=page, D=D)
             return m_new, l, acc
 
         rows = group * block_q
