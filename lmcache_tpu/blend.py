@@ -90,7 +90,7 @@ def rope_shift_keys(keys: jax.Array, delta, theta: float,
 
 def _attend_selected(q, k, v, qpos, kv_len, group, sm_scale=None,
                      logit_softcap=None, sliding_window=None,
-                     is_global=None):
+                     is_global=None, window_kind="sliding"):
     """Attention for gathered (non-contiguous) query tokens.
 
     q: [n, H, D] at global positions qpos [n]; k/v: [T, H_kv, D].
@@ -109,7 +109,11 @@ def _attend_selected(q, k, v, qpos, kv_len, group, sm_scale=None,
     kpos = jnp.arange(T)
     mask = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] < kv_len)
     if sliding_window is not None:
-        wmask = kpos[None, :] > qpos[:, None] - sliding_window
+        if window_kind == "chunked":
+            wmask = (kpos[None, :] // sliding_window
+                     == qpos[:, None] // sliding_window)
+        else:
+            wmask = kpos[None, :] > qpos[:, None] - sliding_window
         if is_global is not None:
             wmask = wmask | is_global
         mask &= wmask
@@ -137,7 +141,8 @@ def blend_prefill(
     wins = cfg.layer_windows()  # static per-layer is-global flags
     attend = functools.partial(_attend_selected, sm_scale=cfg.sm_scale,
                                logit_softcap=cfg.attn_logit_softcap,
-                               sliding_window=cfg.sliding_window)
+                               sliding_window=cfg.sliding_window,
+                               window_kind=cfg.local_attention_kind)
 
     lp0 = jax.tree.map(lambda a: a[0], params["layers"])
 
@@ -146,30 +151,44 @@ def blend_prefill(
         return y + lp[b] if cfg.attention_bias else y  # Qwen/GLM bias
 
     def _freqs(g):
-        """Per-layer dual-theta rope frequencies (Gemma-3); None for
-        single-theta families."""
-        if cfg.rope_local_theta is None:
+        """Per-layer rope frequencies (Gemma-3 dual theta / Llama-4
+        iRoPE); None for uniform-rope families."""
+        if cfg.rope_local_theta is None and not cfg.nope_on_global_layers:
             return None
         return llama._layer_rope_freqs(cfg, g)
 
-    def _qk(h, lp, w, b, norm, n_heads, pos, freqs=None):
+    def _qk(h, lp, w, b, norm, n_heads, pos, freqs=None, g=None,
+            is_query=False):
         """q or k heads [1, t, H, D]: project, per-head qk-norm (Qwen3),
-        rope — mirroring models.llama._qkv_heads for gathered tokens."""
+        rope, post-rope L2 norm + NoPE query temperature (Llama-4) —
+        mirroring models.llama._qkv_heads for gathered tokens."""
         y = _proj(h, lp, w, b).reshape(1, -1, n_heads, D)
         if cfg.qk_norm:
             y = _rms_norm(y, lp[norm], cfg.norm_eps, cfg.norm_one_offset)
-        return _rope(y, pos, cfg.rope_theta, cfg.rotary_dim,
-                     cfg.rope_interleaved, cfg.rope_scaling_spec,
-                     freqs=freqs)
+        y = _rope(y, pos, cfg.rope_theta, cfg.rotary_dim,
+                  cfg.rope_interleaved, cfg.rope_scaling_spec,
+                  freqs=freqs)
+        static_g = isinstance(g, (bool, np.bool_))
+        if cfg.qk_l2_norm and g is not None:
+            yn = llama._l2_norm(y, cfg.norm_eps)  # rope layers only
+            y = (y if g else yn) if static_g else jnp.where(g, y, yn)
+        if is_query and cfg.attn_temperature_tuning and g is not None:
+            scales = 1.0 + cfg.attn_scale * jnp.log1p(jnp.floor(
+                (pos.astype(jnp.float32) + 1.0) / cfg.attn_floor_scale))
+            ys = (y.astype(jnp.float32)
+                  * scales[..., None, None]).astype(y.dtype)
+            y = (ys if g else y) if static_g else jnp.where(g, ys, y)
+        return y
 
     # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
     x = llama._embed(params, cfg, tokens)  # [T, dim]
     h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
-    f0 = _freqs(bool(wins[0]))
+    g0 = bool(wins[0])
+    f0 = _freqs(g0)
     q0 = _qk(h, lp0, "wq", "bq", "q_norm", cfg.n_heads, positions[None],
-             freqs=f0)[0]
+             freqs=f0, g=g0, is_query=True)[0]
     k0 = _qk(h, lp0, "wk", "bk", "k_norm", Hkv, positions[None],
-             freqs=f0)[0]
+             freqs=f0, g=g0)[0]
     v0 = _proj(h, lp0, "wv", "bv").reshape(T, Hkv, D)
     kv0 = jnp.stack([k0, v0]).astype(blended_kv.dtype)  # exact layer-0 KV
     blended_kv = blended_kv.at[0].set(kv0)
@@ -183,8 +202,9 @@ def blend_prefill(
     lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
                        params["layers"])
     h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+    g1 = bool(wins[min(1, cfg.n_layers - 1)])
     k1_true = _qk(h1, lp1, "wk", "bk", "k_norm", Hkv, positions[None],
-                  freqs=_freqs(bool(wins[min(1, cfg.n_layers - 1)])))[0]
+                  freqs=_freqs(g1), g=g1)[0]
     v1_true = _proj(h1, lp1, "wv", "bv").reshape(T, Hkv, D)
 
     # ---- deviation-guided token selection --------------------------------
@@ -210,9 +230,9 @@ def blend_prefill(
         n = xs.shape[0]
         fl = _freqs(g)
         q = _qk(h, lp, "wq", "bq", "q_norm", cfg.n_heads, sel_pos[None],
-                freqs=fl)[0]
+                freqs=fl, g=g, is_query=True)[0]
         k = _qk(h, lp, "wk", "bk", "k_norm", Hkv, sel_pos[None],
-                freqs=fl)[0]
+                freqs=fl, g=g)[0]
         v = _proj(h, lp, "wv", "bv").reshape(n, Hkv, D)
         # scatter healed KV before attending
         kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))
@@ -235,7 +255,8 @@ def blend_prefill(
 def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
                     theta: float, rotary_dim=None,
                     interleaved=False, scaling=None,
-                    local_theta=None, global_layers=None) -> jax.Array:
+                    local_theta=None, global_layers=None,
+                    nope_global=False) -> jax.Array:
     """Concatenate independently-cached chunk KV (vllm fmt
     [L, 2, t_i, H, D], each prefilled at positions 0..t_i) into one
     position-corrected [L, 2, T, H, D] buffer.
@@ -246,13 +267,20 @@ def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
     ``[L, 1, rd/2]`` inv_freq rides the layer axis of the blob."""
     from lmcache_tpu.models.llama import rope_inv_freq
     inv = None
-    if local_theta is not None:
+    if local_theta is not None or nope_global:
         D = jnp.asarray(chunk_blobs[0]).shape[-1]
         rd = rotary_dim or D
         inv_g, _ = rope_inv_freq(theta, rd, scaling)
-        inv_l, _ = rope_inv_freq(local_theta, rd, None)
+        if nope_global:
+            # iRoPE: global layers' keys carry no positional encoding —
+            # their shift is the identity (zero frequencies)
+            inv_glb = jnp.zeros_like(inv_g)
+            inv_loc = inv_g
+        else:
+            inv_glb = inv_g
+            inv_loc, _ = rope_inv_freq(local_theta, rd, None)
         glb = jnp.asarray(global_layers, bool)[:, None, None]  # [L,1,1]
-        inv = jnp.where(glb, inv_g, inv_l)  # [L, 1, rd/2]
+        inv = jnp.where(glb, inv_glb, inv_loc)  # [L, 1, rd/2]
     parts = []
     offset = 0
     for blob in chunk_blobs:
@@ -326,13 +354,15 @@ class CacheBlender:
             blobs.append(blob)
 
         full = np.concatenate([np.asarray(t, np.int32) for t in chunk_tokens])
+        per_layer = (self.cfg.rope_local_theta is not None
+                     or self.cfg.nope_on_global_layers)
         blended = assemble_chunks(
             blobs, self.cfg.rope_theta, self.cfg.rotary_dim,
             self.cfg.rope_interleaved, self.cfg.rope_scaling_spec,
             local_theta=self.cfg.rope_local_theta,
             global_layers=(tuple(self.cfg.layer_windows())
-                           if self.cfg.rope_local_theta is not None
-                           else None))
+                           if per_layer else None),
+            nope_global=self.cfg.nope_on_global_layers)
         T = len(full)
         n_rec = max(1, min(T, int(np.ceil(self.ratio * T))))
         logits, kv = blend_prefill(self.params, self.cfg,

@@ -142,6 +142,29 @@ class LlamaConfig:
     # frequency with NO context-extension scaling; global layers keep
     # rope_theta + rope_scaling (HF rope_local_base_freq)
     rope_local_theta: "Optional[float]" = None
+    # --- Llama-4 family traits (iRoPE) ---------------------------------
+    # local-attention kind for non-global layers: "sliding" (trailing
+    # window of sliding_window positions, Mistral/Gemma) or "chunked"
+    # (block-diagonal chunks of sliding_window positions, Llama-4
+    # attention_chunk_size)
+    local_attention_kind: str = "sliding"
+    # global (full-attention) layers carry NO positional encoding —
+    # identity rotation — while local layers rope normally (Llama-4
+    # no_rope_layers; from_hf verifies the HF masks align)
+    nope_on_global_layers: bool = False
+    # weightless L2 norm on q and k AFTER rope, rope layers only
+    # (Llama-4 use_qk_norm — unlike qk_norm's learned RMS before rope)
+    qk_l2_norm: bool = False
+    # NoPE-layer query temperature (arXiv:2501.19399, Llama-4):
+    # q *= 1 + attn_scale * log1p(floor((pos + 1) / attn_floor_scale))
+    attn_temperature_tuning: bool = False
+    attn_floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    # MoE routing style: "softmax_topk" (Mixtral/Qwen3: softmax probs,
+    # top-k, optional renorm, output-weighted) or "llama4" (top-k on
+    # LOGITS, sigmoid gates scaling the expert INPUT, plus an always-on
+    # shared expert of width hidden_dim; moe_hidden_dim = routed width)
+    moe_style: str = "softmax_topk"
 
     @property
     def head_dim(self) -> int:
@@ -330,6 +353,28 @@ class LlamaConfig:
                            rope_original_max_seq=131072)
 
     @staticmethod
+    def llama4_scout_17b_16e() -> "LlamaConfig":
+        # meta-llama/Llama-4-Scout-17B-16E: iRoPE — 3 chunked-attention
+        # rope layers then 1 NoPE full-attention layer (pattern 4),
+        # 8192-token chunks, post-rope L2 qk-norm, NoPE query
+        # temperature, 16-expert sigmoid top-1 MoE with a shared expert
+        return LlamaConfig(vocab_size=202048, dim=5120, n_layers=48,
+                           n_heads=40, n_kv_heads=8, hidden_dim=16384,
+                           rope_theta=500000.0, max_seq_len=10485760,
+                           rope_interleaved=True, sliding_window=8192,
+                           sliding_window_pattern=4,
+                           local_attention_kind="chunked",
+                           nope_on_global_layers=True, qk_l2_norm=True,
+                           attn_temperature_tuning=True,
+                           n_experts=16, n_experts_per_tok=1,
+                           moe_hidden_dim=8192, moe_style="llama4",
+                           rope_scaling_type="llama3",
+                           rope_scaling_factor=8.0,
+                           rope_low_freq_factor=1.0,
+                           rope_high_freq_factor=4.0,
+                           rope_original_max_seq=8192)
+
+    @staticmethod
     def phi3_mini_4k() -> "LlamaConfig":
         # microsoft/Phi-3-mini-4k-instruct: MHA (32/32 heads), fused
         # qkv/gate_up checkpoints, 2047-token sliding window. The 128k
@@ -363,6 +408,35 @@ class LlamaConfig:
         model_type = getattr(hc, "model_type", "")
         head_dim = getattr(hc, "head_dim", None) or (
             hc.hidden_size // hc.num_attention_heads)
+        # Llama-4 (iRoPE): chunked local attention, NoPE global layers,
+        # post-rope L2 qk-norm, NoPE query temperature, sigmoid MoE with
+        # a shared expert
+        is_llama4 = model_type == "llama4_text"
+        layer_types = getattr(hc, "layer_types", None)
+        chunked = bool(layer_types and "chunked_attention" in layer_types)
+        window = getattr(hc, "sliding_window", None)
+        if chunked:
+            window = int(hc.attention_chunk_size)
+        nope_global = False
+        no_rope = getattr(hc, "no_rope_layers", None)
+        if is_llama4 and no_rope is not None:
+            # HF semantics: no_rope_layers[i] == 1 means the layer USES
+            # rope; rope-on must coincide with chunked (non-global)
+            # layers for the single is-global scan flag to drive both
+            want = [t != "full_attention" for t in layer_types]
+            if [bool(r) for r in no_rope] != want:
+                raise NotImplementedError(
+                    "no_rope_layers does not align with layer_types; "
+                    "independent NoPE/global masks are not supported")
+            nope_global = not all(no_rope)
+        if is_llama4:
+            step = getattr(hc, "interleave_moe_layer_step", 1)
+            moe_layers = getattr(hc, "moe_layers", None)
+            if step != 1 or (moe_layers is not None
+                             and len(moe_layers) != hc.num_hidden_layers):
+                raise NotImplementedError(
+                    "mixed dense/MoE llama4 layouts "
+                    "(interleave_moe_layer_step != 1) are not supported")
         rotary_dim = None
         factor = getattr(hc, "partial_rotary_factor", 1.0)
         if factor and factor != 1.0:
@@ -422,18 +496,31 @@ class LlamaConfig:
             n_heads=hc.num_attention_heads,
             n_kv_heads=getattr(hc, "num_key_value_heads",
                                hc.num_attention_heads),
-            hidden_dim=hc.intermediate_size,
+            # llama4: intermediate_size is the ROUTED expert width; the
+            # shared expert (our dense weights) uses intermediate_size_mlp
+            hidden_dim=(hc.intermediate_size_mlp if is_llama4
+                        else hc.intermediate_size),
             norm_eps=hc.rms_norm_eps,
             rope_theta=getattr(hc, "rope_theta", 10000.0),
             max_seq_len=hc.max_position_embeddings,
             attention_bias=bool(
                 getattr(hc, "attention_bias", False)
                 or model_type == "qwen2"),
-            sliding_window=getattr(hc, "sliding_window", None),
+            sliding_window=window,
+            local_attention_kind="chunked" if chunked else "sliding",
+            nope_on_global_layers=nope_global,
+            qk_l2_norm=bool(is_llama4 and getattr(hc, "use_qk_norm",
+                                                  False)),
+            attn_temperature_tuning=bool(
+                getattr(hc, "attn_temperature_tuning", False)),
+            attn_floor_scale=float(getattr(hc, "floor_scale", 8192.0)),
+            attn_scale=float(getattr(hc, "attn_scale", 0.1)),
+            moe_style="llama4" if is_llama4 else "softmax_topk",
             rotary_dim=rotary_dim,
             # HF's glm/glm4 ports apply cos/sin via repeat_interleave +
             # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
-            rope_interleaved=model_type in ("glm", "glm4"),
+            rope_interleaved=model_type in ("glm", "glm4",
+                                            "llama4_text"),
             post_norms=model_type in ("glm4", "gemma2", "gemma3_text"),
             qk_norm=model_type in ("qwen3", "qwen3_moe", "gemma3_text"),
             head_dim_override=(
@@ -446,7 +533,8 @@ class LlamaConfig:
             # silently mis-modeled, so fail loudly.
             n_experts=_check_all_sparse(hc),
             n_experts_per_tok=getattr(hc, "num_experts_per_tok", 2),
-            moe_hidden_dim=getattr(hc, "moe_intermediate_size", None),
+            moe_hidden_dim=(hc.intermediate_size if is_llama4 else
+                            getattr(hc, "moe_intermediate_size", None)),
             norm_topk_prob=bool(getattr(hc, "norm_topk_prob", True)),
             # Gemma family: GeGLU, (1+w) norms, scaled embeddings;
             # gemma2 adds sandwich norms, alternating local/global
@@ -503,6 +591,11 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
         layers["e_gate"] = w(keys[5], (L, E, dim, mh), dim)
         layers["e_up"] = w(keys[6], (L, E, dim, mh), dim)
         layers["e_down"] = w(keys[7], (L, E, mh, dim), mh)
+        if cfg.moe_style == "llama4":
+            # always-on shared expert rides the dense MLP weights
+            layers["w_gate"] = w(keys[5], (L, dim, hid), dim)
+            layers["w_up"] = w(keys[6], (L, dim, hid), dim)
+            layers["w_down"] = w(keys[7], (L, hid, dim), hid)
     else:
         layers["w_gate"] = w(keys[5], (L, dim, hid), dim)
         layers["w_up"] = w(keys[6], (L, dim, hid), dim)
@@ -581,7 +674,34 @@ def load_hf(model_name: str,
         "mlp_norm":
         stack_vec("model.layers.{}.post_attention_layernorm.weight"),
     }
-    if cfg.n_experts:
+    if (cfg.n_experts and
+            "model.layers.0.feed_forward.experts.gate_up_proj" in sd):
+        # Llama-4: experts are fused 3-D parameters already in x @ W
+        # orientation ([E, dim, 2*mh] gate_up / [E, mh, dim] down —
+        # Llama4TextExperts does bmm(h, W), no transpose), plus the
+        # always-on shared expert and a router Linear
+        mh = cfg.moe_hidden_dim
+        layers["router"] = stack(
+            "model.layers.{}.feed_forward.router.weight")
+        gu = np.stack([
+            np.asarray(sd["model.layers.{}.feed_forward.experts."
+                          "gate_up_proj".format(i)].numpy())
+            for i in range(cfg.n_layers)
+        ])  # [L, E, dim, 2*mh]
+        layers["e_gate"] = jnp.asarray(gu[..., :mh], dt)
+        layers["e_up"] = jnp.asarray(gu[..., mh:], dt)
+        layers["e_down"] = jnp.asarray(
+            np.stack([
+                np.asarray(sd["model.layers.{}.feed_forward.experts."
+                              "down_proj".format(i)].numpy())
+                for i in range(cfg.n_layers)
+            ]), dt)  # [L, E, mh, dim]
+        for key, hf in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                        ("w_down", "down_proj")):
+            layers[key] = stack(
+                "model.layers.{}.feed_forward.shared_expert."
+                + hf + ".weight")
+    elif cfg.n_experts:
         # MoE families. Qwen3-MoE: mlp.gate (router) +
         # mlp.experts.{e}.{gate,up,down}_proj; Mixtral:
         # block_sparse_moe.gate + experts.{e}.{w1,w3,w2}
@@ -741,6 +861,38 @@ def _moe_mlp(h, lp, cfg):
     block_sparse_moe (see LlamaConfig.norm_topk_prob)."""
     E, k = cfg.n_experts, cfg.n_experts_per_tok
     logits = (h @ lp["router"]).astype(jnp.float32)  # [..., E]
+    if cfg.moe_style == "llama4":
+        # Llama-4: top-k on the raw LOGITS, sigmoid gates, and the gate
+        # scales the expert INPUT (HF Llama4TextMoe: routed_in =
+        # h * sigmoid(score); unselected experts get sigmoid(-inf) = 0
+        # input and silu(0)*0 = 0 output, so summing over all experts
+        # with a zeroed weight reproduces the routing exactly, including
+        # the nonlinearity-of-scaled-input subtlety), plus an always-on
+        # shared expert (the dense w_gate/w_up/w_down weights).
+        topv, topi = jax.lax.top_k(logits, k)
+        gates = jax.nn.sigmoid(topv)
+        w = jnp.sum(jax.nn.one_hot(topi, E, dtype=gates.dtype)
+                    * gates[..., None], axis=-2)  # [..., E]
+
+        def expert(acc, sc):
+            g, u, d, we = sc
+            hin = (h.astype(jnp.float32)
+                   * we[..., None]).astype(h.dtype)
+            gate = _act((hin @ g).astype(jnp.float32), cfg.mlp_act)
+            up = (hin @ u).astype(jnp.float32)
+            y = ((gate * up).astype(h.dtype) @ d).astype(jnp.float32)
+            return acc + y, None
+
+        shared_gate = _act((h @ lp["w_gate"]).astype(jnp.float32),
+                           cfg.mlp_act)
+        shared_up = (h @ lp["w_up"]).astype(jnp.float32)
+        acc0 = ((shared_gate * shared_up).astype(h.dtype)
+                @ lp["w_down"]).astype(jnp.float32)
+        out, _ = jax.lax.scan(
+            expert, acc0,
+            (lp["e_gate"], lp["e_up"], lp["e_down"],
+             jnp.moveaxis(w, -1, 0)))
+        return out.astype(h.dtype)
     probs = jax.nn.softmax(logits, axis=-1)
     topv, topi = jax.lax.top_k(probs, k)
     if cfg.norm_topk_prob:
@@ -790,21 +942,42 @@ def _qkv(h, lp, cfg):
 
 
 def _layer_rope_freqs(cfg, g):
-    """Per-layer rotary ``(inv_freq, mscale)`` for dual-theta families
-    (Gemma-3: sliding layers rope at ``rope_local_theta`` with no
-    context-extension scaling; global layers at ``rope_theta`` with the
-    configured scaling — HF modeling_gemma3 position_embeddings_local /
-    _global). ``g`` is the layer's is-global flag: a python bool selects
+    """Per-layer rotary ``(inv_freq, mscale)`` for families whose rope
+    differs by layer type:
+
+    - dual theta (Gemma-3): sliding layers rope at ``rope_local_theta``
+      with no context-extension scaling; global layers at ``rope_theta``
+      with the configured scaling (HF modeling_gemma3
+      position_embeddings_local / _global);
+    - iRoPE (Llama-4, ``nope_on_global_layers``): global layers carry NO
+      positional encoding — zero frequencies make the rotation the
+      identity — while local (chunked) layers rope normally.
+
+    ``g`` is the layer's is-global flag: a python bool selects
     statically, a traced bool (riding the layer scan) selects with
     ``jnp.where`` on the [rd/2] constants."""
     rd = cfg.rotary_dim or cfg.head_dim
-    inv_g, ms_g = rope_inv_freq(cfg.rope_theta, rd, cfg.rope_scaling_spec)
-    inv_l, _ = rope_inv_freq(cfg.rope_local_theta, rd, None)
+    inv, ms = rope_inv_freq(cfg.rope_theta, rd, cfg.rope_scaling_spec)
+    if cfg.nope_on_global_layers:
+        inv_glb, ms_glb = jnp.zeros_like(inv), 1.0
+        inv_loc, ms_loc = inv, ms
+    else:
+        inv_glb, ms_glb = inv, ms
+        inv_loc, _ = rope_inv_freq(cfg.rope_local_theta, rd, None)
+        ms_loc = 1.0
     if isinstance(g, (bool, np.bool_)):
-        return (inv_g, ms_g) if g else (inv_l, 1.0)
+        return (inv_glb, ms_glb) if g else (inv_loc, ms_loc)
     g = jnp.asarray(g)
-    return (jnp.where(g, inv_g, inv_l),
-            jnp.where(g, jnp.float32(ms_g), jnp.float32(1.0)))
+    return (jnp.where(g, inv_glb, inv_loc),
+            jnp.where(g, jnp.float32(ms_glb), jnp.float32(ms_loc)))
+
+
+def _l2_norm(x, eps):
+    """Weightless L2 (RMS without scale) norm in f32 (Llama4TextL2Norm)."""
+    x32 = x.astype(jnp.float32)
+    n = x32 * jax.lax.rsqrt(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return n.astype(x.dtype)
 
 
 def _qkv_heads(h, lp, cfg, positions, g=None):
@@ -822,16 +995,40 @@ def _qkv_heads(h, lp, cfg, positions, g=None):
         q = _rms_norm(q, lp["q_norm"], cfg.norm_eps, cfg.norm_one_offset)
         k = _rms_norm(k, lp["k_norm"], cfg.norm_eps, cfg.norm_one_offset)
     freqs = None
-    if cfg.rope_local_theta is not None:
-        if g is None:
-            raise ValueError(
-                "dual-theta rope (rope_local_theta) needs the layer's "
-                "is-global flag")
+    per_layer = (cfg.rope_local_theta is not None
+                 or cfg.nope_on_global_layers)
+    if ((per_layer or cfg.qk_l2_norm or cfg.attn_temperature_tuning)
+            and g is None):
+        raise ValueError(
+            "per-layer attention traits (rope_local_theta / "
+            "nope_on_global_layers / qk_l2_norm / "
+            "attn_temperature_tuning) need the layer's is-global flag")
+    if per_layer:
         freqs = _layer_rope_freqs(cfg, g)
     q = _rope(q, positions, cfg.rope_theta, cfg.rotary_dim,
               cfg.rope_interleaved, cfg.rope_scaling_spec, freqs=freqs)
     k = _rope(k, positions, cfg.rope_theta, cfg.rotary_dim,
               cfg.rope_interleaved, cfg.rope_scaling_spec, freqs=freqs)
+    if cfg.qk_l2_norm:
+        # Llama-4: weightless L2 norm AFTER rope, on ROPE layers only
+        # (HF instantiates qk_norm iff use_rope); g True = global = NoPE
+        qn, kn = _l2_norm(q, cfg.norm_eps), _l2_norm(k, cfg.norm_eps)
+        if isinstance(g, (bool, np.bool_)):
+            q, k = (q, k) if g else (qn, kn)
+        else:
+            q = jnp.where(g, q, qn)
+            k = jnp.where(g, k, kn)
+    if cfg.attn_temperature_tuning:
+        # NoPE-layer query temperature (arXiv:2501.19399):
+        # 1 + attn_scale * log1p(floor((pos + 1) / floor_scale))
+        scales = 1.0 + cfg.attn_scale * jnp.log1p(jnp.floor(
+            (positions.astype(jnp.float32) + 1.0) / cfg.attn_floor_scale))
+        scaled = (q.astype(jnp.float32)
+                  * scales[:, :, None, None]).astype(q.dtype)
+        if isinstance(g, (bool, np.bool_)):
+            q = scaled if g else q
+        else:
+            q = jnp.where(g, scaled, q)
     return q, k, v
 
 
@@ -1066,7 +1263,8 @@ def forward(
             a = functools.partial(
                 flash_attention, sliding_window=w, kv_head_major=True,
                 sm_scale=cfg.sm_scale,
-                logit_softcap=cfg.attn_logit_softcap)
+                logit_softcap=cfg.attn_logit_softcap,
+                window_kind=cfg.local_attention_kind)
             if mesh is not None:
                 sharded = _shard_dense_attend(a, mesh, cfg.n_kv_heads, B,
                                               quantized=False)
@@ -1080,7 +1278,8 @@ def forward(
                 return mha_reference(
                     q, kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3),
                     q_off, kvl, sliding_window=w, sm_scale=cfg.sm_scale,
-                    logit_softcap=cfg.attn_logit_softcap)
+                    logit_softcap=cfg.attn_logit_softcap,
+                    window_kind=cfg.local_attention_kind)
             return attend
     attend, layer_globals = _attend_dispatch(cfg, make)
 
@@ -1144,7 +1343,8 @@ def forward_quantized(
             a = functools.partial(
                 quantized_flash_attention, kv_head_major=True,
                 sliding_window=w, sm_scale=cfg.sm_scale,
-                logit_softcap=cfg.attn_logit_softcap)
+                logit_softcap=cfg.attn_logit_softcap,
+                window_kind=cfg.local_attention_kind)
             if mesh is not None:
                 sharded = _shard_dense_attend(a, mesh, cfg.n_kv_heads, B,
                                               quantized=True)
@@ -1158,7 +1358,8 @@ def forward_quantized(
                     q, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
                     ksc, vsc, q_off, kvl, sliding_window=w,
                     sm_scale=cfg.sm_scale,
-                    logit_softcap=cfg.attn_logit_softcap)
+                    logit_softcap=cfg.attn_logit_softcap,
+                    window_kind=cfg.local_attention_kind)
             return attend
     attend, layer_globals = _attend_dispatch(cfg, make)
 

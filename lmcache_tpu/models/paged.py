@@ -200,7 +200,8 @@ def forward_paged(
     def make(w):
         a = functools.partial(impl, sliding_window=w,
                               sm_scale=cfg.sm_scale,
-                              logit_softcap=cfg.attn_logit_softcap)
+                              logit_softcap=cfg.attn_logit_softcap,
+                              window_kind=cfg.local_attention_kind)
         if use_pallas and mesh is not None:
             sharded = _shard_paged_attend(a, mesh, cfg.n_kv_heads, B,
                                           quantized=False)
@@ -289,7 +290,8 @@ def forward_paged_quantized(
     def make(w):
         a = functools.partial(impl, sliding_window=w,
                               sm_scale=cfg.sm_scale,
-                              logit_softcap=cfg.attn_logit_softcap)
+                              logit_softcap=cfg.attn_logit_softcap,
+                              window_kind=cfg.local_attention_kind)
         if use_pallas and mesh is not None:
             sharded = _shard_paged_attend(a, mesh, cfg.n_kv_heads, B,
                                           quantized=True)

@@ -38,13 +38,16 @@ _NEG_INF = -1e30
 
 def mha_reference(q, k, v, q_offset, kv_len,
                   sliding_window=None, sm_scale=None,
-                  logit_softcap=None) -> jax.Array:
+                  logit_softcap=None, window_kind="sliding") -> jax.Array:
     """jnp reference (and CPU fallback). Shapes as module docstring.
     ``sliding_window``: keys older than ``window`` positions behind the
-    query are masked (Mistral-family attention). ``sm_scale`` overrides
-    the 1/sqrt(D) score scale (Gemma's query_pre_attn_scalar);
-    ``logit_softcap`` bounds scores to (-cap, cap) via cap*tanh(s/cap)
-    before masking (Gemma-2)."""
+    query are masked (Mistral-family attention). With
+    ``window_kind="chunked"`` the same size instead bounds
+    block-diagonal CHUNKS: a query attends only to keys in its own
+    ``sliding_window``-sized chunk (Llama-4 chunked_attention).
+    ``sm_scale`` overrides the 1/sqrt(D) score scale (Gemma's
+    query_pre_attn_scalar); ``logit_softcap`` bounds scores to
+    (-cap, cap) via cap*tanh(s/cap) before masking (Gemma-2)."""
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
@@ -64,7 +67,11 @@ def mha_reference(q, k, v, q_offset, kv_len,
     mask = (kpos[:, None, :] <= qpos[:, :, None]) & (
         kpos[:, None, :] < kv_len[:, None, None])  # [B, T, S]
     if sliding_window is not None:
-        mask &= kpos[:, None, :] > qpos[:, :, None] - sliding_window
+        if window_kind == "chunked":
+            mask &= (kpos[:, None, :] // sliding_window
+                     == qpos[:, :, None] // sliding_window)
+        else:
+            mask &= kpos[:, None, :] > qpos[:, :, None] - sliding_window
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -73,17 +80,25 @@ def mha_reference(q, k, v, q_offset, kv_len,
 
 
 def _window_start_block(q_off, iq, *, block_q, block_k, total_kb, num_kb,
-                        sliding_window):
+                        sliding_window, window_kind="sliding"):
     """First KV block a windowed (b, iq) program needs. Shared by the
     BlockSpec index_map (which block to DMA) and the kernel body (which
-    absolute positions that block holds)."""
-    start = (q_off + iq * block_q - sliding_window + 1) // block_k
+    absolute positions that block holds). For ``chunked`` windows the
+    earliest visible key is the q block's chunk start (Llama-4
+    block-diagonal attention) — its span is never wider than a sliding
+    window of the same size, so the grid sizing is shared."""
+    qmin = q_off + iq * block_q
+    if window_kind == "chunked":
+        start = (qmin // sliding_window * sliding_window) // block_k
+    else:
+        start = (qmin - sliding_window + 1) // block_k
     return jnp.clip(start, 0, total_kb - num_kb)
 
 
 def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
                   scale, sliding_window=None, total_kb=None,
-                  has_slot=False, logit_softcap=None):
+                  has_slot=False, logit_softcap=None,
+                  window_kind="sliding"):
     if has_slot:
         # extra scalar-prefetch ref (the pool row index) — consumed by
         # the index_map only; the body masks with q_off/kv_len as usual
@@ -110,7 +125,7 @@ def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
         kb = ik + _window_start_block(
             q_off_ref[b], iq, block_q=block_q, block_k=block_k,
             total_kb=total_kb, num_kb=num_k,
-            sliding_window=sliding_window)
+            sliding_window=sliding_window, window_kind=window_kind)
 
     # causal block skip: blocks fully above the diagonal contribute
     # nothing — the index_map pinned their DMA to the last live block
@@ -141,7 +156,10 @@ def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
             jnp.int32, (group * block_q, block_k), 1))
         mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
         if sliding_window is not None:
-            mask &= kpos > qpos - sliding_window
+            if window_kind == "chunked":
+                mask &= kpos // sliding_window == qpos // sliding_window
+            else:
+                mask &= kpos > qpos - sliding_window
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:]  # [group*bq, 1]
@@ -175,7 +193,8 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "sliding_window",
-                     "kv_head_major", "sm_scale", "logit_softcap"),
+                     "kv_head_major", "sm_scale", "logit_softcap",
+                     "window_kind"),
 )
 def flash_attention(
     q: jax.Array,
@@ -192,6 +211,7 @@ def flash_attention(
     kv_slot: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
+    window_kind: str = "sliding",
 ) -> jax.Array:
     """Pallas flash attention. See module docstring for shapes/semantics.
 
@@ -271,14 +291,16 @@ def flash_attention(
             return (kb, h, jnp.minimum(ik, limit), 0)
         start = _window_start_block(
             q_off[b], iq, block_q=bq, block_k=bk, total_kb=total_kb,
-            num_kb=num_kb, sliding_window=sliding_window)
+            num_kb=num_kb, sliding_window=sliding_window,
+            window_kind=window_kind)
         return (kb, h, start + ik, 0)
 
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_kb=total_kb, has_slot=has_slot,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap,
+                               window_kind=window_kind)
     scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
     if has_slot:
         scalar_args.append(kv_slot.astype(jnp.int32))

@@ -33,7 +33,8 @@ from lmcache_tpu.ops.attention import _NEG_INF, _round_up, mha_reference
 
 def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
                               kv_len, sliding_window=None, sm_scale=None,
-                              logit_softcap=None) -> jax.Array:
+                              logit_softcap=None,
+                              window_kind="sliding") -> jax.Array:
     """Gather pages densely, then dense attention (tests / CPU path).
 
     q: [B, T, H, D]; k/v_pool: [P, H_kv, page, D] (head-major pages);
@@ -49,21 +50,28 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
         B, NP * page, Hkv, D)
     return mha_reference(q, k, v, q_offset, kv_len,
                          sliding_window=sliding_window, sm_scale=sm_scale,
-                         logit_softcap=logit_softcap)
+                         logit_softcap=logit_softcap,
+                         window_kind=window_kind)
 
 
 def _window_start_page(q_off, iq, *, block_q, page, total_pages, num_j,
-                       sliding_window):
+                       sliding_window, window_kind="sliding"):
     """First page slot a windowed (b, iq) program needs; shared by the
-    index_map and the kernel body (ops/attention._window_start_block)."""
-    start = (q_off + iq * block_q - sliding_window + 1) // page
+    index_map and the kernel body (ops/attention._window_start_block).
+    ``chunked`` windows start at the q block's chunk boundary
+    (Llama-4)."""
+    qmin = q_off + iq * block_q
+    if window_kind == "chunked":
+        start = (qmin // sliding_window * sliding_window) // page
+    else:
+        start = (qmin - sliding_window + 1) // page
     return jnp.clip(start, 0, total_pages - num_j)
 
 
 def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
                 l_scr, acc_scr, *, block_q, page, group, scale,
                 sliding_window=None, total_pages=None, ks_ref=None,
-                vs_ref=None, logit_softcap=None):
+                vs_ref=None, logit_softcap=None, window_kind="sliding"):
     """Shared online-softmax body; ks/vs present => fused int8 dequant
     (per-token scales correct score/probability columns, as in
     ops/quantized_attention.py)."""
@@ -86,7 +94,7 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
         je = j + _window_start_page(
             q_off_ref[b], iq, block_q=block_q, page=page,
             total_pages=total_pages, num_j=num_j,
-            sliding_window=sliding_window)
+            sliding_window=sliding_window, window_kind=window_kind)
 
     # pages beyond the sequence (or, with a window, pages entirely older
     # than the oldest query's window) are skipped: the index_map pinned
@@ -96,7 +104,7 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
     # causal skip: pages fully above this q block's diagonal contribute
     # nothing (multi-block paged prefill)
     live &= je * page <= q_off_ref[b] + (iq + 1) * block_q - 1
-    if sliding_window is not None:
+    if sliding_window is not None and window_kind != "chunked":
         live &= ((je + 1) * page
                  > q_off_ref[b] + iq * block_q - sliding_window)
 
@@ -121,7 +129,10 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
             jnp.int32, (group * block_q, page), 1))
         mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
         if sliding_window is not None:
-            mask &= kpos > qpos - sliding_window
+            if window_kind == "chunked":
+                mask &= kpos // sliding_window == qpos // sliding_window
+            else:
+                mask &= kpos > qpos - sliding_window
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:]
@@ -158,7 +169,7 @@ def _paged_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
-                              "sm_scale", "logit_softcap"))
+                              "sm_scale", "logit_softcap", "window_kind"))
 def paged_attention(
     q: jax.Array,
     k_pool: jax.Array,
@@ -172,6 +183,7 @@ def paged_attention(
     sliding_window: Optional[int] = None,
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
+    window_kind: str = "sliding",
 ) -> jax.Array:
     """Attention over paged KV.
 
@@ -219,7 +231,8 @@ def paged_attention(
         if sliding_window is not None:
             je = j + _window_start_page(
                 q_off[b], iq, block_q=bq, page=page, total_pages=NP,
-                num_j=num_j, sliding_window=sliding_window)
+                num_j=num_j, sliding_window=sliding_window,
+                window_kind=window_kind)
         live = jnp.maximum((kv_len[b] + page - 1) // page, 1)
         # pages above this q block's causal limit are dead too (paged
         # prefill): pin them with the same revisit trick
@@ -231,7 +244,8 @@ def paged_attention(
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_pages=NP,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap,
+                               window_kind=window_kind)
 
     out = pl.pallas_call(
         kernel,
@@ -263,7 +277,8 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
                                         k_scale_pool, v_scale_pool,
                                         page_table, q_offset, kv_len,
                                         sliding_window=None, sm_scale=None,
-                                        logit_softcap=None):
+                                        logit_softcap=None,
+                                        window_kind="sliding"):
     """Dequantize pages densely, then dense attention (tests/CPU)."""
     B = q.shape[0]
     P, Hkv, page, D = k_sym_pool.shape
@@ -278,12 +293,13 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
     return mha_reference(q, deq(k_sym_pool, k_scale_pool),
                          deq(v_sym_pool, v_scale_pool), q_offset, kv_len,
                          sliding_window=sliding_window, sm_scale=sm_scale,
-                         logit_softcap=logit_softcap)
+                         logit_softcap=logit_softcap,
+                         window_kind=window_kind)
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
-                              "sm_scale", "logit_softcap"))
+                              "sm_scale", "logit_softcap", "window_kind"))
 def quantized_paged_attention(
     q: jax.Array,
     k_sym_pool: jax.Array,  # int8 [P, H_kv, page, D] (head-major pages)
@@ -299,6 +315,7 @@ def quantized_paged_attention(
     sliding_window: Optional[int] = None,
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
+    window_kind: str = "sliding",
 ) -> jax.Array:
     """Paged attention over an int8 page arena — pages stream from HBM at
     half the bytes, dequantized in-register via the column-correction
@@ -330,7 +347,8 @@ def quantized_paged_attention(
         if sliding_window is not None:
             je = j + _window_start_page(
                 q_off[b], iq, block_q=bq, page=page, total_pages=NP,
-                num_j=num_j, sliding_window=sliding_window)
+                num_j=num_j, sliding_window=sliding_window,
+                window_kind=window_kind)
         live = jnp.maximum((kv_len[b] + page - 1) // page, 1)
         # causal-dead pages (above this q block's diagonal) pin too
         causal = (q_off[b] + (iq + 1) * bq - 1) // page + 1
@@ -346,7 +364,8 @@ def quantized_paged_attention(
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_pages=NP,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap,
+                               window_kind=window_kind)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -461,7 +480,8 @@ def _packed_scale_perm(scale_pool, *, page, D):
 
 def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                       v_hbm, o_ref, *, block_q, page, group, scale,
-                      sliding_window=None, logit_softcap=None):
+                      sliding_window=None, logit_softcap=None,
+                      window_kind="sliding"):
     """One program per (batch, kv-head, q-block): the KV pool stays in
     HBM (memory_space=ANY) and the kernel itself streams the sequence's
     LIVE pages through a double-buffered async-copy pipeline.
@@ -492,8 +512,11 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
         live, (q_off_ref[b] + (iq + 1) * block_q - 1) // page + 1)
     start_pg = jnp.int32(0)
     if sliding_window is not None:
-        start_pg = jnp.maximum(
-            (q_off_ref[b] + iq * block_q - sliding_window + 1) // page, 0)
+        qmin = q_off_ref[b] + iq * block_q
+        if window_kind == "chunked":
+            start_pg = (qmin // sliding_window * sliding_window) // page
+        else:
+            start_pg = jnp.maximum((qmin - sliding_window + 1) // page, 0)
     num_j = live - start_pg
 
     # native-dtype MXU dots, f32 accumulation (see ops/attention.py)
@@ -549,7 +572,11 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                     + _packed_col_token(cols, page=page, D=D))
             mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
             if sliding_window is not None:
-                mask &= kpos > qpos - sliding_window
+                if window_kind == "chunked":
+                    mask &= (kpos // sliding_window
+                             == qpos // sliding_window)
+                else:
+                    mask &= kpos > qpos - sliding_window
             s = jnp.where(mask, s, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -600,7 +627,7 @@ def _dma_page_view(pool):
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
-                              "sm_scale", "logit_softcap"))
+                              "sm_scale", "logit_softcap", "window_kind"))
 def paged_attention_dma(
     q: jax.Array,
     k_pool: jax.Array,  # [P, H_kv, page, D] head-major pages (HBM)
@@ -614,6 +641,7 @@ def paged_attention_dma(
     sliding_window: Optional[int] = None,
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
+    window_kind: str = "sliding",
 ) -> jax.Array:
     """:func:`paged_attention` with kernel-driven page DMA (see
     _paged_dma_kernel). Same contract; preferred for decode."""
@@ -637,7 +665,8 @@ def paged_attention_dma(
     kernel = functools.partial(_paged_dma_kernel, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap,
+                               window_kind=window_kind)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -662,6 +691,7 @@ def paged_attention_dma(
 def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                         v_hbm, ks_hbm, vs_hbm, o_ref, *, block_q, page,
                         group, scale, sliding_window=None,
+                        window_kind="sliding",
                         logit_softcap=None):
     """Int8 variant of :func:`_paged_dma_kernel`: pages stream as int8
     (half the bytes) together with their per-token scale rows; dequant
@@ -676,8 +706,11 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
         live, (q_off_ref[b] + (iq + 1) * block_q - 1) // page + 1)
     start_pg = jnp.int32(0)
     if sliding_window is not None:
-        start_pg = jnp.maximum(
-            (q_off_ref[b] + iq * block_q - sliding_window + 1) // page, 0)
+        qmin = q_off_ref[b] + iq * block_q
+        if window_kind == "chunked":
+            start_pg = (qmin // sliding_window * sliding_window) // page
+        else:
+            start_pg = jnp.maximum((qmin - sliding_window + 1) // page, 0)
     num_j = live - start_pg
 
     # native-dtype MXU dots, f32 accumulation (see ops/attention.py)
@@ -737,7 +770,11 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
                     + _packed_col_token(cols, page=page, D=D))
             mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
             if sliding_window is not None:
-                mask &= kpos > qpos - sliding_window
+                if window_kind == "chunked":
+                    mask &= (kpos // sliding_window
+                             == qpos // sliding_window)
+                else:
+                    mask &= kpos > qpos - sliding_window
             s = jnp.where(mask, s, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -772,7 +809,7 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "interpret", "sliding_window",
-                              "sm_scale", "logit_softcap"))
+                              "sm_scale", "logit_softcap", "window_kind"))
 def quantized_paged_attention_dma(
     q: jax.Array,
     k_sym_pool: jax.Array,  # int8 [P, H_kv, page, D]
@@ -788,6 +825,7 @@ def quantized_paged_attention_dma(
     sliding_window: Optional[int] = None,
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
+    window_kind: str = "sliding",
 ) -> jax.Array:
     """:func:`quantized_paged_attention` with kernel-driven page DMA."""
     if interpret is None:
@@ -815,7 +853,8 @@ def quantized_paged_attention_dma(
     kernel = functools.partial(_paged_dma_kernel_q, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap,
+                               window_kind=window_kind)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -66,7 +66,8 @@ def dequantize_kv(sym: jax.Array, scale: jax.Array,
 
 def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
                    block_k, group, scale, sliding_window=None,
-                   total_kb=None, has_slot=False, logit_softcap=None):
+                   total_kb=None, has_slot=False, logit_softcap=None,
+                   window_kind="sliding"):
     if has_slot:
         (_slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr,
          l_scr, acc_scr) = rest
@@ -92,7 +93,7 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
         kb = ik + _window_start_block(
             q_off_ref[b], iq, block_q=block_q, block_k=block_k,
             total_kb=total_kb, num_kb=num_k,
-            sliding_window=sliding_window)
+            sliding_window=sliding_window, window_kind=window_kind)
 
     # causal block skip: index_map pinned above-diagonal blocks' DMA to
     # the last live block; the body skips their compute entirely (see
@@ -124,7 +125,10 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
             jnp.int32, (group * block_q, block_k), 1))
         mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
         if sliding_window is not None:
-            mask &= kpos > qpos - sliding_window
+            if window_kind == "chunked":
+                mask &= kpos // sliding_window == qpos // sliding_window
+            else:
+                mask &= kpos > qpos - sliding_window
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:]
@@ -156,7 +160,8 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret",
                                     "kv_head_major", "sliding_window",
-                                    "sm_scale", "logit_softcap"))
+                                    "sm_scale", "logit_softcap",
+                                    "window_kind"))
 def quantized_flash_attention(
     q: jax.Array,
     k_sym: jax.Array,
@@ -174,6 +179,7 @@ def quantized_flash_attention(
     kv_slot: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
+    window_kind: str = "sliding",
 ) -> jax.Array:
     """Flash attention reading int8 KV directly from HBM.
 
@@ -233,7 +239,8 @@ def quantized_flash_attention(
         from lmcache_tpu.ops.attention import _window_start_block
         start = _window_start_block(
             q_off[b], iq, block_q=bq, block_k=bk, total_kb=total_kb,
-            num_kb=num_kb, sliding_window=sliding_window)
+            num_kb=num_kb, sliding_window=sliding_window,
+            window_kind=window_kind)
         return (kb, h, start + ik, 0)
 
     def scale_index(b, h, iq, ik, *scalars):
@@ -245,7 +252,8 @@ def quantized_flash_attention(
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_kb=total_kb, has_slot=has_slot,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap,
+                               window_kind=window_kind)
     scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
     if has_slot:
         scalar_args.append(kv_slot.astype(jnp.int32))
@@ -279,10 +287,12 @@ def quantized_flash_attention(
 def quantized_attention_reference(q, k_sym, v_sym, k_scale, v_scale,
                                   q_offset, kv_len,
                                   sliding_window=None, sm_scale=None,
-                                  logit_softcap=None) -> jax.Array:
+                                  logit_softcap=None,
+                                  window_kind="sliding") -> jax.Array:
     """Unfused reference: dequantize then dense attention (for tests)."""
     k = dequantize_kv(k_sym, k_scale)
     v = dequantize_kv(v_sym, v_scale)
     return mha_reference(q, k, v, q_offset, kv_len,
                          sliding_window=sliding_window, sm_scale=sm_scale,
-                         logit_softcap=logit_softcap)
+                         logit_softcap=logit_softcap,
+                         window_kind=window_kind)

@@ -148,6 +148,11 @@ def test_cache_blender_end_to_end(setup):
          query_pre_attn_scalar=24.0, sliding_window=16,
          global_layer_map=(False, True), rope_theta=1000000.0,
          rope_local_theta=10000.0),                  # Gemma-3-style
+    dict(rope_interleaved=True, sliding_window=16,
+         global_layer_map=(False, True), local_attention_kind="chunked",
+         nope_on_global_layers=True, qk_l2_norm=True,
+         attn_temperature_tuning=True,
+         attn_floor_scale=16.0),                     # Llama-4-style iRoPE
 ])
 def test_blend_exact_anchor_other_families(family_kw):
     """ratio=1.0 blending must equal a full prefill for bias and

@@ -999,6 +999,113 @@ def test_matches_huggingface_gemma3(tmp_path):
     assert r.output_tokens == p.output_tokens and len(r.output_tokens) == 5
 
 
+def test_matches_huggingface_llama4(tmp_path):
+    """Llama-4 (iRoPE, text stack) end-to-end through load_hf: chunked
+    local attention + NoPE full-attention layers (identity rope),
+    post-rope weightless L2 qk-norm, NoPE query temperature tuning,
+    and the sigmoid top-1 MoE whose gate scales the expert INPUT plus
+    an always-on shared expert — vs transformers' Llama4ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    L, E = 4, 4  # default no_rope pattern: 3 rope/chunked then 1 NoPE/full
+    hf_cfg = Llama4TextConfig(vocab_size=128, hidden_size=64,
+                              intermediate_size=32,  # routed expert width
+                              intermediate_size_mlp=64,  # shared expert
+                              num_hidden_layers=L, num_attention_heads=4,
+                              num_key_value_heads=2, head_dim=16,
+                              max_position_embeddings=256,
+                              rms_norm_eps=1e-5, rope_theta=10000.0,
+                              rope_scaling=None, attention_chunk_size=8,
+                              num_local_experts=E, num_experts_per_tok=1,
+                              use_qk_norm=True,
+                              attn_temperature_tuning=True,
+                              floor_scale=8.0, attn_scale=0.1,
+                              tie_word_embeddings=False,
+                              attention_dropout=0.0, attention_bias=False,
+                              pad_token_id=0, attn_implementation="eager")
+    torch.manual_seed(55)
+    hf_model = Llama4ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.feed_forward.experts.gate_up_proj" in sd
+    assert "model.layers.0.feed_forward.shared_expert.gate_proj.weight" \
+        in sd
+    path = tmp_path / "tiny-llama4"
+    hf_model.save_pretrained(path)
+
+    import dataclasses
+    cfg = dataclasses.replace(llama.LlamaConfig.from_hf(str(path)),
+                              dtype="float32")
+    assert cfg.local_attention_kind == "chunked"
+    assert cfg.sliding_window == 8
+    assert cfg.nope_on_global_layers and cfg.qk_l2_norm
+    assert cfg.attn_temperature_tuning and cfg.attn_floor_scale == 8.0
+    assert cfg.moe_style == "llama4" and cfg.n_experts == E
+    assert cfg.moe_hidden_dim == 32 and cfg.hidden_dim == 64
+    assert cfg.rope_interleaved
+    assert list(cfg.layer_windows()) == [False, False, False, True]
+    cfg, params = llama.load_hf(str(path), cfg)
+    assert "w_gate" in params["layers"]  # shared expert
+    assert params["layers"]["e_gate"].shape == (L, E, 64, 32)
+
+    B, T = 2, 48  # spans several 8-token chunks and floor-scale steps
+    ids = np.random.default_rng(56).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 64)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=3e-3,
+                               rtol=3e-3)
+
+    # chunked (not trailing-window) masking is load-bearing
+    import dataclasses as dc
+    bad_cfg = dc.replace(cfg, local_attention_kind="sliding")
+    bad, _ = llama.forward(params, bad_cfg, jnp.asarray(ids, jnp.int32),
+                           jnp.zeros(B, jnp.int32),
+                           llama.new_kv_cache(bad_cfg, B, 64),
+                           use_pallas=False)
+    assert np.abs(np.asarray(bad) - hf_logits).max() > 1e-2
+
+    # ...as are the NoPE layers (roping every layer diverges; the
+    # parity tolerance above is 10x tighter than this bound)
+    bad2, _ = llama.forward(params,
+                            dc.replace(cfg, nope_on_global_layers=False),
+                            jnp.asarray(ids, jnp.int32),
+                            jnp.zeros(B, jnp.int32),
+                            llama.new_kv_cache(cfg, B, 64),
+                            use_pallas=False)
+    assert np.abs(np.asarray(bad2) - hf_logits).max() > 2e-3
+
+    # prefill/decode split agrees (cache semantics under iRoPE)
+    cache2 = llama.new_kv_cache(cfg, B, 64)
+    _, cache2 = llama.forward(params, cfg,
+                              jnp.asarray(ids[:, :T - 1], jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache2,
+                              use_pallas=False)
+    l2, _ = llama.forward(params, cfg,
+                          jnp.asarray(ids[:, T - 1:], jnp.int32),
+                          jnp.full((B,), T - 1, jnp.int32), cache2,
+                          use_pallas=False)
+    np.testing.assert_allclose(np.asarray(l2[:, 0]),
+                               np.asarray(logits[:, -1]), atol=1e-4,
+                               rtol=1e-4)
+
+    # paged path: same traits over the page arena
+    from lmcache_tpu.models.paged import forward_paged, new_paged_kv_pool
+    pool = new_paged_kv_pool(cfg, 16, 16)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        for j in range(3):
+            table[b, j] = 1 + b * 3 + j
+    plogits, _ = forward_paged(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.zeros(B, jnp.int32), pool,
+                               jnp.asarray(table), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=3e-3,
+                               rtol=3e-3)
+
+
 def test_gemma2_from_hf_config():
     """from_hf maps every Gemma-2 trait off the HF config."""
     pytest.importorskip("torch")

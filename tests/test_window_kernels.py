@@ -243,3 +243,84 @@ def test_quantized_flash_kv_slot():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 
+
+
+# --- chunked windows (Llama-4 block-diagonal attention) -------------------
+
+
+def _manual_chunked(q, k, v, q_off, kv_len, C):
+    """Dense softmax with an explicit same-chunk mask (ground truth)."""
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    out = np.zeros_like(np.asarray(q, np.float32))
+    for b in range(B):
+        for t in range(T):
+            qpos = int(q_off[b]) + t
+            for h in range(H):
+                s = (np.asarray(q[b, t, h], np.float32)
+                     @ np.asarray(k[b, :, h // G], np.float32).T) / D**0.5
+                kpos = np.arange(S)
+                mask = ((kpos <= qpos) & (kpos < int(kv_len[b]))
+                        & (kpos // C == qpos // C))
+                s = np.where(mask, s, -1e30)
+                p = np.exp(s - s.max())
+                p /= p.sum()
+                out[b, t, h] = p @ np.asarray(v[b, :, h // G], np.float32)
+    return out
+
+
+@pytest.mark.parametrize("C,T,q_off", [(64, 16, (100, 380)),
+                                       (100, 128, (0, 250)),
+                                       (128, 1, (700, 40))])
+def test_chunked_flash_matches_reference(C, T, q_off):
+    """window_kind="chunked": flash kernel == mha_reference == manual
+    block-diagonal mask across chunk sizes, offsets, and decode."""
+    rng = np.random.default_rng(C + T)
+    B, H, D, Hkv, S = 2, 4, 64, 2, 768
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    q_off = jnp.asarray(q_off, jnp.int32)
+    kv_len = q_off + T
+
+    ref = mha_reference(q, k, v, q_off, kv_len, sliding_window=C,
+                        window_kind="chunked")
+    man = _manual_chunked(q, k, v, np.asarray(q_off), np.asarray(kv_len), C)
+    np.testing.assert_allclose(np.asarray(ref), man, atol=2e-5, rtol=2e-5)
+    out = flash_attention(q, k, v, q_off, kv_len, sliding_window=C,
+                          window_kind="chunked", block_q=128, block_k=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_chunked_paged_matches_reference():
+    """Chunked windows through both paged grid kernels."""
+    rng = np.random.default_rng(77)
+    B, T, Hkv, G, D, P, page, NP, C = 2, 64, 2, 2, 64, 24, 64, 8, 100
+    q = jnp.asarray(rng.standard_normal((B, T, Hkv * G, D)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
+    pt = jnp.asarray(rng.integers(0, P, (B, NP)), jnp.int32)
+    q_off = jnp.asarray([200, 377], jnp.int32)
+    kv_len = q_off + T
+    ref = paged_attention_reference(q, kp, vp, pt, q_off, kv_len,
+                                    sliding_window=C,
+                                    window_kind="chunked")
+    out = paged_attention(q, kp, vp, pt, q_off, kv_len, sliding_window=C,
+                          window_kind="chunked")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    ks = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)), jnp.int8)
+    vs = jnp.asarray(rng.integers(-127, 128, (P, Hkv, page, D)), jnp.int8)
+    ksc = jnp.asarray(rng.uniform(0.005, 0.02, (P, page)), jnp.float32)
+    vsc = jnp.asarray(rng.uniform(0.005, 0.02, (P, page)), jnp.float32)
+    qref = quantized_paged_attention_reference(
+        q, ks, vs, ksc, vsc, pt, q_off, kv_len, sliding_window=C,
+        window_kind="chunked")
+    qout = quantized_paged_attention(q, ks, vs, ksc, vsc, pt, q_off,
+                                     kv_len, sliding_window=C,
+                                     window_kind="chunked")
+    np.testing.assert_allclose(np.asarray(qout), np.asarray(qref),
+                               atol=2e-4, rtol=2e-4)
