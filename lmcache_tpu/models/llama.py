@@ -1313,6 +1313,67 @@ def forward(
     return _lm_logits(x, params, cfg), new_cache
 
 
+def forward_ring(
+    params: Params,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # int32 [B, T], T sharded on seq_axis
+    mesh,
+    *,
+    seq_axis: str = "data",
+    head_axis: "Optional[str]" = "model",
+    last_logit_only: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Context-parallel FULL prefill (sequence parallelism).
+
+    The token axis is sharded over ``mesh``'s ``seq_axis``: embeddings,
+    norms, and matmuls are per-token so XLA keeps them local, and
+    attention runs as ring attention
+    (:mod:`lmcache_tpu.parallel.ring_attention`) with KV blocks rotating
+    on ICI — no device materializes more than ``2T/P`` tokens of KV, so
+    a long prefill's memory AND attention FLOPs scale down with the
+    mesh. Composes with tensor parallelism on ``head_axis``.
+
+    Returns ``(logits [B, T, vocab], kv_cache [L, 2, B, H_kv, T, D])``
+    — the head-major pool, sequence-sharded; feed chunks of it to the
+    cache engine per shard, or ``device_put`` to resharded layouts.
+
+    T must divide the ``seq_axis`` size (pad to the cache-engine chunk
+    size). Families whose attention differs per layer (sliding/chunked
+    windows, dual-theta/NoPE rope) are not yet ring-capable.
+    """
+    from lmcache_tpu.parallel.ring_attention import ring_attention
+    if (cfg.sliding_window is not None
+            or cfg.rope_local_theta is not None
+            or cfg.nope_on_global_layers):
+        raise NotImplementedError(
+            "ring prefill supports uniform full-causal attention "
+            "families (no windows / per-layer rope) for now")
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    q_off = jnp.zeros((B,), jnp.int32)
+    kv_len = jnp.full((B,), T, jnp.int32)
+
+    x = _embed(params, cfg, tokens)
+
+    def layer(x, lp):
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        q, k, v = _qkv_heads(h, lp, cfg, positions)
+        attn = ring_attention(q, k, v, q_off, kv_len, mesh,
+                              seq_axis=seq_axis, head_axis=head_axis,
+                              sm_scale=cfg.sm_scale,
+                              logit_softcap=cfg.attn_logit_softcap)
+        x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
+        x = _mlp_residual(x, lp, cfg)
+        # head-major cache block [2, B, H_kv, T, D]
+        return x, jnp.stack((k.transpose(0, 2, 1, 3),
+                             v.transpose(0, 2, 1, 3)))
+
+    x, cache = jax.lax.scan(layer, x, params["layers"])
+    if last_logit_only:
+        x = x[:, -1:]
+    return _lm_logits(x, params, cfg), cache
+
+
 def forward_quantized(
     params: Params,
     cfg: LlamaConfig,

@@ -1,0 +1,146 @@
+"""Ring (context-parallel) attention: the SEQUENCE axis sharded over a
+mesh axis, with KV blocks rotating around the ring on ICI.
+
+The reference has no sequence parallelism anywhere — its long-context
+story is fixed-size token chunking of the KV stream (reference
+lmcache/cache_engine.py:68-84) and the SURVEY names chunked KV as "the
+natural unit for context-parallel / ring-attention-style streaming of
+long contexts — no Ulysses/ring code exists to port" (SURVEY §2). This
+module is that TPU-native design:
+
+- every device holds a CONTIGUOUS block of the sequence's q/k/v
+  (``T/P`` tokens) — the same contiguous-chunk unit the cache engine
+  stores, so a retrieved chunk lands on its ring position without
+  resharding;
+- at each of ``P`` ring steps a device attends its local queries
+  against the KV block currently resident, accumulating the standard
+  online-softmax partials ``(m, l, acc)``, then passes the block to its
+  neighbor via ``lax.ppermute`` — the collective rides ICI and overlaps
+  with the next step's compute under XLA's scheduler;
+- no device ever materializes more than ``2 * T/P`` tokens of KV, so a
+  16k-context prefill on an 8-device mesh peaks at 2k tokens of KV per
+  chip: memory AND attention FLOPs scale down with the mesh;
+- causality skips the compute (not the permute) of blocks that are
+  entirely in a query block's future: device ``i`` does useful work on
+  ``i + 1`` of the ``P`` steps, matching causal ring attention's
+  expected cost.
+
+Composable with tensor parallelism: shard heads on one mesh axis and
+the sequence on another; the ring only touches the sequence axis while
+each device streams its own head slice (see ``ring_attention``'s
+``in_specs``).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lmcache_tpu.parallel.mesh import shard_map_unchecked
+
+_NEG_INF = -1e30
+
+
+def _ring_body(q, k, v, q_offset, kv_len, *, seq_axis: str, scale,
+               logit_softcap=None):
+    """Per-device ring attention. q/k/v: local [B, Tl, H(_kv), D]."""
+    p = jax.lax.axis_size(seq_axis)
+    my = jax.lax.axis_index(seq_axis)
+    B, Tl, H, D = q.shape
+    Hkv = k.shape[2]
+    G = H // Hkv
+
+    # [B, Hkv, G, Tl, D] query groups; positions are GLOBAL
+    qh = q.reshape(B, Tl, Hkv, G, D).transpose(0, 2, 3, 1, 4)
+    qpos = (q_offset[:, None] + my * Tl
+            + jnp.arange(Tl)[None, :])  # [B, Tl]
+
+    m0 = jnp.full((B, Hkv, G, Tl, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, G, Tl, 1), jnp.float32)
+    a0 = jnp.zeros((B, Hkv, G, Tl, D), jnp.float32)
+
+    def step(r, carry):
+        m, l, acc, kr, vr = carry
+        src = jax.lax.rem(my - r + p, p)  # ring block currently held
+
+        def update(args):
+            m, l, acc = args
+            kh = kr.transpose(0, 2, 1, 3)  # [B, Hkv, Tl, D]
+            vh = vr.transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhgtd,bhsd->bhgts", qh, kh,
+                           preferred_element_type=jnp.float32) * scale
+            if logit_softcap is not None:
+                s = logit_softcap * jnp.tanh(s / logit_softcap)
+            kpos = (q_offset[:, None] + src * Tl
+                    + jnp.arange(Tl)[None, :])  # [B, Tl]
+            mask = ((kpos[:, None, :] <= qpos[:, :, None])
+                    & (kpos[:, None, :] < kv_len[:, None, None]))
+            s = jnp.where(mask[:, None, None, :, :], s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            pr = jnp.exp(s - m_new)
+            l = alpha * l + jnp.sum(pr, axis=-1, keepdims=True)
+            acc = alpha * acc + jnp.einsum(
+                "bhgts,bhsd->bhgtd", pr.astype(vh.dtype), vh,
+                preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        # blocks entirely in this device's future do nothing: skip the
+        # matmuls, keep the permute (everyone rotates in lockstep)
+        m, l, acc = jax.lax.cond(src <= my, update,
+                                 lambda args: args, (m, l, acc))
+        perm = [(i, (i + 1) % p) for i in range(p)]
+        kr = jax.lax.ppermute(kr, seq_axis, perm)
+        vr = jax.lax.ppermute(vr, seq_axis, perm)
+        return m, l, acc, kr, vr
+
+    m, l, acc, _, _ = jax.lax.fori_loop(0, p, step, (m0, l0, a0, k, v))
+    safe = jnp.where(l == 0.0, 1.0, l)
+    out = jnp.where(l == 0.0, 0.0, acc / safe)
+    # [B, Hkv, G, Tl, D] -> [B, Tl, H, D]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, Tl, H, D).astype(
+        q.dtype)
+
+
+def ring_attention(
+    q: jax.Array,  # [B, T, H, D], T sharded on seq_axis
+    k: jax.Array,  # [B, T, H_kv, D]
+    v: jax.Array,
+    q_offset: jax.Array,  # int32 [B] global position of token 0
+    kv_len: jax.Array,  # int32 [B] valid tokens (ragged batches)
+    mesh: Mesh,
+    *,
+    seq_axis: str = "data",
+    head_axis: Optional[str] = "model",
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+) -> jax.Array:
+    """Causal ring attention over ``mesh``. See module docstring.
+
+    ``T`` must divide evenly by the ``seq_axis`` size (pad the prompt
+    to a multiple — the cache-engine chunk size already is one), and
+    kv heads by ``head_axis`` when set (TP x CP composition: each
+    device streams its own head slice of its ring block).
+    """
+    B, T, H, D = q.shape
+    Hkv = k.shape[2]
+    p = mesh.shape[seq_axis]
+    if T % p:
+        raise ValueError(f"T ({T}) must divide the {seq_axis!r} axis "
+                         f"size ({p})")
+    tp = mesh.shape.get(head_axis, 1) if head_axis else 1
+    hax = head_axis if (head_axis and H % tp == 0
+                        and Hkv % tp == 0) else None
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
+
+    body = functools.partial(_ring_body, seq_axis=seq_axis, scale=scale,
+                             logit_softcap=logit_softcap)
+    spec_q = P(None, seq_axis, hax, None)
+    spec_kv = P(None, seq_axis, hax, None)
+    return shard_map_unchecked(
+        body, mesh,
+        in_specs=(spec_q, spec_kv, spec_kv, P(), P()),
+        out_specs=spec_q,
+    )(q, k, v, q_offset.astype(jnp.int32), kv_len.astype(jnp.int32))
