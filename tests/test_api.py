@@ -130,3 +130,131 @@ def test_api_on_paged_engine():
         asyncio.run(_with_client(srv, body))
     finally:
         srv.stop()
+
+
+def test_chat_completions():
+    """/v1/chat/completions renders messages through the chat template
+    (token ids here), serves via the same engine path, and the
+    multi-turn prefix hits the KV cache on the follow-up request."""
+    from lmcache_tpu.cache_engine import LMCacheEngine
+    from lmcache_tpu.config import (LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny-chat", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                        use_pallas=False, cache_engine=ce)
+
+    def template(messages):
+        # toy id-level template: hash role+content into stable tokens
+        out = []
+        for m in messages:
+            out.extend((7 + sum(map(ord, m["role"]))) % 512
+                       for _ in range(2))
+            out.extend((3 * ord(c) + 11) % 512 for c in m["content"])
+        return out
+
+    srv = APIServer(eng, model_name="tiny-chat", chat_template=template)
+    srv.start()
+    try:
+
+        async def body(client):
+            msgs = [{"role": "system", "content": "be brief"},
+                    {"role": "user", "content": "hello there, long "
+                                                "context " * 4}]
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": msgs,
+                                        "max_tokens": 4})
+            assert r.status == 200
+            out = await r.json()
+            assert out["object"] == "chat.completion"
+            msg = out["choices"][0]["message"]
+            assert msg["role"] == "assistant" and msg["content"]
+            first_toks = out["choices"][0]["tokens"]
+
+            # follow-up turn: same conversation + the assistant turn —
+            # the shared prefix must come from the cache
+            ce.engine_.flush()
+            msgs2 = msgs + [{"role": "assistant", "content": "ok"},
+                            {"role": "user", "content": "more?"}]
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": msgs2,
+                                        "max_tokens": 4})
+            out2 = await r.json()
+            assert out2["usage"]["cached_prefix_tokens"] >= 16
+            assert len(out2["choices"][0]["tokens"]) == 4
+
+            # streaming chat: deltas then [DONE]
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": msgs, "stream": True,
+                                        "max_tokens": 3})
+            assert r.status == 200
+            text = (await r.read()).decode()
+            assert text.count("chat.completion.chunk") == 3
+            assert text.strip().endswith("data: [DONE]")
+            assert '"role": "assistant"' in text
+
+            # greedy determinism across the two identical requests
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": msgs,
+                                        "max_tokens": 4})
+            out3 = await r.json()
+            assert out3["choices"][0]["tokens"] == first_toks
+
+            # malformed messages -> 400
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": "hi"})
+            assert r.status == 400
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": [{"role": "user"}]})
+            assert r.status == 400
+
+        asyncio.run(_with_client(srv, body))
+    finally:
+        srv.stop()
+        ce.close()
+
+
+def test_chat_default_template_needs_tokenizer():
+    """Without a chat template the generic text template feeds the
+    tokenizer; with neither, a clear 400."""
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    eng = ServingEngine(cfg, params, max_batch=2, max_seq=64,
+                        use_pallas=False)
+    srv = APIServer(eng, model_name="tiny-chat2",
+                    tokenizer=lambda s: [ord(c) % 512 for c in s])
+    srv.start()
+    try:
+
+        async def body(client):
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": [{"role": "user",
+                                                      "content": "hi"}],
+                                        "max_tokens": 2})
+            assert r.status == 200
+            out = await r.json()
+            assert len(out["choices"][0]["tokens"]) == 2
+
+        asyncio.run(_with_client(srv, body))
+    finally:
+        srv.stop()
+
+    srv2 = APIServer(eng, model_name="no-tok")
+    srv2.start()
+    try:
+
+        async def body2(client):
+            r = await client.post("/v1/chat/completions",
+                                  json={"messages": [{"role": "user",
+                                                      "content": "hi"}]})
+            assert r.status == 400
+
+        asyncio.run(_with_client(srv2, body2))
+    finally:
+        srv2.stop()
