@@ -80,6 +80,7 @@ def test_cache_reuse_same_output(setup):
                            cache_engine=ce)
     [first] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
     assert first.cached_prefix_len == 0
+    ce.engine_.flush()  # store-back is async; make it visible
 
     [again] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
     assert again.cached_prefix_len > 0  # latent chunks were injected
