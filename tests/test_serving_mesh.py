@@ -394,3 +394,66 @@ def test_mla_generate_on_mesh_pallas():
         MLAServingEngine(bad, mla.init_params(jax.random.PRNGKey(1), bad),
                          max_batch=2, max_seq=128, use_pallas=True,
                          mesh=mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gemma3_style_generate_on_mesh():
+    """Dual-theta rope + alternating windows + qk-norm (Gemma-3 traits)
+    on a TP mesh: the per-layer frequency select rides the layer scan
+    under shard_map; greedy output matches the unsharded golden."""
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=4, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512,
+                                 sliding_window=16,
+                                 global_layer_map=(False, False, False,
+                                                   True),
+                                 rope_theta=1e6, rope_local_theta=1e4,
+                                 qk_norm=True, norm_one_offset=True,
+                                 post_norms=True, mlp_act="gelu_tanh",
+                                 embed_scale=True)
+    params = llama.init_params(jax.random.PRNGKey(21), cfg)
+    sparams = shard_params(params, mesh)
+    prompt = np.random.default_rng(22).integers(0, cfg.vocab_size, 23,
+                                                dtype=np.int32)
+    golden_eng = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                               use_pallas=False)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=5))
+    eng = ServingEngine(cfg, sparams, max_batch=2, max_seq=128,
+                        use_pallas=False, mesh=mesh)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert req.output_tokens == golden.output_tokens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_llama4_style_generate_on_mesh():
+    """Llama-4 traits (iRoPE: chunked attention, NoPE global layers,
+    post-rope L2 norm, query temperature, sigmoid MoE + shared expert)
+    on a TP mesh; greedy output matches the unsharded golden."""
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=4, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512,
+                                 rope_interleaved=True, sliding_window=16,
+                                 sliding_window_pattern=4,
+                                 local_attention_kind="chunked",
+                                 nope_on_global_layers=True,
+                                 qk_l2_norm=True,
+                                 attn_temperature_tuning=True,
+                                 attn_floor_scale=16.0,
+                                 n_experts=4, n_experts_per_tok=1,
+                                 moe_hidden_dim=256, moe_style="llama4")
+    params = llama.init_params(jax.random.PRNGKey(23), cfg)
+    sparams = shard_params(params, mesh)
+    # routed AND shared expert weights sharded on "model"
+    assert "model" in str(sparams["layers"]["e_gate"].sharding.spec)
+    assert "model" in str(sparams["layers"]["w_gate"].sharding.spec)
+    prompt = np.random.default_rng(24).integers(0, cfg.vocab_size, 23,
+                                                dtype=np.int32)
+    golden_eng = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                               use_pallas=False)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=5))
+    eng = ServingEngine(cfg, sparams, max_batch=2, max_seq=128,
+                        use_pallas=False, mesh=mesh)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert req.output_tokens == golden.output_tokens
