@@ -273,6 +273,38 @@ def main():
         metrics.append({"metric": "mla_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})
 
+    # ---- flash-kernel MXU utilization at 7B/8B geometry ------------------
+    # the hot prefill op at production head dims (D=128, GQA 4): causal
+    # TFLOP/s vs the chip's bf16 peak (the round-2 kernel pass target)
+    try:
+        from lmcache_tpu.ops.attention import flash_attention
+        Hkv_K, G_K, D_K, S_K = 8, 4, 128, 8192
+        krng = np.random.default_rng(4)
+        qk = jnp.asarray(krng.standard_normal((1, S_K, Hkv_K * G_K, D_K)),
+                         jnp.bfloat16)
+        kk = jnp.asarray(krng.standard_normal((1, Hkv_K, S_K, D_K)),
+                         jnp.bfloat16)
+        vk = jnp.asarray(krng.standard_normal((1, Hkv_K, S_K, D_K)),
+                         jnp.bfloat16)
+        zo = jnp.zeros((1,), jnp.int32)
+        sl = jnp.full((1,), S_K, jnp.int32)
+
+        def kfn():
+            return flash_attention(qk, kk, vk, zo, sl,
+                                   kv_head_major=True)[0, 0, :1]
+
+        kbest = _best(kfn)
+        kflops = 0.5 * S_K * S_K * Hkv_K * G_K * D_K * 2 * 2 * 2
+        metrics.append({
+            "metric": "prefill_attention_tflops", "unit": "TFLOP/s",
+            "value": round(kflops / kbest / 1e12, 1),
+            "vs_baseline": None,
+            "detail": {"geometry": "D=128 Hkv=8 G=4 S=8192 causal",
+                       "ms": round(kbest * 1e3, 2)}})
+    except Exception as e:
+        metrics.append({"metric": "prefill_kernel_error", "unit": "",
+                        "value": 0, "vs_baseline": None, "error": str(e)})
+
     # ---- codec quality gate (BASELINE.md perplexity-delta criterion) -----
     try:
         from eval_quality import evaluate

@@ -35,3 +35,45 @@ def test_two_process_shared_cache(lmserver_process, tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"DCN WORKER {pid} OK" in out
+
+
+def test_disaggregated_prefill_decode(lmserver_process):
+    """PD separation across two real OS processes: the prefill process
+    stores the context KV to the shared cache server; the decode
+    process (no local KV) retrieves it, reports a cached prefix, and
+    emits exactly the monolithic instance's greedy continuation."""
+    worker = os.path.join(_REPO, "tests", "disagg_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+
+    def run(role):
+        p = subprocess.run(
+            [sys.executable, worker, lmserver_process.url, role],
+            cwd=_REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, timeout=150)
+        out = p.stdout.decode(errors="replace")
+        assert p.returncode == 0, f"{role} worker failed:\n{out}"
+        return out
+
+    out_p = run("prefill")
+    assert "PREFILL OK" in out_p
+    out_d = run("decode")
+    assert "DECODE OK" in out_d
+    toks = [int(t) for t in
+            out_d.split("tokens", 1)[1].strip().split(",")]
+
+    # monolithic golden in THIS process (no cache at all)
+    import jax
+
+    import numpy as np
+    from lmcache_tpu.models import llama
+    from lmcache_tpu.serving import SamplingParams, ServingEngine
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    context = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, 150).astype(np.int32)
+    [g] = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                        use_pallas=False).generate(
+                            [list(context)],
+                            SamplingParams(max_new_tokens=8))
+    assert toks == g.output_tokens
