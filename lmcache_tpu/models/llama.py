@@ -1338,37 +1338,39 @@ def forward_ring(
     cache engine per shard, or ``device_put`` to resharded layouts.
 
     T must divide the ``seq_axis`` size (pad to the cache-engine chunk
-    size). Families whose attention differs per layer (sliding/chunked
-    windows, dual-theta/NoPE rope) are not yet ring-capable.
+    size). Every family trait rides the ring: sliding/chunked windows
+    (blocks outside a layer's window skip compute), alternating
+    local/global patterns and per-layer rope (dual theta, NoPE) via the
+    layer scan's is-global flag, qk-norms, softcaps, MoE.
     """
     from lmcache_tpu.parallel.ring_attention import ring_attention
-    if (cfg.sliding_window is not None
-            or cfg.rope_local_theta is not None
-            or cfg.nope_on_global_layers):
-        raise NotImplementedError(
-            "ring prefill supports uniform full-causal attention "
-            "families (no windows / per-layer rope) for now")
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
     q_off = jnp.zeros((B,), jnp.int32)
     kv_len = jnp.full((B,), T, jnp.int32)
+    layer_globals = jnp.asarray(cfg.layer_windows())
 
     x = _embed(params, cfg, tokens)
 
-    def layer(x, lp):
+    def layer(x, scanned):
+        lp, g = scanned
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
-        q, k, v = _qkv_heads(h, lp, cfg, positions)
-        attn = ring_attention(q, k, v, q_off, kv_len, mesh,
-                              seq_axis=seq_axis, head_axis=head_axis,
-                              sm_scale=cfg.sm_scale,
-                              logit_softcap=cfg.attn_logit_softcap)
+        q, k, v = _qkv_heads(h, lp, cfg, positions, g)
+        attn = ring_attention(
+            q, k, v, q_off, kv_len, mesh,
+            seq_axis=seq_axis, head_axis=head_axis,
+            sm_scale=cfg.sm_scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            sliding_window=cfg.sliding_window,
+            window_kind=cfg.local_attention_kind,
+            is_global=(g if cfg.sliding_window is not None else None))
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         # head-major cache block [2, B, H_kv, T, D]
         return x, jnp.stack((k.transpose(0, 2, 1, 3),
                              v.transpose(0, 2, 1, 3)))
 
-    x, cache = jax.lax.scan(layer, x, params["layers"])
+    x, cache = jax.lax.scan(layer, x, (params["layers"], layer_globals))
     if last_logit_only:
         x = x[:, -1:]
     return _lm_logits(x, params, cfg), cache

@@ -43,14 +43,23 @@ from lmcache_tpu.parallel.mesh import shard_map_unchecked
 _NEG_INF = -1e30
 
 
-def _ring_body(q, k, v, q_offset, kv_len, *, seq_axis: str, scale,
-               logit_softcap=None):
-    """Per-device ring attention. q/k/v: local [B, Tl, H(_kv), D]."""
+def _ring_body(q, k, v, q_offset, kv_len, is_global, *, seq_axis: str,
+               scale, logit_softcap=None, sliding_window=None,
+               window_kind="sliding", has_global_flag=False):
+    """Per-device ring attention. q/k/v: local [B, Tl, H(_kv), D].
+
+    ``sliding_window``/``window_kind`` follow ops.attention; the traced
+    ``is_global`` scalar (alternating-pattern families, riding the
+    caller's layer scan) overrides the window per layer — a global
+    layer attends full-causal. Ring blocks entirely outside a local
+    (non-global) layer's window skip compute but keep the permute."""
     p = jax.lax.axis_size(seq_axis)
     my = jax.lax.axis_index(seq_axis)
     B, Tl, H, D = q.shape
     Hkv = k.shape[2]
     G = H // Hkv
+    glb = (is_global[0] if has_global_flag
+           else jnp.asarray(False))
 
     # [B, Hkv, G, Tl, D] query groups; positions are GLOBAL
     qh = q.reshape(B, Tl, Hkv, G, D).transpose(0, 2, 3, 1, 4)
@@ -77,6 +86,14 @@ def _ring_body(q, k, v, q_offset, kv_len, *, seq_axis: str, scale,
                     + jnp.arange(Tl)[None, :])  # [B, Tl]
             mask = ((kpos[:, None, :] <= qpos[:, :, None])
                     & (kpos[:, None, :] < kv_len[:, None, None]))
+            if sliding_window is not None:
+                if window_kind == "chunked":
+                    wmask = (kpos[:, None, :] // sliding_window
+                             == qpos[:, :, None] // sliding_window)
+                else:
+                    wmask = (kpos[:, None, :]
+                             > qpos[:, :, None] - sliding_window)
+                mask &= wmask | glb
             s = jnp.where(mask[:, None, None, :, :], s, _NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             alpha = jnp.exp(m - m_new)
@@ -88,8 +105,22 @@ def _ring_body(q, k, v, q_offset, kv_len, *, seq_axis: str, scale,
             return m_new, l, acc
 
         # blocks entirely in this device's future do nothing: skip the
-        # matmuls, keep the permute (everyone rotates in lockstep)
-        m, l, acc = jax.lax.cond(src <= my, update,
+        # matmuls, keep the permute (everyone rotates in lockstep); for
+        # a windowed (non-global) layer, blocks entirely older than the
+        # oldest query's window skip too
+        live = src <= my
+        if sliding_window is not None:
+            # oldest position any local query can see: for a trailing
+            # window it is qpos_min - W + 1; for chunked, the chunk
+            # start of qpos_min — both bounded below by that same value
+            oldest = jnp.min(q_offset) + my * Tl
+            if window_kind == "chunked":
+                oldest = oldest - jax.lax.rem(oldest, sliding_window)
+            else:
+                oldest = oldest - sliding_window + 1
+            in_window = (src + 1) * Tl + jnp.min(q_offset) > oldest
+            live &= in_window | glb
+        m, l, acc = jax.lax.cond(live, update,
                                  lambda args: args, (m, l, acc))
         perm = [(i, (i + 1) % p) for i in range(p)]
         kr = jax.lax.ppermute(kr, seq_axis, perm)
@@ -116,6 +147,9 @@ def ring_attention(
     head_axis: Optional[str] = "model",
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    window_kind: str = "sliding",
+    is_global=None,
 ) -> jax.Array:
     """Causal ring attention over ``mesh``. See module docstring.
 
@@ -123,6 +157,13 @@ def ring_attention(
     to a multiple — the cache-engine chunk size already is one), and
     kv heads by ``head_axis`` when set (TP x CP composition: each
     device streams its own head slice of its ring block).
+
+    ``sliding_window``/``window_kind`` follow ops.attention (trailing
+    window or Llama-4 chunks); the optional traced ``is_global`` scalar
+    makes THIS call attend full-causal instead (alternating-pattern
+    families ride it through the layer scan). Ring blocks outside a
+    windowed layer's reach skip compute, so window/chunk attention
+    costs ~W/T of the full ring.
     """
     B, T, H, D = q.shape
     Hkv = k.shape[2]
@@ -135,12 +176,19 @@ def ring_attention(
                         and Hkv % tp == 0) else None
     scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
 
+    has_flag = is_global is not None
+    flag = (jnp.asarray(is_global, bool).reshape(1) if has_flag
+            else jnp.zeros((1,), bool))
     body = functools.partial(_ring_body, seq_axis=seq_axis, scale=scale,
-                             logit_softcap=logit_softcap)
+                             logit_softcap=logit_softcap,
+                             sliding_window=sliding_window,
+                             window_kind=window_kind,
+                             has_global_flag=has_flag)
     spec_q = P(None, seq_axis, hax, None)
     spec_kv = P(None, seq_axis, hax, None)
     return shard_map_unchecked(
         body, mesh,
-        in_specs=(spec_q, spec_kv, spec_kv, P(), P()),
+        in_specs=(spec_q, spec_kv, spec_kv, P(), P(), P()),
         out_specs=spec_q,
-    )(q, k, v, q_offset.astype(jnp.int32), kv_len.astype(jnp.int32))
+    )(q, k, v, q_offset.astype(jnp.int32), kv_len.astype(jnp.int32),
+      flag)

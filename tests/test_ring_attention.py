@@ -92,10 +92,70 @@ def test_forward_ring_matches_dense(data, model):
                              cfg.head_dim)
 
 
-def test_forward_ring_rejects_windowed():
+@pytest.mark.parametrize("kind,W", [("sliding", 40), ("sliding", 96),
+                                    ("chunked", 64), ("chunked", 100)])
+def test_ring_windowed_matches_reference(kind, W):
+    """Trailing and chunked windows through the ring (blocks outside
+    the window skip compute but the result is exact)."""
     mesh = _mesh(8, 1)
-    cfg = llama.LlamaConfig.tiny(sliding_window=64)
-    params = llama.init_params(jax.random.PRNGKey(1), cfg)
-    with pytest.raises(NotImplementedError):
-        llama.forward_ring(params, cfg,
-                           jnp.zeros((1, 64), jnp.int32), mesh)
+    rng = np.random.default_rng(W)
+    B, T, Hkv, G, D = 2, 256, 2, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, T, Hkv * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    o = jnp.zeros((B,), jnp.int32)
+    kvl = jnp.asarray([256, 230], jnp.int32)
+    out = ring_attention(q, k, v, o, kvl, mesh, sliding_window=W,
+                         window_kind=kind)
+    ref = mha_reference(q, k, v, o, kvl, sliding_window=W,
+                        window_kind=kind)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # a traced is_global=True overrides the window (full causal)
+    out_g = ring_attention(q, k, v, o, kvl, mesh, sliding_window=W,
+                           window_kind=kind,
+                           is_global=jnp.asarray(True))
+    ref_g = mha_reference(q, k, v, o, kvl)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("family_kw", [
+    dict(sliding_window=48),                           # Mistral-style
+    dict(sliding_window=48, global_layer_map=(False, True),
+         rope_theta=1e6, rope_local_theta=1e4, qk_norm=True,
+         norm_one_offset=True, post_norms=True, mlp_act="gelu_tanh",
+         embed_scale=True),                            # Gemma-3-style
+    dict(rope_interleaved=True, sliding_window=48,
+         global_layer_map=(False, True), local_attention_kind="chunked",
+         nope_on_global_layers=True, qk_l2_norm=True,
+         attn_temperature_tuning=True, attn_floor_scale=48.0,
+         n_experts=4, n_experts_per_tok=1, moe_hidden_dim=64,
+         moe_style="llama4"),                          # Llama-4 iRoPE
+])
+def test_forward_ring_families(family_kw):
+    """Windowed / per-layer-trait families through the full ring
+    prefill: logits + cache match the single-device forward."""
+    from lmcache_tpu.parallel.mesh import shard_params
+
+    mesh = _mesh(8, 1)
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=4, n_kv_heads=2,
+                                 **family_kw)
+    params = llama.init_params(jax.random.PRNGKey(2), cfg)
+    B, T = 2, 256
+    ids = np.random.default_rng(8).integers(0, cfg.vocab_size, (B, T))
+
+    cache = llama.new_kv_cache(cfg, B, T)
+    g_logits, g_cache = llama.forward(params, cfg,
+                                      jnp.asarray(ids, jnp.int32),
+                                      jnp.zeros(B, jnp.int32), cache,
+                                      use_pallas=False)
+    sp = shard_params(params, mesh)
+    tok = jax.device_put(jnp.asarray(ids, jnp.int32),
+                         NamedSharding(mesh, P(None, "data")))
+    r_logits, r_cache = jax.jit(
+        lambda p, t: llama.forward_ring(p, cfg, t, mesh))(sp, tok)
+    np.testing.assert_allclose(np.asarray(r_logits), np.asarray(g_logits),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_cache), np.asarray(g_cache),
+                               atol=2e-5, rtol=2e-5)
