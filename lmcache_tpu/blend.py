@@ -90,7 +90,8 @@ def rope_shift_keys(keys: jax.Array, delta, theta: float,
 
 def _attend_selected(q, k, v, qpos, kv_len, group, sm_scale=None,
                      logit_softcap=None, sliding_window=None,
-                     is_global=None, window_kind="sliding"):
+                     is_global=None, window_kind="sliding",
+                     sinks=None):
     """Attention for gathered (non-contiguous) query tokens.
 
     q: [n, H, D] at global positions qpos [n]; k/v: [T, H_kv, D].
@@ -118,7 +119,15 @@ def _attend_selected(q, k, v, qpos, kv_len, group, sm_scale=None,
             wmask = wmask | is_global
         mask &= wmask
     scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # attention sink (GPT-OSS): joins the softmax norm, then dropped
+        snk = jnp.asarray(sinks, jnp.float32).reshape(1, Hkv, group, 1)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), snk)
+        p = jnp.exp(scores - m)
+        probs = p / (jnp.sum(p, axis=-1, keepdims=True)
+                     + jnp.exp(snk - m))
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("nhgt,thd->nhgd", probs, v.astype(jnp.float32))
     return out.reshape(n, H * D).astype(q.dtype)
 
@@ -194,7 +203,8 @@ def blend_prefill(
     blended_kv = blended_kv.at[0].set(kv0)
 
     attn = attend(q0, k0, v0, positions, kv_len, group,
-                  is_global=bool(wins[0]))
+                  is_global=bool(wins[0]),
+                  sinks=(lp0["sinks"] if cfg.attn_sinks else None))
     x = _attn_residual(x, attn, lp0, cfg)
     x = _mlp_residual(x, lp0, cfg)
 
@@ -238,7 +248,8 @@ def blend_prefill(
         kv_l = kv_l.at[0, sel].set(k.astype(kv_l.dtype))
         kv_l = kv_l.at[1, sel].set(v.astype(kv_l.dtype))
         attn = attend(q, kv_l[0], kv_l[1], sel_pos, kv_len, group,
-                      is_global=g)
+                      is_global=g,
+                      sinks=(lp["sinks"] if cfg.attn_sinks else None))
         xs = _attn_residual(xs, attn, lp, cfg)
         xs = _mlp_residual(xs, lp, cfg)
         return (xs, None), kv_l

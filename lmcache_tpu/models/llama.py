@@ -161,10 +161,19 @@ class LlamaConfig:
     attn_floor_scale: float = 8192.0
     attn_scale: float = 0.1
     # MoE routing style: "softmax_topk" (Mixtral/Qwen3: softmax probs,
-    # top-k, optional renorm, output-weighted) or "llama4" (top-k on
+    # top-k, optional renorm, output-weighted), "llama4" (top-k on
     # LOGITS, sigmoid gates scaling the expert INPUT, plus an always-on
-    # shared expert of width hidden_dim; moe_hidden_dim = routed width)
+    # shared expert of width hidden_dim; moe_hidden_dim = routed width),
+    # or "gpt_oss" (biased router, softmax over the top-k logits,
+    # biased experts with the clamped gated activation
+    # (up+1) * gate * sigmoid(1.702 * gate), gate/up clamped at
+    # moe_act_limit)
     moe_style: str = "softmax_topk"
+    moe_act_limit: float = 7.0  # gpt_oss swiglu clamp
+    # --- GPT-OSS family traits -----------------------------------------
+    # learned per-head attention-sink logits joined to every softmax
+    # normalization and then dropped (params["layers"]["sinks"] [L, H])
+    attn_sinks: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -375,6 +384,25 @@ class LlamaConfig:
                            rope_original_max_seq=8192)
 
     @staticmethod
+    def gpt_oss_20b() -> "LlamaConfig":
+        # openai/gpt-oss-20b: per-head attention SINKS joined to every
+        # softmax, alternating 128-token sliding / full layers
+        # (pattern 2), biased qkv, yarn rope to 128k, and a 32-expert
+        # top-4 MoE with biased clamped-GLU experts
+        return LlamaConfig(vocab_size=201088, dim=2880, n_layers=24,
+                           n_heads=64, n_kv_heads=8, hidden_dim=2880,
+                           head_dim_override=64, rope_theta=150000.0,
+                           max_seq_len=131072, attention_bias=True,
+                           attn_sinks=True, sliding_window=128,
+                           sliding_window_pattern=2,
+                           n_experts=32, n_experts_per_tok=4,
+                           moe_hidden_dim=2880, moe_style="gpt_oss",
+                           rope_scaling_type="yarn",
+                           rope_scaling_factor=32.0,
+                           rope_beta_fast=32.0, rope_beta_slow=1.0,
+                           rope_original_max_seq=4096)
+
+    @staticmethod
     def phi3_mini_4k() -> "LlamaConfig":
         # microsoft/Phi-3-mini-4k-instruct: MHA (32/32 heads), fused
         # qkv/gate_up checkpoints, 2047-token sliding window. The 128k
@@ -412,6 +440,7 @@ class LlamaConfig:
         # post-rope L2 qk-norm, NoPE query temperature, sigmoid MoE with
         # a shared expert
         is_llama4 = model_type == "llama4_text"
+        is_gpt_oss = model_type == "gpt_oss"
         layer_types = getattr(hc, "layer_types", None)
         chunked = bool(layer_types and "chunked_attention" in layer_types)
         window = getattr(hc, "sliding_window", None)
@@ -515,7 +544,10 @@ class LlamaConfig:
                 getattr(hc, "attn_temperature_tuning", False)),
             attn_floor_scale=float(getattr(hc, "floor_scale", 8192.0)),
             attn_scale=float(getattr(hc, "attn_scale", 0.1)),
-            moe_style="llama4" if is_llama4 else "softmax_topk",
+            moe_style=("llama4" if is_llama4 else
+                       "gpt_oss" if is_gpt_oss else "softmax_topk"),
+            moe_act_limit=float(getattr(hc, "swiglu_limit", 7.0)),
+            attn_sinks=is_gpt_oss,
             rotary_dim=rotary_dim,
             # HF's glm/glm4 ports apply cos/sin via repeat_interleave +
             # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
@@ -533,7 +565,8 @@ class LlamaConfig:
             # silently mis-modeled, so fail loudly.
             n_experts=_check_all_sparse(hc),
             n_experts_per_tok=getattr(hc, "num_experts_per_tok", 2),
-            moe_hidden_dim=(hc.intermediate_size if is_llama4 else
+            moe_hidden_dim=(hc.intermediate_size
+                            if (is_llama4 or is_gpt_oss) else
                             getattr(hc, "moe_intermediate_size", None)),
             norm_topk_prob=bool(getattr(hc, "norm_topk_prob", True)),
             # Gemma family: GeGLU, (1+w) norms, scaled embeddings;
@@ -596,6 +629,11 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
             layers["w_gate"] = w(keys[5], (L, dim, hid), dim)
             layers["w_up"] = w(keys[6], (L, dim, hid), dim)
             layers["w_down"] = w(keys[7], (L, hid, dim), hid)
+        if cfg.moe_style == "gpt_oss":
+            layers["router_b"] = jnp.zeros((L, E), dt)
+            layers["e_bg"] = jnp.zeros((L, E, mh), dt)
+            layers["e_bu"] = jnp.zeros((L, E, mh), dt)
+            layers["e_bd"] = jnp.zeros((L, E, dim), dt)
     else:
         layers["w_gate"] = w(keys[5], (L, dim, hid), dim)
         layers["w_up"] = w(keys[6], (L, dim, hid), dim)
@@ -610,6 +648,8 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
     if cfg.qk_norm:
         layers["q_norm"] = nw((L, hd), dt)
         layers["k_norm"] = nw((L, hd), dt)
+    if cfg.attn_sinks:
+        layers["sinks"] = jnp.zeros((L, nh), dt)
     return {
         "embed": w(keys[0], (cfg.vocab_size, dim), dim),
         "layers": layers,
@@ -701,6 +741,29 @@ def load_hf(model_name: str,
             layers[key] = stack(
                 "model.layers.{}.feed_forward.shared_expert."
                 + hf + ".weight")
+    elif (cfg.n_experts and
+          "model.layers.0.mlp.experts.gate_up_proj" in sd):
+        # GPT-OSS: fused 3-D expert parameters in x @ W orientation with
+        # INTERLEAVED gate/up columns (gate = [..., ::2]) and biases,
+        # plus a biased router Linear (HF GptOssExperts/GptOssTopKRouter)
+        mh = cfg.moe_hidden_dim
+
+        def stack3(fmt):
+            return np.stack([np.asarray(sd[fmt.format(i)].numpy())
+                             for i in range(cfg.n_layers)])
+
+        layers["router"] = stack("model.layers.{}.mlp.router.weight")
+        layers["router_b"] = stack_vec("model.layers.{}.mlp.router.bias")
+        gu = stack3("model.layers.{}.mlp.experts.gate_up_proj")
+        gub = stack3("model.layers.{}.mlp.experts.gate_up_proj_bias")
+        layers["e_gate"] = jnp.asarray(gu[..., 0::2], dt)
+        layers["e_up"] = jnp.asarray(gu[..., 1::2], dt)
+        layers["e_bg"] = jnp.asarray(gub[..., 0::2], dt)
+        layers["e_bu"] = jnp.asarray(gub[..., 1::2], dt)
+        layers["e_down"] = jnp.asarray(
+            stack3("model.layers.{}.mlp.experts.down_proj"), dt)
+        layers["e_bd"] = jnp.asarray(
+            stack3("model.layers.{}.mlp.experts.down_proj_bias"), dt)
     elif cfg.n_experts:
         # MoE families. Qwen3-MoE: mlp.gate (router) +
         # mlp.experts.{e}.{gate,up,down}_proj; Mixtral:
@@ -758,6 +821,8 @@ def load_hf(model_name: str,
     if cfg.qk_norm:
         layers["q_norm"] = stack_vec("model.layers.{}.self_attn.q_norm.weight")
         layers["k_norm"] = stack_vec("model.layers.{}.self_attn.k_norm.weight")
+    if cfg.attn_sinks:
+        layers["sinks"] = stack_vec("model.layers.{}.self_attn.sinks")
     params = {
         "embed": jnp.asarray(sd["model.embed_tokens.weight"].numpy(), dt),
         "layers": layers,
@@ -861,6 +926,36 @@ def _moe_mlp(h, lp, cfg):
     block_sparse_moe (see LlamaConfig.norm_topk_prob)."""
     E, k = cfg.n_experts, cfg.n_experts_per_tok
     logits = (h @ lp["router"]).astype(jnp.float32)  # [..., E]
+    if cfg.moe_style == "gpt_oss":
+        # GPT-OSS: biased router, softmax over the TOP-K logits (==
+        # renormalized-softmax restricted to the selected set), biased
+        # experts with interleaved gate/up and the clamped gated
+        # activation (up+1) * gate * sigmoid(1.702 * gate) — HF
+        # GptOssExperts/GptOssTopKRouter.
+        logits = logits + lp["router_b"].astype(jnp.float32)
+        topv, topi = jax.lax.top_k(logits, k)
+        gates = jax.nn.softmax(topv, axis=-1)
+        w = jnp.sum(jax.nn.one_hot(topi, E, dtype=gates.dtype)
+                    * gates[..., None], axis=-2)
+        limit = cfg.moe_act_limit
+
+        def expert(acc, sc):
+            g_, u_, d_, bg, bu, bd, we = sc
+            gate = (h @ g_).astype(jnp.float32) + bg
+            up = (h @ u_).astype(jnp.float32) + bu
+            gate = jnp.minimum(gate, limit)
+            up = jnp.clip(up, -limit, limit)
+            glu = gate * jax.nn.sigmoid(gate * 1.702)
+            y = (((up + 1.0) * glu).astype(h.dtype)
+                 @ d_).astype(jnp.float32) + bd
+            return acc + we[..., None] * y, None
+
+        acc0 = jnp.zeros(h.shape[:-1] + (cfg.dim,), jnp.float32)
+        out, _ = jax.lax.scan(
+            expert, acc0,
+            (lp["e_gate"], lp["e_up"], lp["e_down"], lp["e_bg"],
+             lp["e_bu"], lp["e_bd"], jnp.moveaxis(w, -1, 0)))
+        return out.astype(h.dtype)
     if cfg.moe_style == "llama4":
         # Llama-4: top-k on the raw LOGITS, sigmoid gates, and the gate
         # scales the expert INPUT (HF Llama4TextMoe: routed_in =
@@ -1146,7 +1241,7 @@ def _rope(x, positions, theta, rotary_dim=None, interleaved=False,
 
 
 def _shard_dense_attend(attend, mesh, n_kv_heads: int, batch: int, *,
-                        quantized: bool):
+                        quantized: bool, sinks: bool = False):
     """Wrap a dense flash-attention kernel in ``shard_map`` over ``mesh``.
 
     Pallas calls have no GSPMD partitioning rule, so under plain ``jit``
@@ -1180,6 +1275,8 @@ def _shard_dense_attend(attend, mesh, n_kv_heads: int, batch: int, *,
         in_specs = (qspec, kv, kv, scl, scl, vec, vec)
     else:
         in_specs = (qspec, kv, kv, vec, vec)
+    if sinks:
+        in_specs = in_specs + (P("model"),)  # [H] per-head sink logits
 
     return shard_map_unchecked(attend, mesh, in_specs=in_specs,
                      out_specs=qspec)
@@ -1260,26 +1357,32 @@ def forward(
     kv_len = start_pos + T
     if use_pallas:
         def make(w):
-            a = functools.partial(
+            base = functools.partial(
                 flash_attention, sliding_window=w, kv_head_major=True,
                 sm_scale=cfg.sm_scale,
                 logit_softcap=cfg.attn_logit_softcap,
                 window_kind=cfg.local_attention_kind)
+            if cfg.attn_sinks:
+                def a(q, kh, vh, q_off, kvl, snk, base=base):
+                    return base(q, kh, vh, q_off, kvl, sinks=snk)
+            else:
+                a = base
             if mesh is not None:
                 sharded = _shard_dense_attend(a, mesh, cfg.n_kv_heads, B,
-                                              quantized=False)
+                                              quantized=False,
+                                              sinks=cfg.attn_sinks)
                 if sharded is not None:
                     a = sharded
             return a
     else:
         def make(w):
-            def attend(q, kh, vh, q_off, kvl):
+            def attend(q, kh, vh, q_off, kvl, snk=None):
                 # CPU fallback: the reference impl is token-major
                 return mha_reference(
                     q, kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3),
                     q_off, kvl, sliding_window=w, sm_scale=cfg.sm_scale,
                     logit_softcap=cfg.attn_logit_softcap,
-                    window_kind=cfg.local_attention_kind)
+                    window_kind=cfg.local_attention_kind, sinks=snk)
             return attend
     attend, layer_globals = _attend_dispatch(cfg, make)
 
@@ -1301,7 +1404,8 @@ def forward(
         new_k = write_at(cache_l[0], k.astype(cache_l.dtype), start_pos)
         new_v = write_at(cache_l[1], v.astype(cache_l.dtype), start_pos)
 
-        attn = attend(g, q, new_k, new_v, start_pos, kv_len)
+        extra = (lp["sinks"],) if cfg.attn_sinks else ()
+        attn = attend(g, q, new_k, new_v, start_pos, kv_len, *extra)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, jnp.stack((new_k, new_v))
@@ -1363,7 +1467,8 @@ def forward_ring(
             logit_softcap=cfg.attn_logit_softcap,
             sliding_window=cfg.sliding_window,
             window_kind=cfg.local_attention_kind,
-            is_global=(g if cfg.sliding_window is not None else None))
+            is_global=(g if cfg.sliding_window is not None else None),
+            sinks=(lp["sinks"] if cfg.attn_sinks else None))
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         # head-major cache block [2, B, H_kv, T, D]
@@ -1403,26 +1508,33 @@ def forward_quantized(
     kv_len = start_pos + T
     if use_pallas:
         def make(w):
-            a = functools.partial(
+            base = functools.partial(
                 quantized_flash_attention, kv_head_major=True,
                 sliding_window=w, sm_scale=cfg.sm_scale,
                 logit_softcap=cfg.attn_logit_softcap,
                 window_kind=cfg.local_attention_kind)
+            if cfg.attn_sinks:
+                def a(q, ks, vs, ksc, vsc, q_off, kvl, snk, base=base):
+                    return base(q, ks, vs, ksc, vsc, q_off, kvl,
+                                sinks=snk)
+            else:
+                a = base
             if mesh is not None:
                 sharded = _shard_dense_attend(a, mesh, cfg.n_kv_heads, B,
-                                              quantized=True)
+                                              quantized=True,
+                                              sinks=cfg.attn_sinks)
                 if sharded is not None:
                     a = sharded
             return a
     else:
         def make(w):
-            def attend(q, ks, vs, ksc, vsc, q_off, kvl):
+            def attend(q, ks, vs, ksc, vsc, q_off, kvl, snk=None):
                 return quantized_attention_reference(
                     q, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
                     ksc, vsc, q_off, kvl, sliding_window=w,
                     sm_scale=cfg.sm_scale,
                     logit_softcap=cfg.attn_logit_softcap,
-                    window_kind=cfg.local_attention_kind)
+                    window_kind=cfg.local_attention_kind, sinks=snk)
             return attend
     attend, layer_globals = _attend_dispatch(cfg, make)
 
@@ -1463,8 +1575,9 @@ def forward_quantized(
             write_scale(cache_l["scale"][1], v_scale, start_pos),
         ])
 
+        extra = (lp["sinks"],) if cfg.attn_sinks else ()
         attn = attend(g, q, sym[0], sym[1], scale[0], scale[1], start_pos,
-                      kv_len)
+                      kv_len, *extra)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, {"sym": sym, "scale": scale}

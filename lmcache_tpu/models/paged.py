@@ -115,7 +115,7 @@ def pages_needed(num_tokens: int, page_size: int) -> int:
 
 
 def _shard_paged_attend(attend, mesh, n_kv_heads: int, batch: int, *,
-                        quantized: bool):
+                        quantized: bool, sinks: bool = False):
     """Wrap a paged-attention kernel in ``shard_map`` over ``mesh``.
 
     Pallas calls have no GSPMD partitioning rule, so under plain ``jit``
@@ -154,6 +154,8 @@ def _shard_paged_attend(attend, mesh, n_kv_heads: int, batch: int, *,
         in_specs = (qspec, pool, pool, scl, scl, tab, vec, vec)
     else:
         in_specs = (qspec, pool, pool, tab, vec, vec)
+    if sinks:
+        in_specs = in_specs + (P("model"),)  # [H] per-head sink logits
 
     return shard_map_unchecked(attend, mesh, in_specs=in_specs,
                      out_specs=qspec)
@@ -198,13 +200,19 @@ def forward_paged(
         impl = paged_attention_reference
 
     def make(w):
-        a = functools.partial(impl, sliding_window=w,
-                              sm_scale=cfg.sm_scale,
-                              logit_softcap=cfg.attn_logit_softcap,
-                              window_kind=cfg.local_attention_kind)
+        base = functools.partial(impl, sliding_window=w,
+                                 sm_scale=cfg.sm_scale,
+                                 logit_softcap=cfg.attn_logit_softcap,
+                                 window_kind=cfg.local_attention_kind)
+        if cfg.attn_sinks:
+            def a(q, kp, vp, pt, q_off, kvl, snk, base=base):
+                return base(q, kp, vp, pt, q_off, kvl, sinks=snk)
+        else:
+            a = base
         if use_pallas and mesh is not None:
             sharded = _shard_paged_attend(a, mesh, cfg.n_kv_heads, B,
-                                          quantized=False)
+                                          quantized=False,
+                                          sinks=cfg.attn_sinks)
             if sharded is not None:
                 a = sharded
         return a
@@ -231,8 +239,9 @@ def forward_paged(
         pool_l = pool_l.at[1, pidx[..., None], heads,
                            poff[..., None]].set(v.astype(pool_l.dtype))
 
+        extra = (lp["sinks"],) if cfg.attn_sinks else ()
         attn = attend(g, q, pool_l[0], pool_l[1], page_table, start_pos,
-                      kv_len)
+                      kv_len, *extra)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, pool_l
@@ -288,13 +297,20 @@ def forward_paged_quantized(
         impl = quantized_paged_attention_reference
 
     def make(w):
-        a = functools.partial(impl, sliding_window=w,
-                              sm_scale=cfg.sm_scale,
-                              logit_softcap=cfg.attn_logit_softcap,
-                              window_kind=cfg.local_attention_kind)
+        base = functools.partial(impl, sliding_window=w,
+                                 sm_scale=cfg.sm_scale,
+                                 logit_softcap=cfg.attn_logit_softcap,
+                                 window_kind=cfg.local_attention_kind)
+        if cfg.attn_sinks:
+            def a(q, kp, vp, ksc, vsc, pt, q_off, kvl, snk, base=base):
+                return base(q, kp, vp, ksc, vsc, pt, q_off, kvl,
+                            sinks=snk)
+        else:
+            a = base
         if use_pallas and mesh is not None:
             sharded = _shard_paged_attend(a, mesh, cfg.n_kv_heads, B,
-                                          quantized=True)
+                                          quantized=True,
+                                          sinks=cfg.attn_sinks)
             if sharded is not None:
                 a = sharded
         return a
@@ -327,8 +343,9 @@ def forward_paged_quantized(
         scl = pool_l["scale"].at[0, pidx, poff].set(k_scale)
         scl = scl.at[1, pidx, poff].set(v_scale)
 
+        extra = (lp["sinks"],) if cfg.attn_sinks else ()
         attn = attend(g, q, sym[0], sym[1], scl[0], scl[1], page_table,
-                      start_pos, kv_len)
+                      start_pos, kv_len, *extra)
         x = _attn_residual(x, attn.reshape(B, T, -1), lp, cfg)
         x = _mlp_residual(x, lp, cfg)
         return x, {"sym": sym, "scale": scl}

@@ -38,7 +38,8 @@ _NEG_INF = -1e30
 
 def mha_reference(q, k, v, q_offset, kv_len,
                   sliding_window=None, sm_scale=None,
-                  logit_softcap=None, window_kind="sliding") -> jax.Array:
+                  logit_softcap=None, window_kind="sliding",
+                  sinks=None) -> jax.Array:
     """jnp reference (and CPU fallback). Shapes as module docstring.
     ``sliding_window``: keys older than ``window`` positions behind the
     query are masked (Mistral-family attention). With
@@ -47,7 +48,10 @@ def mha_reference(q, k, v, q_offset, kv_len,
     ``sliding_window``-sized chunk (Llama-4 chunked_attention).
     ``sm_scale`` overrides the 1/sqrt(D) score scale (Gemma's
     query_pre_attn_scalar); ``logit_softcap`` bounds scores to
-    (-cap, cap) via cap*tanh(s/cap) before masking (Gemma-2)."""
+    (-cap, cap) via cap*tanh(s/cap) before masking (Gemma-2).
+    ``sinks`` [H]: learned per-head ATTENTION-SINK logits joined to the
+    softmax normalization and then dropped (GPT-OSS) — attention mass
+    can park on the sink instead of being forced onto real tokens."""
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
@@ -74,7 +78,15 @@ def mha_reference(q, k, v, q_offset, kv_len,
             mask &= kpos[:, None, :] > qpos[:, :, None] - sliding_window
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        snk = jnp.asarray(sinks, jnp.float32).reshape(
+            1, Hkv, G, 1, 1)  # [1, Hkv, G, 1, 1]
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), snk)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(snk - m)
+        probs = p / denom
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vh.astype(jnp.float32))
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D).astype(q.dtype)
 
@@ -98,14 +110,17 @@ def _window_start_block(q_off, iq, *, block_q, block_k, total_kb, num_kb,
 def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
                   scale, sliding_window=None, total_kb=None,
                   has_slot=False, logit_softcap=None,
-                  window_kind="sliding"):
+                  window_kind="sliding", has_sinks=False):
     if has_slot:
         # extra scalar-prefetch ref (the pool row index) — consumed by
         # the index_map only; the body masks with q_off/kv_len as usual
-        (_slot_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+        _slot_ref, *rest = rest
+    if has_sinks:
+        (q_ref, k_ref, v_ref, sinks_ref, o_ref, m_scr, l_scr,
          acc_scr) = rest
     else:
         q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        sinks_ref = None
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -179,10 +194,21 @@ def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
 
     @pl.when(ik == num_k - 1)
     def _():
-        # fully-masked rows (query padding) produce l == 0 -> emit zeros
         l = l_scr[:]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
+        if has_sinks:
+            # attention sink (GPT-OSS): a learned per-head logit joins
+            # the softmax normalization and is then dropped — a pure
+            # tail correction of the online-softmax carries. Padded
+            # rows (m = -inf, l = 0) normalize to exactly 0 for free.
+            m = m_scr[:]
+            snk = sinks_ref[0]  # [group*bq, 1] f32, wrapper-expanded
+            m2 = jnp.maximum(m, snk)
+            l2 = l * jnp.exp(m - m2) + jnp.exp(snk - m2)
+            out = acc_scr[:] * jnp.exp(m - m2) / l2
+        else:
+            # fully-masked rows (query padding): l == 0 -> emit zeros
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
         o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
 
 
@@ -212,6 +238,7 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
     window_kind: str = "sliding",
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pallas flash attention. See module docstring for shapes/semantics.
 
@@ -295,26 +322,38 @@ def flash_attention(
             window_kind=window_kind)
         return (kb, h, start + ik, 0)
 
+    has_sinks = sinks is not None
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_kb=total_kb, has_slot=has_slot,
                                logit_softcap=logit_softcap,
-                               window_kind=window_kind)
+                               window_kind=window_kind,
+                               has_sinks=has_sinks)
     scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
     if has_slot:
         scalar_args.append(kv_slot.astype(jnp.int32))
+    in_specs = [
+        pl.BlockSpec((1, group, bq, D),
+                     lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+    ]
+    inputs = [qh, kh, vh]
+    if has_sinks:
+        # per-head sink logits as [H_kv, group] rows; each program
+        # receives its kv head's group slice
+        in_specs.append(pl.BlockSpec(
+            (1, group * bq, 1), lambda b, h, iq, ik, *_: (h, 0, 0)))
+        inputs.append(jnp.repeat(
+            jnp.asarray(sinks, jnp.float32).reshape(Hkv, group, 1),
+            bq, axis=1).reshape(Hkv, group * bq, 1))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalar_args),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, group, bq, D),
-                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, bk, D), kv_index),
-                pl.BlockSpec((1, 1, bk, D), kv_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, ik, *_: (b, h, iq, 0)),
             scratch_shapes=[
@@ -325,5 +364,5 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
-    )(*scalar_args, qh, kh, vh)
+    )(*scalar_args, *inputs)
     return out[:, :, :T].transpose(0, 2, 1, 3)

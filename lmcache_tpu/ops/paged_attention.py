@@ -34,7 +34,8 @@ from lmcache_tpu.ops.attention import _NEG_INF, _round_up, mha_reference
 def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
                               kv_len, sliding_window=None, sm_scale=None,
                               logit_softcap=None,
-                              window_kind="sliding") -> jax.Array:
+                              window_kind="sliding",
+                              sinks=None) -> jax.Array:
     """Gather pages densely, then dense attention (tests / CPU path).
 
     q: [B, T, H, D]; k/v_pool: [P, H_kv, page, D] (head-major pages);
@@ -51,7 +52,7 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, q_offset,
     return mha_reference(q, k, v, q_offset, kv_len,
                          sliding_window=sliding_window, sm_scale=sm_scale,
                          logit_softcap=logit_softcap,
-                         window_kind=window_kind)
+                         window_kind=window_kind, sinks=sinks)
 
 
 def _window_start_page(q_off, iq, *, block_q, page, total_pages, num_j,
@@ -71,7 +72,8 @@ def _window_start_page(q_off, iq, *, block_q, page, total_pages, num_j,
 def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
                 l_scr, acc_scr, *, block_q, page, group, scale,
                 sliding_window=None, total_pages=None, ks_ref=None,
-                vs_ref=None, logit_softcap=None, window_kind="sliding"):
+                vs_ref=None, logit_softcap=None, window_kind="sliding",
+                sinks_ref=None):
     """Shared online-softmax body; ks/vs present => fused int8 dequant
     (per-token scales correct score/probability columns, as in
     ops/quantized_attention.py)."""
@@ -150,21 +152,43 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
     @pl.when(j == num_j - 1)
     def _():
         l = l_scr[:]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
+        if sinks_ref is not None:
+            # attention sink (GPT-OSS): tail correction of the carries
+            # (ops/attention._flash_kernel)
+            m = m_scr[:]
+            snk = sinks_ref[0]  # [group*bq, 1] f32, wrapper-expanded
+            m2 = jnp.maximum(m, snk)
+            l2 = l * jnp.exp(m - m2) + jnp.exp(snk - m2)
+            out = acc_scr[:] * jnp.exp(m - m2) / l2
+        else:
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
         o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
 
 
-def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
-                  o_ref, m_scr, l_scr, acc_scr, **kw):
+def _paged_kernel(pages_ref, q_off_ref, kv_len_ref, *rest, has_sinks=False,
+                  **kw):
+    if has_sinks:
+        q_ref, k_ref, v_ref, sinks_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        sinks_ref = None
     _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
-                l_scr, acc_scr, **kw)
+                l_scr, acc_scr, sinks_ref=sinks_ref, **kw)
 
 
-def _paged_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
-                    ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr, **kw):
+def _paged_kernel_q(pages_ref, q_off_ref, kv_len_ref, *rest,
+                    has_sinks=False, **kw):
+    if has_sinks:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref, sinks_ref, o_ref, m_scr,
+         l_scr, acc_scr) = rest
+    else:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr,
+         acc_scr) = rest
+        sinks_ref = None
     _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
-                l_scr, acc_scr, ks_ref=ks_ref, vs_ref=vs_ref, **kw)
+                l_scr, acc_scr, ks_ref=ks_ref, vs_ref=vs_ref,
+                sinks_ref=sinks_ref, **kw)
 
 
 @functools.partial(
@@ -184,6 +208,7 @@ def paged_attention(
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
     window_kind: str = "sliding",
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Attention over paged KV.
 
@@ -240,24 +265,34 @@ def paged_attention(
         jm = jnp.minimum(je, jnp.minimum(live, causal) - 1)
         return (pt[b, jm], h, 0, 0)
 
+    has_sinks = sinks is not None
     kernel = functools.partial(_paged_kernel, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_pages=NP,
                                logit_softcap=logit_softcap,
-                               window_kind=window_kind)
+                               window_kind=window_kind,
+                               has_sinks=has_sinks)
 
+    in_specs = [
+        pl.BlockSpec((1, group, bq, D),
+                     lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, page, D), page_index),
+        pl.BlockSpec((1, 1, page, D), page_index),
+    ]
+    inputs = [qh, kp, vp]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(
+            (1, group * bq, 1), lambda b, h, iq, j, pt, *_: (h, 0, 0)))
+        inputs.append(jnp.repeat(
+            jnp.asarray(sinks, jnp.float32).reshape(Hkv, group, 1),
+            bq, axis=1).reshape(Hkv, group * bq, 1))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # page_table, q_offset, kv_len
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, group, bq, D),
-                             lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, page, D), page_index),
-                pl.BlockSpec((1, 1, page, D), page_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
             scratch_shapes=[
@@ -269,7 +304,7 @@ def paged_attention(
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
     )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
-      kv_len.astype(jnp.int32), qh, kp, vp)
+      kv_len.astype(jnp.int32), *inputs)
     return out[:, :, :T].transpose(0, 2, 1, 3)
 
 
@@ -278,7 +313,8 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
                                         page_table, q_offset, kv_len,
                                         sliding_window=None, sm_scale=None,
                                         logit_softcap=None,
-                                        window_kind="sliding"):
+                                        window_kind="sliding",
+                                        sinks=None):
     """Dequantize pages densely, then dense attention (tests/CPU)."""
     B = q.shape[0]
     P, Hkv, page, D = k_sym_pool.shape
@@ -294,7 +330,7 @@ def quantized_paged_attention_reference(q, k_sym_pool, v_sym_pool,
                          deq(v_sym_pool, v_scale_pool), q_offset, kv_len,
                          sliding_window=sliding_window, sm_scale=sm_scale,
                          logit_softcap=logit_softcap,
-                         window_kind=window_kind)
+                         window_kind=window_kind, sinks=sinks)
 
 
 @functools.partial(
@@ -316,6 +352,7 @@ def quantized_paged_attention(
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
     window_kind: str = "sliding",
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Paged attention over an int8 page arena — pages stream from HBM at
     half the bytes, dequantized in-register via the column-correction
@@ -360,25 +397,35 @@ def quantized_paged_attention(
     def scale_index(b, h, iq, j, pt, q_off, kv_len):
         return (_page_slot(j, iq, pt, q_off, kv_len, b), 0, 0)
 
+    has_sinks = sinks is not None
     kernel = functools.partial(_paged_kernel_q, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_pages=NP,
                                logit_softcap=logit_softcap,
-                               window_kind=window_kind)
+                               window_kind=window_kind,
+                               has_sinks=has_sinks)
+    in_specs = [
+        pl.BlockSpec((1, group, bq, D),
+                     lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, page, D), kv_index),
+        pl.BlockSpec((1, 1, page, D), kv_index),
+        pl.BlockSpec((1, 1, page), scale_index),
+        pl.BlockSpec((1, 1, page), scale_index),
+    ]
+    inputs = [qh, kp, vp, ks, vs]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(
+            (1, group * bq, 1), lambda b, h, iq, j, pt, *_: (h, 0, 0)))
+        inputs.append(jnp.repeat(
+            jnp.asarray(sinks, jnp.float32).reshape(Hkv, group, 1),
+            bq, axis=1).reshape(Hkv, group * bq, 1))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, group, bq, D),
-                             lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, page, D), kv_index),
-                pl.BlockSpec((1, 1, page, D), kv_index),
-                pl.BlockSpec((1, 1, page), scale_index),
-                pl.BlockSpec((1, 1, page), scale_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, j, pt, *_: (b, h, iq, 0)),
             scratch_shapes=[
@@ -390,7 +437,7 @@ def quantized_paged_attention(
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
     )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
-      kv_len.astype(jnp.int32), qh, kp, vp, ks, vs)
+      kv_len.astype(jnp.int32), *inputs)
     return out[:, :, :T].transpose(0, 2, 1, 3)
 
 
@@ -478,10 +525,10 @@ def _packed_scale_perm(scale_pool, *, page, D):
     return scale_pool[:, pack * (cols % R) + cols // R]
 
 
-def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
-                      v_hbm, o_ref, *, block_q, page, group, scale,
-                      sliding_window=None, logit_softcap=None,
-                      window_kind="sliding"):
+def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
+                      page, group, scale, sliding_window=None,
+                      logit_softcap=None, window_kind="sliding",
+                      has_sinks=False):
     """One program per (batch, kv-head, q-block): the KV pool stays in
     HBM (memory_space=ANY) and the kernel itself streams the sequence's
     LIVE pages through a double-buffered async-copy pipeline.
@@ -501,6 +548,11 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
     ``[page*D/128, 128]`` rows (``dma_shape``) and the body reshapes the
     landed buffer back to ``[page, D]``.
     """
+    if has_sinks:
+        q_ref, k_hbm, v_hbm, sinks_ref, o_ref = refs
+    else:
+        q_ref, k_hbm, v_hbm, o_ref = refs
+        sinks_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     iq = pl.program_id(2)
@@ -593,8 +645,14 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
         l0 = jnp.zeros((rows, 1), jnp.float32)
         a0 = jnp.zeros((rows, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, num_j, body, (m0, l0, a0))
-        safe = jnp.where(l == 0.0, 1.0, l)
-        out = jnp.where(l == 0.0, 0.0, acc / safe)
+        if sinks_ref is not None:
+            snk = sinks_ref[0]  # [rows, 1] f32, wrapper-expanded
+            m2 = jnp.maximum(m, snk)
+            l2 = l * jnp.exp(m - m2) + jnp.exp(snk - m2)
+            out = acc * jnp.exp(m - m2) / l2
+        else:
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out = jnp.where(l == 0.0, 0.0, acc / safe)
         o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
 
     pl.run_scoped(
@@ -642,6 +700,7 @@ def paged_attention_dma(
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
     window_kind: str = "sliding",
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """:func:`paged_attention` with kernel-driven page DMA (see
     _paged_dma_kernel). Same contract; preferred for decode."""
@@ -662,40 +721,54 @@ def paged_attention_dma(
     v_pool = _dma_page_view(v_pool)
 
     grid = (B, Hkv, Tp // bq)
+    has_sinks = sinks is not None
     kernel = functools.partial(_paged_dma_kernel, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                logit_softcap=logit_softcap,
-                               window_kind=window_kind)
+                               window_kind=window_kind,
+                               has_sinks=has_sinks)
+    in_specs = [
+        pl.BlockSpec((1, group, bq, D),
+                     lambda b, h, iq, *_: (b, h, iq, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [qh, k_pool, v_pool]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(
+            (1, group * bq, 1), lambda b, h, iq, *_: (h, 0, 0)))
+        inputs.append(jnp.repeat(
+            jnp.asarray(sinks, jnp.float32).reshape(Hkv, group, 1),
+            bq, axis=1).reshape(Hkv, group * bq, 1))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, group, bq, D),
-                             lambda b, h, iq, *_: (b, h, iq, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, *_: (b, h, iq, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
     )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
-      kv_len.astype(jnp.int32), qh, k_pool, v_pool)
+      kv_len.astype(jnp.int32), *inputs)
     return out[:, :, :T].transpose(0, 2, 1, 3)
 
 
-def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
-                        v_hbm, ks_hbm, vs_hbm, o_ref, *, block_q, page,
-                        group, scale, sliding_window=None,
-                        window_kind="sliding",
-                        logit_softcap=None):
+def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
+                        page, group, scale, sliding_window=None,
+                        window_kind="sliding", logit_softcap=None,
+                        has_sinks=False):
     """Int8 variant of :func:`_paged_dma_kernel`: pages stream as int8
     (half the bytes) together with their per-token scale rows; dequant
     is the usual column-correction fused into the online softmax."""
+    if has_sinks:
+        q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, sinks_ref, o_ref = refs
+    else:
+        q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref = refs
+        sinks_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     iq = pl.program_id(2)
@@ -791,8 +864,14 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, q_ref, k_hbm,
         l0 = jnp.zeros((rows, 1), jnp.float32)
         a0 = jnp.zeros((rows, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, num_j, body, (m0, l0, a0))
-        safe = jnp.where(l == 0.0, 1.0, l)
-        out = jnp.where(l == 0.0, 0.0, acc / safe)
+        if sinks_ref is not None:
+            snk = sinks_ref[0]  # [rows, 1] f32, wrapper-expanded
+            m2 = jnp.maximum(m, snk)
+            l2 = l * jnp.exp(m - m2) + jnp.exp(snk - m2)
+            out = acc * jnp.exp(m - m2) / l2
+        else:
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out = jnp.where(l == 0.0, 0.0, acc / safe)
         o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
 
     pl.run_scoped(
@@ -826,6 +905,7 @@ def quantized_paged_attention_dma(
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
     window_kind: str = "sliding",
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """:func:`quantized_paged_attention` with kernel-driven page DMA."""
     if interpret is None:
@@ -850,29 +930,39 @@ def quantized_paged_attention_dma(
                  ((0, 0), (0, pad)))[:, None, :]
 
     grid = (B, Hkv, Tp // bq)
+    has_sinks = sinks is not None
     kernel = functools.partial(_paged_dma_kernel_q, block_q=bq, page=page,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                logit_softcap=logit_softcap,
-                               window_kind=window_kind)
+                               window_kind=window_kind,
+                               has_sinks=has_sinks)
+    in_specs = [
+        pl.BlockSpec((1, group, bq, D),
+                     lambda b, h, iq, *_: (b, h, iq, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [qh, k_sym_pool, v_sym_pool, ks, vs]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(
+            (1, group * bq, 1), lambda b, h, iq, *_: (h, 0, 0)))
+        inputs.append(jnp.repeat(
+            jnp.asarray(sinks, jnp.float32).reshape(Hkv, group, 1),
+            bq, axis=1).reshape(Hkv, group * bq, 1))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, group, bq, D),
-                             lambda b, h, iq, *_: (b, h, iq, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, *_: (b, h, iq, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
     )(page_table.astype(jnp.int32), q_offset.astype(jnp.int32),
-      kv_len.astype(jnp.int32), qh, k_sym_pool, v_sym_pool, ks, vs)
+      kv_len.astype(jnp.int32), *inputs)
     return out[:, :, :T].transpose(0, 2, 1, 3)

@@ -67,13 +67,16 @@ def dequantize_kv(sym: jax.Array, scale: jax.Array,
 def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
                    block_k, group, scale, sliding_window=None,
                    total_kb=None, has_slot=False, logit_softcap=None,
-                   window_kind="sliding"):
+                   window_kind="sliding", has_sinks=False):
     if has_slot:
-        (_slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr,
+        _slot_ref, *rest = rest
+    if has_sinks:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref, sinks_ref, o_ref, m_scr,
          l_scr, acc_scr) = rest
     else:
         (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr,
          acc_scr) = rest
+        sinks_ref = None
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -152,8 +155,16 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
     @pl.when(ik == num_k - 1)
     def _():
         l = l_scr[:]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
+        if has_sinks:
+            # attention-sink tail correction (ops/attention._flash_kernel)
+            m = m_scr[:]
+            snk = sinks_ref[0]  # [group*bq, 1] f32, wrapper-expanded
+            m2 = jnp.maximum(m, snk)
+            l2 = l * jnp.exp(m - m2) + jnp.exp(snk - m2)
+            out = acc_scr[:] * jnp.exp(m - m2) / l2
+        else:
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out = jnp.where(l == 0.0, 0.0, acc_scr[:] / safe)
         o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
 
 
@@ -180,6 +191,7 @@ def quantized_flash_attention(
     sm_scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
     window_kind: str = "sliding",
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention reading int8 KV directly from HBM.
 
@@ -248,28 +260,38 @@ def quantized_flash_attention(
         return (bi, 0, ki)
 
     grid = (B, Hkv, Tp // bq, num_kb)
+    has_sinks = sinks is not None
     kernel = functools.partial(_qflash_kernel, block_q=bq, block_k=bk,
                                group=group, scale=scale,
                                sliding_window=sliding_window,
                                total_kb=total_kb, has_slot=has_slot,
                                logit_softcap=logit_softcap,
-                               window_kind=window_kind)
+                               window_kind=window_kind,
+                               has_sinks=has_sinks)
     scalar_args = [q_offset.astype(jnp.int32), kv_len.astype(jnp.int32)]
     if has_slot:
         scalar_args.append(kv_slot.astype(jnp.int32))
+    in_specs = [
+        pl.BlockSpec((1, group, bq, D),
+                     lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+        pl.BlockSpec((1, 1, bk), scale_index),
+        pl.BlockSpec((1, 1, bk), scale_index),
+    ]
+    inputs = [qh, kh, vh, ks, vs]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(
+            (1, group * bq, 1), lambda b, h, iq, ik, *_: (h, 0, 0)))
+        inputs.append(jnp.repeat(
+            jnp.asarray(sinks, jnp.float32).reshape(Hkv, group, 1),
+            bq, axis=1).reshape(Hkv, group * bq, 1))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalar_args),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, group, bq, D),
-                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, bk, D), kv_index),
-                pl.BlockSpec((1, 1, bk, D), kv_index),
-                pl.BlockSpec((1, 1, bk), scale_index),
-                pl.BlockSpec((1, 1, bk), scale_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, group, bq, D),
                                    lambda b, h, iq, ik, *_: (b, h, iq, 0)),
             scratch_shapes=[
@@ -280,7 +302,7 @@ def quantized_flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
         interpret=interpret,
-    )(*scalar_args, qh, kh, vh, ks, vs)
+    )(*scalar_args, *inputs)
     return out[:, :, :T].transpose(0, 2, 1, 3)
 
 
@@ -288,11 +310,12 @@ def quantized_attention_reference(q, k_sym, v_sym, k_scale, v_scale,
                                   q_offset, kv_len,
                                   sliding_window=None, sm_scale=None,
                                   logit_softcap=None,
-                                  window_kind="sliding") -> jax.Array:
+                                  window_kind="sliding",
+                                  sinks=None) -> jax.Array:
     """Unfused reference: dequantize then dense attention (for tests)."""
     k = dequantize_kv(k_sym, k_scale)
     v = dequantize_kv(v_sym, v_scale)
     return mha_reference(q, k, v, q_offset, kv_len,
                          sliding_window=sliding_window, sm_scale=sm_scale,
                          logit_softcap=logit_softcap,
-                         window_kind=window_kind)
+                         window_kind=window_kind, sinks=sinks)

@@ -43,9 +43,10 @@ from lmcache_tpu.parallel.mesh import shard_map_unchecked
 _NEG_INF = -1e30
 
 
-def _ring_body(q, k, v, q_offset, kv_len, is_global, *, seq_axis: str,
-               scale, logit_softcap=None, sliding_window=None,
-               window_kind="sliding", has_global_flag=False):
+def _ring_body(q, k, v, q_offset, kv_len, is_global, sinks, *,
+               seq_axis: str, scale, logit_softcap=None,
+               sliding_window=None, window_kind="sliding",
+               has_global_flag=False, has_sinks=False):
     """Per-device ring attention. q/k/v: local [B, Tl, H(_kv), D].
 
     ``sliding_window``/``window_kind`` follow ops.attention; the traced
@@ -128,8 +129,16 @@ def _ring_body(q, k, v, q_offset, kv_len, is_global, *, seq_axis: str,
         return m, l, acc, kr, vr
 
     m, l, acc, _, _ = jax.lax.fori_loop(0, p, step, (m0, l0, a0, k, v))
-    safe = jnp.where(l == 0.0, 1.0, l)
-    out = jnp.where(l == 0.0, 0.0, acc / safe)
+    if has_sinks:
+        # attention-sink tail correction (GPT-OSS): sinks [H_loc] holds
+        # this device's head slice
+        snk = sinks.astype(jnp.float32).reshape(1, Hkv, G, 1, 1)
+        m2 = jnp.maximum(m, snk)
+        l2 = l * jnp.exp(m - m2) + jnp.exp(snk - m2)
+        out = acc * jnp.exp(m - m2) / l2
+    else:
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc / safe)
     # [B, Hkv, G, Tl, D] -> [B, Tl, H, D]
     return out.transpose(0, 3, 1, 2, 4).reshape(B, Tl, H, D).astype(
         q.dtype)
@@ -150,6 +159,7 @@ def ring_attention(
     sliding_window: Optional[int] = None,
     window_kind: str = "sliding",
     is_global=None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Causal ring attention over ``mesh``. See module docstring.
 
@@ -179,16 +189,20 @@ def ring_attention(
     has_flag = is_global is not None
     flag = (jnp.asarray(is_global, bool).reshape(1) if has_flag
             else jnp.zeros((1,), bool))
+    has_sinks = sinks is not None
+    snk = (jnp.asarray(sinks, jnp.float32) if has_sinks
+           else jnp.zeros((H,), jnp.float32))
     body = functools.partial(_ring_body, seq_axis=seq_axis, scale=scale,
                              logit_softcap=logit_softcap,
                              sliding_window=sliding_window,
                              window_kind=window_kind,
-                             has_global_flag=has_flag)
+                             has_global_flag=has_flag,
+                             has_sinks=has_sinks)
     spec_q = P(None, seq_axis, hax, None)
     spec_kv = P(None, seq_axis, hax, None)
     return shard_map_unchecked(
         body, mesh,
-        in_specs=(spec_q, spec_kv, spec_kv, P(), P(), P()),
+        in_specs=(spec_q, spec_kv, spec_kv, P(), P(), P(), P(hax)),
         out_specs=spec_q,
     )(q, k, v, q_offset.astype(jnp.int32), kv_len.astype(jnp.int32),
-      flag)
+      flag, snk)

@@ -1106,6 +1106,98 @@ def test_matches_huggingface_llama4(tmp_path):
                                rtol=3e-3)
 
 
+def test_matches_huggingface_gpt_oss(tmp_path):
+    """GPT-OSS end-to-end through load_hf: per-head attention SINKS
+    joined to every softmax normalization, alternating sliding/full
+    layers, biased qkv, and the biased clamped-GLU MoE (softmax over
+    top-k logits, interleaved fused gate/up with biases) — vs
+    transformers' GptOssForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    L, E = 4, 4
+    hf_cfg = GptOssConfig(vocab_size=128, hidden_size=64,
+                          intermediate_size=32, num_hidden_layers=L,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          head_dim=16, max_position_embeddings=256,
+                          rms_norm_eps=1e-5, rope_theta=10000.0,
+                          rope_scaling=None, sliding_window=8,
+                          num_local_experts=E, num_experts_per_tok=2,
+                          attention_bias=True, attention_dropout=0.0,
+                          tie_word_embeddings=False, pad_token_id=0,
+                          attn_implementation="eager")
+    torch.manual_seed(66)
+    hf_model = GptOssForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.self_attn.sinks" in sd  # family trait
+    assert "model.layers.0.mlp.experts.gate_up_proj_bias" in sd
+    # break the sinks away from init so the test can't pass without them
+    with torch.no_grad():
+        for i in range(L):
+            sd[f"model.layers.{i}.self_attn.sinks"].copy_(
+                torch.linspace(-1.0, 2.0, 4) * (i + 1))
+    path = tmp_path / "tiny-gpt-oss"
+    hf_model.save_pretrained(path)
+
+    import dataclasses
+    cfg = dataclasses.replace(llama.LlamaConfig.from_hf(str(path)),
+                              dtype="float32")
+    assert cfg.attn_sinks and cfg.moe_style == "gpt_oss"
+    assert cfg.attention_bias and cfg.sliding_window == 8
+    assert cfg.n_experts == E and cfg.moe_hidden_dim == 32
+    cfg, params = llama.load_hf(str(path), cfg)
+    assert params["layers"]["sinks"].shape == (L, 4)
+    assert params["layers"]["e_gate"].shape == (L, E, 64, 32)
+    assert "e_bd" in params["layers"] and "router_b" in params["layers"]
+
+    B, T = 2, 48
+    ids = np.random.default_rng(67).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 64)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=3e-3,
+                               rtol=3e-3)
+
+    # the sinks are load-bearing: zeroing them diverges
+    params_ns = {**params, "layers": {**params["layers"],
+                                      "sinks": jnp.zeros((L, 4))}}
+    bad, _ = llama.forward(params_ns, cfg, jnp.asarray(ids, jnp.int32),
+                           jnp.zeros(B, jnp.int32),
+                           llama.new_kv_cache(cfg, B, 64),
+                           use_pallas=False)
+    assert np.abs(np.asarray(bad) - hf_logits).max() > 5e-3
+
+    # prefill/decode split agrees (sinks are position-free)
+    cache2 = llama.new_kv_cache(cfg, B, 64)
+    _, cache2 = llama.forward(params, cfg,
+                              jnp.asarray(ids[:, :T - 1], jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache2,
+                              use_pallas=False)
+    l2, _ = llama.forward(params, cfg,
+                          jnp.asarray(ids[:, T - 1:], jnp.int32),
+                          jnp.full((B,), T - 1, jnp.int32), cache2,
+                          use_pallas=False)
+    np.testing.assert_allclose(np.asarray(l2[:, 0]),
+                               np.asarray(logits[:, -1]), atol=1e-4,
+                               rtol=1e-4)
+
+    # paged path applies the same sinks
+    from lmcache_tpu.models.paged import forward_paged, new_paged_kv_pool
+    pool = new_paged_kv_pool(cfg, 16, 16)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        for j in range(3):
+            table[b, j] = 1 + b * 3 + j
+    plogits, _ = forward_paged(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.zeros(B, jnp.int32), pool,
+                               jnp.asarray(table), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=3e-3,
+                               rtol=3e-3)
+
+
 def test_gemma2_from_hf_config():
     """from_hf maps every Gemma-2 trait off the HF config."""
     pytest.importorskip("torch")

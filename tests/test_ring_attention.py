@@ -159,3 +159,21 @@ def test_forward_ring_families(family_kw):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(r_cache), np.asarray(g_cache),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ring_sinks_matches_reference():
+    """Attention sinks through the ring (TP x CP: the sink vector
+    shards per head on "model")."""
+    mesh = _mesh(4, 2)
+    rng = np.random.default_rng(9)
+    B, T, Hkv, G, D = 2, 128, 2, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, T, Hkv * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(Hkv * G), jnp.float32)
+    o = jnp.zeros((B,), jnp.int32)
+    kvl = jnp.full((B,), T, jnp.int32)
+    out = ring_attention(q, k, v, o, kvl, mesh, sinks=sinks)
+    ref = mha_reference(q, k, v, o, kvl, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

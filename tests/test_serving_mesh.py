@@ -457,3 +457,37 @@ def test_llama4_style_generate_on_mesh():
                         use_pallas=False, mesh=mesh)
     [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
     assert req.output_tokens == golden.output_tokens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gpt_oss_style_generate_on_mesh():
+    """GPT-OSS traits (attention sinks sharded per head on "model",
+    alternating windows, biased clamped-GLU MoE) on a TP mesh with the
+    pallas kernels on (interpret under the CPU mesh): greedy output
+    matches the unsharded golden."""
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    cfg = llama.LlamaConfig.tiny(n_layers=4, n_heads=8, n_kv_heads=4,
+                                 dim=512, hidden_dim=512,
+                                 attention_bias=True, attn_sinks=True,
+                                 sliding_window=16,
+                                 sliding_window_pattern=2,
+                                 n_experts=4, n_experts_per_tok=2,
+                                 moe_hidden_dim=256,
+                                 moe_style="gpt_oss")
+    params = llama.init_params(jax.random.PRNGKey(31), cfg)
+    # nonzero sinks so the trait is load-bearing
+    import jax.numpy as jnp
+    params["layers"]["sinks"] = jnp.asarray(
+        np.random.default_rng(32).standard_normal((4, 8)), jnp.float32)
+    sparams = shard_params(params, mesh)
+    prompt = np.random.default_rng(33).integers(0, cfg.vocab_size, 23,
+                                                dtype=np.int32)
+    golden_eng = ServingEngine(cfg, params, max_batch=2, max_seq=128,
+                               use_pallas=False)
+    [golden] = golden_eng.generate([prompt],
+                                   SamplingParams(max_new_tokens=5))
+    # pallas path (interpret on CPU) under shard_map with the sinks spec
+    eng = ServingEngine(cfg, sparams, max_batch=2, max_seq=128,
+                        use_pallas=True, mesh=mesh)
+    [req] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert req.output_tokens == golden.output_tokens
