@@ -294,7 +294,8 @@ def main():
                                    kv_head_major=True)[0, 0, :1]
 
         kbest = _best(kfn)
-        kflops = 0.5 * S_K * S_K * Hkv_K * G_K * D_K * 2 * 2 * 2
+        # causal = 0.5 x (QK^T + PV) x 2 FLOP/MAC = 2 * S^2 * H * D
+        kflops = 0.5 * S_K * S_K * Hkv_K * G_K * D_K * 2 * 2
         metrics.append({
             "metric": "prefill_attention_tflops", "unit": "TFLOP/s",
             "value": round(kflops / kbest / 1e12, 1),

@@ -279,7 +279,7 @@ def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
     from lmcache_tpu.models.llama import rope_inv_freq
     inv = None
     if local_theta is not None or nope_global:
-        D = jnp.asarray(chunk_blobs[0]).shape[-1]
+        D = chunk_blobs[0].shape[-1]
         rd = rotary_dim or D
         inv_g, _ = rope_inv_freq(theta, rd, scaling)
         if nope_global:

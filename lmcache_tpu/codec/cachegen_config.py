@@ -69,7 +69,12 @@ class CacheGenConfig:
         name = model_name.lower()
         if any(f in name for f in
                ("mistral-7b", "longchat-7b", "qwen-7b", "llama-3.1-8b",
-                "llama-2-7b", "tinyllama")):
+                "llama-2-7b", "tinyllama",
+                # newer families ship no reference schedule; the
+                # 7B-style graduated curve transfers — the quality gate
+                # (tools/eval_quality.py) is the arbiter
+                "phi-3", "phi-4", "gemma-2", "gemma-3", "llama-4",
+                "deepseek")):
             return CacheGenConfig.graduated(
                 num_layers,
                 key_schedule=[(10 * num_layers // 32, 32),
@@ -80,17 +85,6 @@ class CacheGenConfig:
                 num_layers,
                 key_schedule=[(10, 32), (num_layers, 16)],
                 value_schedule=[(2, 32), (num_layers, 16)])
-        if any(f in name for f in ("phi-3", "phi-4", "gemma-2",
-                                   "gemma-3", "llama-4", "deepseek")):
-            # newer families ship no reference schedule; the 7B-style
-            # graduated curve (more bins on early layers) transfers —
-            # the quality gate (tools/eval_quality.py) is the arbiter
-            return CacheGenConfig.graduated(
-                num_layers,
-                key_schedule=[(10 * num_layers // 32, 32),
-                              (num_layers, 16)],
-                value_schedule=[(min(2, num_layers), 32),
-                                (num_layers, 16)])
         # unknown model: conservative default (reference raises here; a
         # cache codec should degrade, not fail)
         return CacheGenConfig.graduated(num_layers)

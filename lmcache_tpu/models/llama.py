@@ -174,6 +174,10 @@ class LlamaConfig:
     # learned per-head attention-sink logits joined to every softmax
     # normalization and then dropped (params["layers"]["sinks"] [L, H])
     attn_sinks: bool = False
+    # bias on the attention OUTPUT projection (GPT-OSS o_proj; HF
+    # zero-inits it so random-weight parity can't see a dropped load —
+    # released checkpoints carry trained values)
+    attention_out_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -368,7 +372,7 @@ class LlamaConfig:
         # 8192-token chunks, post-rope L2 qk-norm, NoPE query
         # temperature, 16-expert sigmoid top-1 MoE with a shared expert
         return LlamaConfig(vocab_size=202048, dim=5120, n_layers=48,
-                           n_heads=40, n_kv_heads=8, hidden_dim=16384,
+                           n_heads=40, n_kv_heads=8, hidden_dim=8192,
                            rope_theta=500000.0, max_seq_len=10485760,
                            rope_interleaved=True, sliding_window=8192,
                            sliding_window_pattern=4,
@@ -393,6 +397,7 @@ class LlamaConfig:
                            n_heads=64, n_kv_heads=8, hidden_dim=2880,
                            head_dim_override=64, rope_theta=150000.0,
                            max_seq_len=131072, attention_bias=True,
+                           attention_out_bias=True,
                            attn_sinks=True, sliding_window=128,
                            sliding_window_pattern=2,
                            n_experts=32, n_experts_per_tok=4,
@@ -525,10 +530,12 @@ class LlamaConfig:
             n_heads=hc.num_attention_heads,
             n_kv_heads=getattr(hc, "num_key_value_heads",
                                hc.num_attention_heads),
-            # llama4: intermediate_size is the ROUTED expert width; the
-            # shared expert (our dense weights) uses intermediate_size_mlp
-            hidden_dim=(hc.intermediate_size_mlp if is_llama4
-                        else hc.intermediate_size),
+            # llama4: both the routed experts AND the shared expert are
+            # intermediate_size wide (HF Llama4TextMoe builds
+            # shared_expert = Llama4TextMLP(config), which defaults to
+            # intermediate_size; intermediate_size_mlp is only for the
+            # dense layers this port rejects)
+            hidden_dim=hc.intermediate_size,
             norm_eps=hc.rms_norm_eps,
             rope_theta=getattr(hc, "rope_theta", 10000.0),
             max_seq_len=hc.max_position_embeddings,
@@ -548,6 +555,8 @@ class LlamaConfig:
                        "gpt_oss" if is_gpt_oss else "softmax_topk"),
             moe_act_limit=float(getattr(hc, "swiglu_limit", 7.0)),
             attn_sinks=is_gpt_oss,
+            attention_out_bias=bool(
+                is_gpt_oss and getattr(hc, "attention_bias", False)),
             rotary_dim=rotary_dim,
             # HF's glm/glm4 ports apply cos/sin via repeat_interleave +
             # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
@@ -642,6 +651,8 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
         layers["bq"] = jnp.zeros((L, nh * hd), dt)
         layers["bk"] = jnp.zeros((L, nkv * hd), dt)
         layers["bv"] = jnp.zeros((L, nkv * hd), dt)
+    if cfg.attention_out_bias:
+        layers["bo"] = jnp.zeros((L, dim), dt)
     if cfg.post_norms:
         layers["post_attn_norm"] = nw((L, dim), dt)
         layers["post_mlp_norm"] = nw((L, dim), dt)
@@ -801,6 +812,8 @@ def load_hf(model_name: str,
         layers["bq"] = stack_vec("model.layers.{}.self_attn.q_proj.bias")
         layers["bk"] = stack_vec("model.layers.{}.self_attn.k_proj.bias")
         layers["bv"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
+    if cfg.attention_out_bias:
+        layers["bo"] = stack_vec("model.layers.{}.self_attn.o_proj.bias")
     if cfg.post_norms:
         if "model.layers.0.pre_feedforward_layernorm.weight" in sd:
             # Gemma-2 sandwich naming: the pre-MLP norm is
@@ -907,6 +920,8 @@ def _attn_residual(x, attn_flat, lp, cfg):
     [B, T, H*D]), with the Glm4-0414 sandwich norm on the o_proj output
     when the family has one."""
     y = attn_flat.astype(x.dtype) @ lp["wo"]
+    if cfg.attention_out_bias:
+        y = y + lp["bo"]
     if cfg.post_norms:
         y = _rms_norm(y, lp["post_attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
     return x + y

@@ -179,6 +179,15 @@ class APIServer:
                             req.output_tokens):
                         break
                     await asyncio.sleep(0.005)
+                # terminal chunk: clients that stop on finish_reason
+                # (common SDK pattern) must see one before [DONE]
+                await resp.write(("data: " + json.dumps({
+                    "id": f"cmpl-{req.request_id}",
+                    "object": "text_completion",
+                    "model": self.model_name,
+                    "choices": [{"index": 0, "text": "",
+                                 "finish_reason": "stop"}],
+                }) + "\n\n").encode())
                 await resp.write(b"data: [DONE]\n\n")
                 await resp.write_eof()
                 return resp
@@ -271,6 +280,13 @@ class APIServer:
                             and sent == len(req.output_tokens)):
                         break
                     await asyncio.sleep(0.005)
+                await resp.write(("data: " + json.dumps({
+                    "id": f"chatcmpl-{req.request_id}",
+                    "object": "chat.completion.chunk",
+                    "model": self.model_name,
+                    "choices": [{"index": 0, "delta": {},
+                                 "finish_reason": "stop"}],
+                }) + "\n\n").encode())
                 await resp.write(b"data: [DONE]\n\n")
                 await resp.write_eof()
                 return resp

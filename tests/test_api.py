@@ -78,7 +78,11 @@ def test_streaming(server):
         raw = (await r.read()).decode()
         events = [ln for ln in raw.split("\n\n") if ln.startswith("data: ")]
         assert events[-1] == "data: [DONE]"
-        assert len(events) == 4  # 3 tokens + DONE
+        # 3 tokens + terminal finish_reason chunk + DONE
+        assert len(events) == 5
+        import json as _json
+        assert _json.loads(events[-2][6:])["choices"][0][
+            "finish_reason"] == "stop"
 
     asyncio.run(_with_client(server, body))
 
@@ -195,7 +199,9 @@ def test_chat_completions():
                                         "max_tokens": 3})
             assert r.status == 200
             text = (await r.read()).decode()
-            assert text.count("chat.completion.chunk") == 3
+            # 3 token deltas + the terminal finish_reason chunk
+            assert text.count("chat.completion.chunk") == 4
+            assert '"finish_reason": "stop"' in text
             assert text.strip().endswith("data: [DONE]")
             assert '"role": "assistant"' in text
 

@@ -165,12 +165,14 @@ def test_blend_exact_anchor_other_families(family_kw):
             for _ in range(3)]
     full = np.concatenate(docs)
 
+    per_layer = (cfg.rope_local_theta is not None
+                 or cfg.nope_on_global_layers)
     blobs = [_standalone_blob(cfg, params, d) for d in docs]
     blended = blend.assemble_chunks(
         blobs, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved,
         local_theta=cfg.rope_local_theta,
-        global_layers=(tuple(cfg.layer_windows())
-                       if cfg.rope_local_theta is not None else None))
+        global_layers=(tuple(cfg.layer_windows()) if per_layer else None),
+        nope_global=cfg.nope_on_global_layers)
     logits, kv = blend.blend_prefill(params, cfg, jnp.asarray(full),
                                      blended, len(full))
     gold_logits, gold_kv = _golden_logits(cfg, params, full)
@@ -178,3 +180,63 @@ def test_blend_exact_anchor_other_families(family_kw):
                                rtol=2e-3)
     np.testing.assert_allclose(np.asarray(kv), gold_kv, atol=2e-3,
                                rtol=2e-3)
+
+@pytest.mark.parametrize("family_kw", [
+    dict(),                                            # uniform rope
+    dict(sliding_window=16, global_layer_map=(False, True),
+         rope_theta=1e6, rope_local_theta=1e4),        # Gemma-3 dual theta
+    dict(rope_interleaved=True, sliding_window=16,
+         global_layer_map=(False, True), local_attention_kind="chunked",
+         nope_on_global_layers=True),                  # Llama-4 iRoPE
+])
+def test_assemble_shift_selects_per_layer_freqs(family_kw):
+    """assemble_chunks must re-rotate each layer's cached keys at THAT
+    layer's frequencies — global layers at the scaled rope_theta set,
+    Gemma-3 sliding layers at rope_local_theta, Llama-4 NoPE layers not
+    at all. The golden applies the delta rotation per layer through
+    llama._rope with the layer's _layer_rope_freqs. (The ratio=1.0
+    anchor can't see a wrong shift: it recomputes every token's KV
+    before attending — this pins the assemble path itself.)"""
+    cfg = llama.LlamaConfig.tiny(n_layers=2, **family_kw)
+    params = llama.init_params(jax.random.PRNGKey(9), cfg)
+    rng = np.random.default_rng(10)
+    tA, tB = 24, 24
+    A = rng.integers(0, cfg.vocab_size, tA, dtype=np.int32)
+    B = rng.integers(0, cfg.vocab_size, tB, dtype=np.int32)
+
+    per_layer = (cfg.rope_local_theta is not None
+                 or cfg.nope_on_global_layers)
+    wins = cfg.layer_windows()
+    blobA = _standalone_blob(cfg, params, A)
+    blobB = _standalone_blob(cfg, params, B)
+    blended = blend.assemble_chunks(
+        [blobA, blobB], cfg.rope_theta, cfg.rotary_dim,
+        cfg.rope_interleaved, cfg.rope_scaling_spec,
+        local_theta=cfg.rope_local_theta,
+        global_layers=(tuple(wins) if per_layer else None),
+        nope_global=cfg.nope_on_global_layers)
+
+    # chunk A is unshifted; chunk B's keys rotate by tA at each layer's
+    # own frequencies; values never rotate
+    np.testing.assert_allclose(np.asarray(blended[:, :, :tA]),
+                               np.asarray(blobA), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(blended[:, 1, tA:]),
+                               np.asarray(blobB[:, 1]), atol=1e-6)
+    delta = jnp.full((1, tB), float(tA))
+    for layer in range(cfg.n_layers):
+        if per_layer:
+            fl = llama._layer_rope_freqs(cfg, bool(wins[layer]))
+            freqs = (fl[0], 1.0)  # the shift is a pure rotation
+        else:
+            freqs = None
+        gk = llama._rope(blobB[layer, 0][None], delta, cfg.rope_theta,
+                         cfg.rotary_dim, cfg.rope_interleaved,
+                         cfg.rope_scaling_spec, freqs=freqs)[0]
+        np.testing.assert_allclose(np.asarray(blended[layer, 0, tA:]),
+                                   np.asarray(gk), atol=2e-5, rtol=2e-5,
+                                   err_msg=f"layer {layer}")
+    if cfg.nope_on_global_layers:
+        # the NoPE layer's keys must be bit-identical (no rotation)
+        glb = int(np.argmax(wins))
+        np.testing.assert_allclose(np.asarray(blended[glb, 0, tA:]),
+                                   np.asarray(blobB[glb, 0]), atol=1e-6)

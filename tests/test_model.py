@@ -1041,7 +1041,9 @@ def test_matches_huggingface_llama4(tmp_path):
     assert cfg.nope_on_global_layers and cfg.qk_l2_norm
     assert cfg.attn_temperature_tuning and cfg.attn_floor_scale == 8.0
     assert cfg.moe_style == "llama4" and cfg.n_experts == E
-    assert cfg.moe_hidden_dim == 32 and cfg.hidden_dim == 64
+    # routed AND shared experts are intermediate_size wide in HF
+    # (intermediate_size_mlp only feeds the dense layers we reject)
+    assert cfg.moe_hidden_dim == 32 and cfg.hidden_dim == 32
     assert cfg.rope_interleaved
     assert list(cfg.layer_windows()) == [False, False, False, True]
     cfg, params = llama.load_hf(str(path), cfg)
