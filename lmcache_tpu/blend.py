@@ -171,7 +171,10 @@ def blend_prefill(
         """q or k heads [1, t, H, D]: project, per-head qk-norm (Qwen3),
         rope, post-rope L2 norm + NoPE query temperature (Llama-4) —
         mirroring models.llama._qkv_heads for gathered tokens."""
-        y = _proj(h, lp, w, b).reshape(1, -1, n_heads, D)
+        y = _proj(h, lp, w, b)
+        if cfg.qk_norm_flat:  # OLMo-2: full-width norm pre-reshape
+            y = _rms_norm(y, lp[norm], cfg.norm_eps, cfg.norm_one_offset)
+        y = y.reshape(1, -1, n_heads, D)
         if cfg.qk_norm:
             y = _rms_norm(y, lp[norm], cfg.norm_eps, cfg.norm_one_offset)
         y = _rope(y, pos, cfg.rope_theta, cfg.rotary_dim,
@@ -191,7 +194,7 @@ def blend_prefill(
 
     # ---- pass 1: exact layer 0 for ALL tokens + true layer-1 KV ----------
     x = llama._embed(params, cfg, tokens)  # [T, dim]
-    h = _rms_norm(x, lp0["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+    h = llama._attn_input(x, lp0, cfg)
     g0 = bool(wins[0])
     f0 = _freqs(g0)
     q0 = _qk(h, lp0, "wq", "bq", "q_norm", cfg.n_heads, positions[None],
@@ -211,7 +214,7 @@ def blend_prefill(
     # true layer-1 KV for all tokens (cheap: projections only)
     lp1 = jax.tree.map(lambda a: a[min(1, cfg.n_layers - 1)],
                        params["layers"])
-    h1 = _rms_norm(x, lp1["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+    h1 = llama._attn_input(x, lp1, cfg)
     g1 = bool(wins[min(1, cfg.n_layers - 1)])
     k1_true = _qk(h1, lp1, "wk", "bk", "k_norm", Hkv, positions[None],
                   freqs=_freqs(g1), g=g1)[0]
@@ -236,7 +239,7 @@ def blend_prefill(
     def layer(carry, scanned):
         xs, _ = carry
         lp, kv_l, g = scanned  # kv_l: [2, T, H_kv, D]
-        h = _rms_norm(xs, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        h = llama._attn_input(xs, lp, cfg)
         n = xs.shape[0]
         fl = _freqs(g)
         q = _qk(h, lp, "wq", "bq", "q_norm", cfg.n_heads, sel_pos[None],

@@ -97,6 +97,13 @@ class LlamaConfig:
     # on the attention and MLP *outputs* before the residual add
     # (post_self_attn_layernorm / post_mlp_layernorm in modeling_glm4)
     post_norms: bool = False
+    # pre-norms on the block INPUTS (llama convention). OLMo-2 norms
+    # only the outputs: pre_norms=False + post_norms=True reproduces
+    # x + norm(attn(x)) / x + norm(mlp(x)) (modeling_olmo2)
+    pre_norms: bool = True
+    # RMSNorm over the FULL projected q/k vectors ([H*D]) before the
+    # head reshape and rope (OLMo-2) — unlike qk_norm's per-head norm
+    qk_norm_flat: bool = False
     # per-head RMSNorm on q and k before RoPE (Qwen3 family)
     qk_norm: bool = False
     # sparse mixture-of-experts MLP (Mixtral / Qwen3-MoE families);
@@ -388,6 +395,17 @@ class LlamaConfig:
                            rope_original_max_seq=8192)
 
     @staticmethod
+    def olmo2_7b() -> "LlamaConfig":
+        # allenai/OLMo-2-1124-7B: norms on the block OUTPUTS only
+        # (x + norm(attn(x))), full-width qk-norms before the head
+        # reshape, otherwise llama geometry
+        return LlamaConfig(vocab_size=100352, dim=4096, n_layers=32,
+                           n_heads=32, n_kv_heads=32, hidden_dim=11008,
+                           rope_theta=500000.0, max_seq_len=4096,
+                           pre_norms=False, post_norms=True,
+                           qk_norm_flat=True)
+
+    @staticmethod
     def gpt_oss_20b() -> "LlamaConfig":
         # openai/gpt-oss-20b: per-head attention SINKS joined to every
         # softmax, alternating 128-token sliding / full layers
@@ -562,8 +580,11 @@ class LlamaConfig:
             # interleaved rotate_half (modeling_glm.py / modeling_glm4.py)
             rope_interleaved=model_type in ("glm", "glm4",
                                             "llama4_text"),
-            post_norms=model_type in ("glm4", "gemma2", "gemma3_text"),
+            post_norms=model_type in ("glm4", "gemma2", "gemma3_text",
+                                      "olmo2"),
+            pre_norms=model_type != "olmo2",
             qk_norm=model_type in ("qwen3", "qwen3_moe", "gemma3_text"),
+            qk_norm_flat=model_type == "olmo2",
             head_dim_override=(
                 head_dim if head_dim != hc.hidden_size
                 // hc.num_attention_heads else None),
@@ -619,13 +640,14 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
     # identity norm weight: 1.0 normally, 0.0 for (1 + w) families
     nw = jnp.zeros if cfg.norm_one_offset else jnp.ones
     layers = {
-        "attn_norm": nw((L, dim), dt),
         "wq": w(keys[1], (L, dim, nh * hd), dim),
         "wk": w(keys[2], (L, dim, nkv * hd), dim),
         "wv": w(keys[3], (L, dim, nkv * hd), dim),
         "wo": w(keys[4], (L, nh * hd, dim), nh * hd),
-        "mlp_norm": nw((L, dim), dt),
     }
+    if cfg.pre_norms:
+        layers["attn_norm"] = nw((L, dim), dt)
+        layers["mlp_norm"] = nw((L, dim), dt)
     if cfg.n_experts:
         E = cfg.n_experts
         mh = cfg.moe_hidden_dim or hid
@@ -659,6 +681,9 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
     if cfg.qk_norm:
         layers["q_norm"] = nw((L, hd), dt)
         layers["k_norm"] = nw((L, hd), dt)
+    if cfg.qk_norm_flat:
+        layers["q_norm"] = nw((L, nh * hd), dt)
+        layers["k_norm"] = nw((L, nkv * hd), dt)
     if cfg.attn_sinks:
         layers["sinks"] = jnp.zeros((L, nh), dt)
     return {
@@ -717,14 +742,16 @@ def load_hf(model_name: str,
         wk = stack("model.layers.{}.self_attn.k_proj.weight")
         wv = stack("model.layers.{}.self_attn.v_proj.weight")
     layers = {
-        "attn_norm": stack_vec("model.layers.{}.input_layernorm.weight"),
         "wq": wq,
         "wk": wk,
         "wv": wv,
         "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-        "mlp_norm":
-        stack_vec("model.layers.{}.post_attention_layernorm.weight"),
     }
+    if cfg.pre_norms:
+        layers["attn_norm"] = stack_vec(
+            "model.layers.{}.input_layernorm.weight")
+        layers["mlp_norm"] = stack_vec(
+            "model.layers.{}.post_attention_layernorm.weight")
     if (cfg.n_experts and
             "model.layers.0.feed_forward.experts.gate_up_proj" in sd):
         # Llama-4: experts are fused 3-D parameters already in x @ W
@@ -814,7 +841,13 @@ def load_hf(model_name: str,
         layers["bv"] = stack_vec("model.layers.{}.self_attn.v_proj.bias")
     if cfg.attention_out_bias:
         layers["bo"] = stack_vec("model.layers.{}.self_attn.o_proj.bias")
-    if cfg.post_norms:
+    if cfg.post_norms and not cfg.pre_norms:
+        # OLMo-2: the ONLY norms are on the block outputs
+        layers["post_attn_norm"] = stack_vec(
+            "model.layers.{}.post_attention_layernorm.weight")
+        layers["post_mlp_norm"] = stack_vec(
+            "model.layers.{}.post_feedforward_layernorm.weight")
+    elif cfg.post_norms:
         if "model.layers.0.pre_feedforward_layernorm.weight" in sd:
             # Gemma-2 sandwich naming: the pre-MLP norm is
             # pre_feedforward_layernorm and post_attention_layernorm is
@@ -831,7 +864,7 @@ def load_hf(model_name: str,
                 "model.layers.{}.post_self_attn_layernorm.weight")
             layers["post_mlp_norm"] = stack_vec(
                 "model.layers.{}.post_mlp_layernorm.weight")
-    if cfg.qk_norm:
+    if cfg.qk_norm or cfg.qk_norm_flat:
         layers["q_norm"] = stack_vec("model.layers.{}.self_attn.q_norm.weight")
         layers["k_norm"] = stack_vec("model.layers.{}.self_attn.k_norm.weight")
     if cfg.attn_sinks:
@@ -913,6 +946,14 @@ def _act(x, kind):
     if kind == "gelu_tanh":
         return jax.nn.gelu(x, approximate=True)
     raise ValueError(f"unknown mlp_act {kind!r}")
+
+
+def _attn_input(x, lp, cfg):
+    """Block input to the attention projections: pre-normed (llama
+    convention) or raw (OLMo-2 norms outputs only)."""
+    if not cfg.pre_norms:
+        return x
+    return _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
 
 
 def _attn_residual(x, attn_flat, lp, cfg):
@@ -1029,7 +1070,8 @@ def _mlp_residual(x, lp, cfg):
     """MLP + residual: dense SwiGLU or sparse MoE (cfg.n_experts), with
     the Glm4-0414 sandwich norm on the output when the family has
     one."""
-    h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps, cfg.norm_one_offset)
+    h = (_rms_norm(x, lp["mlp_norm"], cfg.norm_eps, cfg.norm_one_offset)
+         if cfg.pre_norms else x)
     if cfg.n_experts:
         y = _moe_mlp(h, lp, cfg)
     else:
@@ -1098,6 +1140,10 @@ def _qkv_heads(h, lp, cfg, positions, g=None):
     families (Gemma-3)."""
     B, T = h.shape[:2]
     q, k, v = _qkv(h, lp, cfg)
+    if cfg.qk_norm_flat:
+        # OLMo-2: full-width RMSNorm before the head reshape and rope
+        q = _rms_norm(q, lp["q_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        k = _rms_norm(k, lp["k_norm"], cfg.norm_eps, cfg.norm_one_offset)
     q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -1413,7 +1459,7 @@ def forward(
 
     def layer(x, scanned):
         lp, cache_l, g = scanned  # cache_l: [2, B, H_kv, S, D]
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        h = _attn_input(x, lp, cfg)
         q, k, v = _qkv_heads(h, lp, cfg, positions, g)
 
         new_k = write_at(cache_l[0], k.astype(cache_l.dtype), start_pos)
@@ -1473,7 +1519,7 @@ def forward_ring(
 
     def layer(x, scanned):
         lp, g = scanned
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        h = _attn_input(x, lp, cfg)
         q, k, v = _qkv_heads(h, lp, cfg, positions, g)
         attn = ring_attention(
             q, k, v, q_off, kv_len, mesh,
@@ -1576,7 +1622,7 @@ def forward_quantized(
 
     def layer(x, scanned):
         lp, cache_l, g = scanned  # {"sym" [2,B,H,S,D], "scale" [2,B,S]}
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        h = _attn_input(x, lp, cfg)
         q, k, v = _qkv_heads(h, lp, cfg, positions, g)
 
         k_sym, k_scale = quant_tokens(k)

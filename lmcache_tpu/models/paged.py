@@ -229,7 +229,7 @@ def forward_paged(
 
     def layer(x, scanned):
         lp, pool_l, g = scanned  # pool_l: [2, P, H_kv, page, D]
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        h = llama._attn_input(x, lp, cfg)
         q, k, v = _qkv_heads(h, lp, cfg, positions, g)
 
         # scatter [B, T, H, D] new tokens into head-major pages:
@@ -332,7 +332,7 @@ def forward_paged_quantized(
 
     def layer(x, scanned):
         lp, pool_l, g = scanned  # {"sym" [2,P,H,page,D], "scale" ...}
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        h = llama._attn_input(x, lp, cfg)
         q, k, v = _qkv_heads(h, lp, cfg, positions, g)
 
         k_sym, k_scale = quant_tokens(k)

@@ -1391,3 +1391,81 @@ def test_from_hf_rejects_mixed_sparse():
                     return_value=hc):
         with pytest.raises(NotImplementedError, match="mlp_only_layers"):
             llama.LlamaConfig.from_hf("local/qwen3-moe-mixed")
+
+
+def test_matches_huggingface_olmo2(tmp_path):
+    """OLMo-2 end-to-end through load_hf: norms on the block OUTPUTS
+    only (x + norm(attn(x)) — no input layernorms exist in the
+    checkpoint) and full-width q/k RMSNorms applied before the head
+    reshape and rope — vs transformers' Olmo2ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    L = 2
+    hf_cfg = Olmo2Config(vocab_size=128, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=L,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=256, rms_norm_eps=1e-5,
+                         rope_theta=10000.0, tie_word_embeddings=False,
+                         attention_dropout=0.0, pad_token_id=0)
+    torch.manual_seed(77)
+    hf_model = Olmo2ForCausalLM(hf_cfg).eval().float()
+    sd = hf_model.state_dict()
+    assert "model.layers.0.input_layernorm.weight" not in sd
+    assert "model.layers.0.post_feedforward_layernorm.weight" in sd
+    # q_norm is FULL width (nh*hd = 64), not per-head (16)
+    assert sd["model.layers.0.self_attn.q_norm.weight"].shape == (64,)
+    # break the norms away from identity so reordering is load-bearing
+    with torch.no_grad():
+        for i in range(L):
+            sd[f"model.layers.{i}.post_attention_layernorm.weight"].mul_(
+                1.0 + 0.1 * (i + 1))
+            sd[f"model.layers.{i}.self_attn.q_norm.weight"].mul_(0.9)
+    path = tmp_path / "tiny-olmo2"
+    hf_model.save_pretrained(path)
+
+    import dataclasses
+    cfg = dataclasses.replace(llama.LlamaConfig.from_hf(str(path)),
+                              dtype="float32")
+    assert not cfg.pre_norms and cfg.post_norms and cfg.qk_norm_flat
+    cfg, params = llama.load_hf(str(path), cfg)
+    assert "attn_norm" not in params["layers"]
+    assert params["layers"]["q_norm"].shape == (L, 64)
+
+    B, T = 2, 33
+    ids = np.random.default_rng(78).integers(0, 128, (B, T))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    cache = llama.new_kv_cache(cfg, B, 64)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
+
+    # prefill/decode split agrees
+    cache2 = llama.new_kv_cache(cfg, B, 64)
+    _, cache2 = llama.forward(params, cfg,
+                              jnp.asarray(ids[:, :T - 1], jnp.int32),
+                              jnp.zeros(B, jnp.int32), cache2,
+                              use_pallas=False)
+    l2, _ = llama.forward(params, cfg,
+                          jnp.asarray(ids[:, T - 1:], jnp.int32),
+                          jnp.full((B,), T - 1, jnp.int32), cache2,
+                          use_pallas=False)
+    np.testing.assert_allclose(np.asarray(l2[:, 0]),
+                               np.asarray(logits[:, -1]), atol=1e-4,
+                               rtol=1e-4)
+
+    # paged path applies the same norm ordering
+    from lmcache_tpu.models.paged import forward_paged, new_paged_kv_pool
+    pool = new_paged_kv_pool(cfg, 16, 16)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        for j in range(3):
+            table[b, j] = 1 + b * 3 + j
+    plogits, _ = forward_paged(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.zeros(B, jnp.int32), pool,
+                               jnp.asarray(table), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(plogits), hf_logits, atol=2e-3,
+                               rtol=2e-3)
