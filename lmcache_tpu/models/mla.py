@@ -290,6 +290,22 @@ def new_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> jax.Array:
                      jnp.dtype(cfg.dtype))
 
 
+def new_quantized_latent_cache(cfg: MLAConfig, batch: int,
+                               max_len: int):
+    """Int8 latent pool: ``{"sym" [L, B, S, r+p] int8,
+    "scale" [L, B, S] f32}`` (per-token scales over the latent dim).
+
+    The latent is already ~57x smaller than expanded KV at DeepSeek-V2
+    geometry; int8 halves the decode-critical HBM stream again (~114x)
+    with the dequant fused into the latent MQA kernel
+    (ops/latent_attention.quantized_latent_flash_attention)."""
+    return {
+        "sym": jnp.zeros((cfg.n_layers, batch, max_len, cfg.latent_dim),
+                         jnp.int8),
+        "scale": jnp.ones((cfg.n_layers, batch, max_len), jnp.float32),
+    }
+
+
 def new_paged_latent_pool(cfg: MLAConfig, num_pages: int,
                           page_size: int) -> jax.Array:
     """Paged latent arena ``[L, P, page, r+p]``. Page 0 is the null page
@@ -510,7 +526,8 @@ def load_hf(model_name: str,
 # ---------------------------------------------------------------------------
 
 
-def _shard_latent_attend(attend, mesh, n_heads: int, batch: int):
+def _shard_latent_attend(attend, mesh, n_heads: int, batch: int,
+                         quantized: bool = False):
     """Wrap the latent MQA kernel in ``shard_map`` over ``mesh``.
 
     Absorbed MLA is MQA: every query head attends to the SAME latent
@@ -534,7 +551,12 @@ def _shard_latent_attend(attend, mesh, n_heads: int, batch: int):
     qspec = P(bax, None, "model", None)  # [B, T, H, C] q heads
     lat = P(bax, None, None)  # [B, S, r+p] one stream, replicated on tp
     vec = P(bax,)  # [B]
-    return shard_map_unchecked(attend, mesh, in_specs=(qspec, lat, vec, vec),
+    if quantized:
+        scl = P(bax, None)  # [B, S] per-token scales
+        in_specs = (qspec, lat, scl, vec, vec)
+    else:
+        in_specs = (qspec, lat, vec, vec)
+    return shard_map_unchecked(attend, mesh, in_specs=in_specs,
                      out_specs=qspec)
 
 
@@ -587,26 +609,53 @@ def _mla_attention(x, lp, cfg: MLAConfig, cache_l, start_pos, positions,
     H, r = cfg.n_heads, cfg.kv_lora_rank
 
     q_full, new_tok = _mla_project(x, lp, cfg, positions)
-    cache_l = jax.vmap(
-        lambda cb, nb, s: jax.lax.dynamic_update_slice(cb, nb, (s, 0)))(
-            cache_l, new_tok.astype(cache_l.dtype), start_pos)
-
     from lmcache_tpu.ops.latent_attention import (
-        latent_attention_reference, latent_flash_attention)
-    if use_pallas:
-        # stream in the pool's dtype (bf16 x bf16 -> f32 on the MXU)
-        impl = functools.partial(latent_flash_attention, rank=r,
-                                 scale=cfg.sm_scale)
-        if mesh is not None:
-            sharded = _shard_latent_attend(impl, mesh, H, B)
-            if sharded is not None:
-                impl = sharded
-        ctx = impl(q_full.astype(cache_l.dtype), cache_l, start_pos,
-                   start_pos + T)
+        latent_attention_reference, latent_flash_attention,
+        quantize_latents, quantized_latent_attention_reference,
+        quantized_latent_flash_attention)
+    if isinstance(cache_l, dict):
+        # int8 latent pool: quantize the new tokens' latents on write,
+        # fused dequant on read (per-token scale over the latent dim)
+        n_sym, n_sc = quantize_latents(new_tok)
+        sym = jax.vmap(
+            lambda cb, nb, s: jax.lax.dynamic_update_slice(
+                cb, nb, (s, 0)))(cache_l["sym"], n_sym, start_pos)
+        scl = jax.vmap(
+            lambda cb, nb, s: jax.lax.dynamic_update_slice(
+                cb, nb, (s,)))(cache_l["scale"], n_sc, start_pos)
+        cache_l = {"sym": sym, "scale": scl}
+        if use_pallas:
+            impl = functools.partial(quantized_latent_flash_attention,
+                                     rank=r, scale=cfg.sm_scale)
+            if mesh is not None:
+                sharded = _shard_latent_attend(impl, mesh, H, B,
+                                               quantized=True)
+                if sharded is not None:
+                    impl = sharded
+            ctx = impl(q_full.astype(jnp.dtype(cfg.dtype)), sym, scl,
+                       start_pos, start_pos + T)
+        else:
+            ctx = quantized_latent_attention_reference(
+                q_full, sym, scl, start_pos, start_pos + T, rank=r,
+                scale=cfg.sm_scale)
     else:
-        ctx = latent_attention_reference(q_full, cache_l, start_pos,
-                                         start_pos + T, rank=r,
-                                         scale=cfg.sm_scale)
+        cache_l = jax.vmap(
+            lambda cb, nb, s: jax.lax.dynamic_update_slice(cb, nb, (s, 0)))(
+                cache_l, new_tok.astype(cache_l.dtype), start_pos)
+        if use_pallas:
+            # stream in the pool's dtype (bf16 x bf16 -> f32 on the MXU)
+            impl = functools.partial(latent_flash_attention, rank=r,
+                                     scale=cfg.sm_scale)
+            if mesh is not None:
+                sharded = _shard_latent_attend(impl, mesh, H, B)
+                if sharded is not None:
+                    impl = sharded
+            ctx = impl(q_full.astype(cache_l.dtype), cache_l, start_pos,
+                       start_pos + T)
+        else:
+            ctx = latent_attention_reference(q_full, cache_l, start_pos,
+                                             start_pos + T, rank=r,
+                                             scale=cfg.sm_scale)
     attn = jnp.einsum("bthr,hrv->bthv", ctx,
                       lp["w_kb_v"].astype(jnp.float32))
     return attn.astype(x.dtype).reshape(B, T, H * cfg.v_head_dim), cache_l
@@ -720,20 +769,25 @@ def forward(
     x = params["embed"][tokens]
 
     kd = cfg.n_dense_layers
+
+    def csl(sl):  # layer-slice of the cache (int8 pools are trees)
+        return jax.tree.map(lambda a: a[sl], latent_cache)
+
     caches = []
     if kd:
         x, dense_cache = jax.lax.scan(
             _layer_block(cfg, False, start_pos, positions, use_pallas,
                          mesh), x,
-            (params["dense_layers"], latent_cache[:kd]))
+            (params["dense_layers"], csl(slice(None, kd))))
         caches.append(dense_cache)
     if kd < cfg.n_layers:
         x, moe_cache = jax.lax.scan(
             _layer_block(cfg, True, start_pos, positions, use_pallas,
                          mesh), x,
-            (params["moe_layers"], latent_cache[kd:]))
+            (params["moe_layers"], csl(slice(kd, None))))
         caches.append(moe_cache)
-    new_cache = caches[0] if len(caches) == 1 else jnp.concatenate(caches)
+    new_cache = (caches[0] if len(caches) == 1 else jax.tree.map(
+        lambda *xs: jnp.concatenate(xs), *caches))
 
     if last_logit_only:
         x = x[:, -1:]

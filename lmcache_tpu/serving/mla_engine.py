@@ -35,10 +35,6 @@ logger = init_logger(__name__)
 class MLAServingEngine(ServingEngine):
 
     def __init__(self, cfg: mla.MLAConfig, params, **kwargs):
-        if kwargs.get("kv_dtype", "native") != "native":
-            raise NotImplementedError(
-                "int8 latent pools are not implemented yet (the latent "
-                "cache is already ~57x smaller than expanded K/V)")
         super().__init__(cfg, params, **kwargs)
         if (self.mesh is not None and self.use_pallas
                 and cfg.n_heads % self.mesh.shape.get("model", 1)):
@@ -70,13 +66,17 @@ class MLAServingEngine(ServingEngine):
 
         @jax.jit
         def slice_out(pool, slot):
-            # latent pool [L, B, S, C]: slot axis is 1
-            return jax.lax.dynamic_slice_in_dim(pool, slot, 1, axis=1)
+            # latent pool leaves [L, B, S, ...]: slot axis is 1 (the
+            # int8 pool is a {"sym", "scale"} tree with the same axes)
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1,
+                                                       axis=1), pool)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def write_back(pool, slot_cache, slot):
-            return jax.lax.dynamic_update_slice_in_dim(pool, slot_cache,
-                                                       slot, axis=1)
+            return jax.tree.map(
+                lambda p, c: jax.lax.dynamic_update_slice_in_dim(
+                    p, c, slot, axis=1), pool, slot_cache)
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def decode_step(params, tokens, start, pool):
@@ -110,16 +110,42 @@ class MLAServingEngine(ServingEngine):
                 jnp.arange(decode_block, dtype=jnp.int32))
             return toks.T, pool
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def inject(pool, blob, slot, pos):
-            # latent wire blob [L, 1, t, 1, C] -> pool[:, slot, pos:pos+t]
-            upd = blob[:, 0, :, 0, :][:, None].astype(pool.dtype)
-            return jax.lax.dynamic_update_slice(pool, upd,
-                                                (0, slot, pos, 0))
+        quantized = self.kv_dtype == "int8"
+        cfg_dtype = jnp.dtype(cfg.dtype)
+        if quantized:
+            from lmcache_tpu.ops.latent_attention import (
+                dequantize_latents, quantize_latents)
 
-        @jax.jit
-        def read_slot(pool, slot):
-            return pool[:, slot][:, None, :, None, :]  # wire blob
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def inject(pool, blob, slot, pos):
+                # bf16 latent wire blob -> re-quantized into the int8
+                # pool (the wire format stays the lossless latent, so
+                # cached chunks remain tier/serde/server-compatible)
+                lat = blob[:, 0, :, 0, :]  # [L, t, C]
+                sym, sc = quantize_latents(lat)
+                new_sym = jax.lax.dynamic_update_slice(
+                    pool["sym"], sym[:, None], (0, slot, pos, 0))
+                new_sc = jax.lax.dynamic_update_slice(
+                    pool["scale"], sc[:, None], (0, slot, pos))
+                return {"sym": new_sym, "scale": new_sc}
+
+            @jax.jit
+            def read_slot(pool, slot):
+                lat = dequantize_latents(pool["sym"][:, slot],
+                                         pool["scale"][:, slot],
+                                         cfg_dtype)  # [L, S, C]
+                return lat[:, None, :, None, :]  # wire blob
+        else:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def inject(pool, blob, slot, pos):
+                # latent wire blob [L, 1, t, 1, C] -> pool[:, slot, pos:pos+t]
+                upd = blob[:, 0, :, 0, :][:, None].astype(pool.dtype)
+                return jax.lax.dynamic_update_slice(pool, upd,
+                                                    (0, slot, pos, 0))
+
+            @jax.jit
+            def read_slot(pool, slot):
+                return pool[:, slot][:, None, :, None, :]  # wire blob
 
         self._prefill_seg = prefill_seg
         self._slice_out = slice_out
@@ -131,6 +157,21 @@ class MLAServingEngine(ServingEngine):
         self._read_slot = read_slot
 
     def _alloc_pool(self):
+        if self.kv_dtype == "int8":
+            pool = mla.new_quantized_latent_cache(
+                self.cfg, self.B, self.S + self._write_horizon)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from lmcache_tpu.parallel.mesh import latent_cache_sharding
+                sym_sh = latent_cache_sharding(self.mesh)
+                pool = {
+                    "sym": jax.device_put(pool["sym"], sym_sh),
+                    "scale": jax.device_put(
+                        pool["scale"],
+                        NamedSharding(self.mesh, P(*sym_sh.spec[:3]))),
+                }
+            return pool
         pool = mla.new_latent_cache(self.cfg, self.B,
                                     self.S + self._write_horizon)
         if self.mesh is not None:

@@ -72,3 +72,40 @@ def test_forward_pallas_matches_einsum():
     # layer > 0 latents inherit the previous layer's kernel rounding
     np.testing.assert_allclose(np.asarray(got_cache),
                                np.asarray(ref_cache), atol=1e-5)
+
+
+def test_quantized_latent_kernel_matches_reference():
+    """Int8 latent kernel == dequantize-then-reference, and within the
+    quantization error bound of the exact latent attention."""
+    from lmcache_tpu.ops.latent_attention import (
+        latent_attention_reference, quantize_latents,
+        quantized_latent_attention_reference,
+        quantized_latent_flash_attention)
+
+    rng = np.random.default_rng(3)
+    B, T, H, C, S, r = 2, 4, 8, 160, 384, 128
+    q = jnp.asarray(rng.standard_normal((B, T, H, C)), jnp.float32)
+    lat = jnp.asarray(rng.standard_normal((B, S, C)), jnp.float32)
+    sym, sc = quantize_latents(lat)
+    o = jnp.asarray([100, 250], jnp.int32)
+    kvl = o + T
+
+    ref = quantized_latent_attention_reference(q, sym, sc, o, kvl,
+                                               rank=r, scale=C**-0.5)
+    out = quantized_latent_flash_attention(q, sym, sc, o, kvl, rank=r,
+                                           scale=C**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    exact = latent_attention_reference(q, lat, o, kvl, rank=r,
+                                       scale=C**-0.5)
+    assert float(np.max(np.abs(np.asarray(ref) - np.asarray(exact)))) < 0.05
+
+    # decode shape (T=1, flattened head rows)
+    q1 = jnp.asarray(rng.standard_normal((B, 1, H, C)), jnp.float32)
+    o1 = jnp.asarray([300, 128], jnp.int32)
+    ref = quantized_latent_attention_reference(q1, sym, sc, o1, o1 + 1,
+                                               rank=r, scale=C**-0.5)
+    out = quantized_latent_flash_attention(q1, sym, sc, o1, o1 + 1,
+                                           rank=r, scale=C**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

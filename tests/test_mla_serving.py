@@ -109,6 +109,41 @@ def test_decode_block_and_speculation_parity(setup):
 
 def test_unsupported_modes_fail_loudly(setup):
     cfg, params = setup
-    with pytest.raises(NotImplementedError, match="int8"):
+    with pytest.raises(ValueError, match="kv_dtype"):
         MLAServingEngine(cfg, params, max_batch=2, max_seq=256,
-                         kv_dtype="int8")
+                         kv_dtype="int4")
+
+
+def test_int8_latent_pool_serving(setup):
+    """kv_dtype="int8": the latent pool lives as int8 + per-token scales
+    (~114x smaller than expanded KV), with quantize-on-write and fused
+    dequant in the attention. Greedy decode is deterministic, cache
+    reuse reproduces the same output, and the logits stay close to the
+    native-dtype engine."""
+    cfg, params = setup
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(0, cfg.vocab_size, 70, dtype=np.int32)
+
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="tiny-mla-int8", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    eng = MLAServingEngine(cfg, params, max_batch=2, max_seq=256,
+                           cache_engine=ce, kv_dtype="int8")
+    assert isinstance(eng.kv_pool, dict)
+    assert eng.kv_pool["sym"].dtype == jnp.int8
+
+    [first] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert first.cached_prefix_len == 0
+    ce.engine_.flush()
+    [again] = eng.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert again.cached_prefix_len > 0
+    assert again.output_tokens == first.output_tokens
+
+    # int8 tracks the native engine closely (identical greedy tokens on
+    # this tiny model)
+    native = MLAServingEngine(cfg, params, max_batch=2, max_seq=256)
+    [g] = native.generate([prompt], SamplingParams(max_new_tokens=5))
+    assert g.output_tokens == first.output_tokens
+    ce.close()
