@@ -89,6 +89,13 @@ class APIServer:
         while req.state != RequestState.FINISHED:
             await asyncio.sleep(0.005)
 
+    @staticmethod
+    def _finish_reason(req, sampling) -> str:
+        """OpenAI semantics: "length" when truncated by max_tokens,
+        "stop" when generation ended on a stop condition."""
+        return ("length" if len(req.output_tokens)
+                >= sampling.max_new_tokens else "stop")
+
     def _render_chat(self, messages):
         """Render chat ``messages`` to a prompt (string or token ids).
 
@@ -185,8 +192,11 @@ class APIServer:
                     "id": f"cmpl-{req.request_id}",
                     "object": "text_completion",
                     "model": self.model_name,
-                    "choices": [{"index": 0, "text": "",
-                                 "finish_reason": "stop"}],
+                    "choices": [{
+                        "index": 0, "text": "",
+                        "finish_reason": self._finish_reason(
+                            req, sampling),
+                    }],
                 }) + "\n\n").encode())
                 await resp.write(b"data: [DONE]\n\n")
                 await resp.write_eof()
@@ -202,7 +212,7 @@ class APIServer:
                     "index": 0,
                     "text": self.detokenizer(req.output_tokens),
                     "tokens": req.output_tokens,
-                    "finish_reason": "stop",
+                    "finish_reason": self._finish_reason(req, sampling),
                 }],
                 "usage": {
                     "prompt_tokens": req.num_prompt_tokens,
@@ -284,8 +294,11 @@ class APIServer:
                     "id": f"chatcmpl-{req.request_id}",
                     "object": "chat.completion.chunk",
                     "model": self.model_name,
-                    "choices": [{"index": 0, "delta": {},
-                                 "finish_reason": "stop"}],
+                    "choices": [{
+                        "index": 0, "delta": {},
+                        "finish_reason": self._finish_reason(
+                            req, sampling),
+                    }],
                 }) + "\n\n").encode())
                 await resp.write(b"data: [DONE]\n\n")
                 await resp.write_eof()
@@ -304,7 +317,7 @@ class APIServer:
                         "content": self.detokenizer(req.output_tokens),
                     },
                     "tokens": req.output_tokens,
-                    "finish_reason": "stop",
+                    "finish_reason": self._finish_reason(req, sampling),
                 }],
                 "usage": {
                     "prompt_tokens": req.num_prompt_tokens,

@@ -81,8 +81,9 @@ def test_streaming(server):
         # 3 tokens + terminal finish_reason chunk + DONE
         assert len(events) == 5
         import json as _json
+        # bounded by max_tokens -> "length" (OpenAI semantics)
         assert _json.loads(events[-2][6:])["choices"][0][
-            "finish_reason"] == "stop"
+            "finish_reason"] == "length"
 
     asyncio.run(_with_client(server, body))
 
@@ -201,7 +202,7 @@ def test_chat_completions():
             text = (await r.read()).decode()
             # 3 token deltas + the terminal finish_reason chunk
             assert text.count("chat.completion.chunk") == 4
-            assert '"finish_reason": "stop"' in text
+            assert '"finish_reason": "length"' in text
             assert text.strip().endswith("data: [DONE]")
             assert '"role": "assistant"' in text
 

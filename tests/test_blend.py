@@ -153,6 +153,8 @@ def test_cache_blender_end_to_end(setup):
          nope_on_global_layers=True, qk_l2_norm=True,
          attn_temperature_tuning=True,
          attn_floor_scale=16.0),                     # Llama-4-style iRoPE
+    dict(pre_norms=False, post_norms=True,
+         qk_norm_flat=True),                         # OLMo-2-style
 ])
 def test_blend_exact_anchor_other_families(family_kw):
     """ratio=1.0 blending must equal a full prefill for bias and
