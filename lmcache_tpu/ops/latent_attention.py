@@ -59,9 +59,17 @@ def latent_attention_reference(q_full, latents, q_offset, kv_len, *,
     return jnp.einsum("bhts,bsr->bthr", probs, lat[..., :rank])
 
 
-def _latent_kernel(q_off_ref, kv_len_ref, q_ref, kv_ref, o_ref, m_scr,
-                   l_scr, acc_scr, *, block_r, block_k, n_tok, rank,
-                   scale):
+def _latent_kernel(q_off_ref, kv_len_ref, *refs, block_r, block_k,
+                   n_tok, rank, scale, has_scale=False):
+    """Shared body for the bf16 and int8 latent streams: with
+    ``has_scale`` the block is int8 and its per-token scales correct
+    score COLUMNS and probability COLUMNS (the fused-dequant trick of
+    ops/quantized_attention.py, on the one MQA stream)."""
+    if has_scale:
+        q_ref, kv_ref, sc_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, kv_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        sc_ref = None
     b = pl.program_id(0)
     ir = pl.program_id(1)
     ik = pl.program_id(2)
@@ -81,10 +89,15 @@ def _latent_kernel(q_off_ref, kv_len_ref, q_ref, kv_ref, o_ref, m_scr,
     # Matmuls run in the NATIVE dtype (MXU bf16 x bf16 -> f32
     # accumulate): f32 in-kernel copies blow the VMEM budget at H=128.
     q = q_ref[0]  # [block_r, C]
-    kv = kv_ref[0]  # [bk, C] — the ONE stream
+    kv = kv_ref[0].astype(q.dtype)  # [bk, C] — the ONE stream (int8
+    #                                 dequantizes into the query dtype)
 
     s = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
+    if has_scale:
+        s = s * (sc_ref[0].astype(jnp.float32) * scale)
+    else:
+        s = s * scale
 
     g = (ir * block_r + jax.lax.broadcasted_iota(
         jnp.int32, (block_r, block_k), 0))
@@ -101,9 +114,11 @@ def _latent_kernel(q_off_ref, kv_len_ref, q_ref, kv_ref, o_ref, m_scr,
     p = jnp.exp(s - m_new)
 
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-    # value = the latent prefix of the SAME block already in VMEM
+    # value = the latent prefix of the SAME block already in VMEM; with
+    # scales, the probabilities absorb the per-token scale first
+    pv = (p * sc_ref[0].astype(jnp.float32)) if has_scale else p
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        p.astype(kv.dtype), kv[:, :rank], (((1,), (0,)), ((), ())),
+        pv.astype(kv.dtype), kv[:, :rank], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_scr[:] = m_new
 
@@ -137,6 +152,15 @@ def latent_flash_attention(
     """Single-read streaming MLA attention; see module docstring.
 
     Returns [B, T, H, rank] latent-space context in q_full's dtype."""
+    return _latent_call(q_full, latents, None, q_offset, kv_len,
+                        rank=rank, scale=scale, block_q=block_q,
+                        block_k=block_k, interpret=interpret)
+
+
+def _latent_call(q_full, latents, lat_scale, q_offset, kv_len, *, rank,
+                 scale, block_q, block_k, interpret):
+    """Shared pallas_call builder for the bf16 and int8 latent
+    streams (``lat_scale`` present => int8 with fused dequant)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, C = q_full.shape
@@ -154,20 +178,28 @@ def latent_flash_attention(
     qh = jnp.pad(qh, ((0, 0), (0, Rp - R), (0, 0)))
     lat = jnp.pad(latents, ((0, 0), (0, Sp - S), (0, 0)))
 
+    has_scale = lat_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, bR, C), lambda b, ir, ik, *_: (b, ir, 0)),
+        pl.BlockSpec((1, bk, C), lambda b, ir, ik, *_: (b, ik, 0)),
+    ]
+    inputs = [qh, lat]
+    if has_scale:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bk), lambda b, ir, ik, *_: (b, 0, ik)))
+        inputs.append(jnp.pad(lat_scale,
+                              ((0, 0), (0, Sp - S)))[:, None, :])
+
     grid = (B, Rp // bR, Sp // bk)
     kernel = functools.partial(_latent_kernel, block_r=bR, block_k=bk,
-                               n_tok=T, rank=rank, scale=scale)
+                               n_tok=T, rank=rank, scale=scale,
+                               has_scale=has_scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bR, C),
-                             lambda b, ir, ik, *_: (b, ir, 0)),
-                pl.BlockSpec((1, bk, C),
-                             lambda b, ir, ik, *_: (b, ik, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, bR, rank),
                                    lambda b, ir, ik, *_: (b, ir, 0)),
             scratch_shapes=[
@@ -178,7 +210,7 @@ def latent_flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((B, Rp, rank), q_full.dtype),
         interpret=interpret,
-    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), qh, lat)
+    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), *inputs)
     return out[:, :R].reshape(B, H, T, rank).transpose(0, 2, 1, 3)
 
 
@@ -213,61 +245,6 @@ def quantized_latent_attention_reference(q_full, lat_sym, lat_scale,
         rank=rank, scale=scale)
 
 
-def _qlatent_kernel(q_off_ref, kv_len_ref, q_ref, kv_ref, sc_ref, o_ref,
-                    m_scr, l_scr, acc_scr, *, block_r, block_k, n_tok,
-                    rank, scale):
-    """Int8 variant of :func:`_latent_kernel`: the latent block streams
-    as int8 (half the decode-critical bytes) and the per-token scales
-    correct score COLUMNS and probability COLUMNS — the same fused
-    dequant trick as ops/quantized_attention.py, on the one MQA
-    stream."""
-    b = pl.program_id(0)
-    ir = pl.program_id(1)
-    ik = pl.program_id(2)
-    num_k = pl.num_programs(2)
-
-    @pl.when(ik == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0]  # [block_r, C]
-    kv = kv_ref[0].astype(q.dtype)  # int8 -> query dtype in-register
-    sc = sc_ref[0].astype(jnp.float32)  # [1, bk]
-
-    s = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s * (sc * scale)  # fused latent dequant: per-column correction
-
-    g = (ir * block_r + jax.lax.broadcasted_iota(
-        jnp.int32, (block_r, block_k), 0))
-    qpos = q_off_ref[b] + g % n_tok
-    kpos = (ik * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_r, block_k), 1))
-    mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
-    s = jnp.where(mask, s, _NEG_INF)
-
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-    # value dequant: probabilities absorb the per-token scale, then the
-    # int8 latent prefix multiplies at matmul rate
-    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        (p * sc).astype(kv.dtype), kv[:, :rank],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    m_scr[:] = m_new
-
-    @pl.when(ik == num_k - 1)
-    def _():
-        l = l_scr[:]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = jnp.where(l == 0.0, 0.0,
-                             acc_scr[:] / safe).astype(o_ref.dtype)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("rank", "scale", "block_q", "block_k", "interpret"))
@@ -284,47 +261,9 @@ def quantized_latent_flash_attention(
     block_k: int = 2048,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """:func:`latent_flash_attention` over an int8 latent cache."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    B, T, H, C = q_full.shape
-    S = lat_sym.shape[1]
-
-    R = H * T
-    bR = min(block_q * 8, _round_up(R, 8), 1024)
-    bk = min(block_k, _round_up(S, 128))
-    Rp, Sp = _round_up(R, bR), _round_up(S, bk)
-
-    qh = q_full.transpose(0, 2, 1, 3).reshape(B, R, C)
-    qh = jnp.pad(qh, ((0, 0), (0, Rp - R), (0, 0)))
-    lat = jnp.pad(lat_sym, ((0, 0), (0, Sp - S), (0, 0)))
-    sc = jnp.pad(lat_scale, ((0, 0), (0, Sp - S)))[:, None, :]  # [B,1,Sp]
-
-    grid = (B, Rp // bR, Sp // bk)
-    kernel = functools.partial(_qlatent_kernel, block_r=bR, block_k=bk,
-                               n_tok=T, rank=rank, scale=scale)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bR, C),
-                             lambda b, ir, ik, *_: (b, ir, 0)),
-                pl.BlockSpec((1, bk, C),
-                             lambda b, ir, ik, *_: (b, ik, 0)),
-                pl.BlockSpec((1, 1, bk),
-                             lambda b, ir, ik, *_: (b, 0, ik)),
-            ],
-            out_specs=pl.BlockSpec((1, bR, rank),
-                                   lambda b, ir, ik, *_: (b, ir, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((bR, 1), jnp.float32),
-                pltpu.VMEM((bR, 1), jnp.float32),
-                pltpu.VMEM((bR, rank), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Rp, rank), q_full.dtype),
-        interpret=interpret,
-    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), qh, lat, sc)
-    return out[:, :R].reshape(B, H, T, rank).transpose(0, 2, 1, 3)
+    """:func:`latent_flash_attention` over an int8 latent cache: the
+    per-token scales ride the shared kernel body as an extra operand
+    (fused dequant — see _latent_kernel)."""
+    return _latent_call(q_full, lat_sym, lat_scale, q_offset, kv_len,
+                        rank=rank, scale=scale, block_q=block_q,
+                        block_k=block_k, interpret=interpret)
