@@ -10,6 +10,13 @@ tokenizer), appended to the running conversation, and completed with
 streaming output; the growing prefix hits the KV cache every round.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 import hashlib
 import json

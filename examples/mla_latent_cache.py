@@ -11,6 +11,13 @@ the cache tiers actually move for MLA vs an equal-scale GQA model.
     python examples/mla_latent_cache.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

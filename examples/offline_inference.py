@@ -7,6 +7,13 @@ random-weight model) or TPU.
     python examples/offline_inference.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

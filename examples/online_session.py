@@ -7,6 +7,13 @@ each request after the first hits the KV cache.
     python examples/online_session.py          # serves + drives itself
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import threading
 
 import numpy as np

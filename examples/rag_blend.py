@@ -8,6 +8,13 @@ recomputes ~15% of tokens instead of prefilling everything.
     python examples/rag_blend.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import numpy as np
 
 import jax

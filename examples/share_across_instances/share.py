@@ -1,5 +1,12 @@
 """Two serving instances sharing one cache server (see README.md)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))
+
+
 import subprocess
 import sys
 import time
