@@ -45,8 +45,12 @@ def make_instance(cfg, params, role):
         LMCacheEngineMetadata(model_name="tiny", world_size=1,
                               worker_id=0, fmt="vllm", dtype=cfg.dtype))
     print(f"[{role}] instance up")
+    # the prefill fleet publishes prompt KV at TTFT time (eager_store),
+    # not at request completion — decode instances can start retrieving
+    # while the prefill instance is still decoding its own request
     return ServingEngine(cfg, params, max_batch=2, max_seq=512,
-                         cache_engine=cache), cache
+                         cache_engine=cache,
+                         eager_store=(role == "prefill")), cache
 
 
 def main():

@@ -120,6 +120,7 @@ class ServingEngine:
         cache_engine: Optional[LMCacheEngine] = None,
         eos_token_id: Optional[int] = None,
         save_decode_cache: bool = False,
+        eager_store: bool = False,
         use_pallas: Optional[bool] = None,
         mesh=None,
         kv_dtype: str = "native",  # "native" (model dtype) | "int8"
@@ -136,6 +137,12 @@ class ServingEngine:
         self.cache_engine = cache_engine
         self.eos_token_id = eos_token_id
         self.save_decode_cache = save_decode_cache
+        # publish the prompt KV to the cache tiers the moment prefill
+        # completes (TTFT time) instead of at request completion —
+        # disaggregated prefill/decode fleets overlap the handoff with
+        # this instance's decoding (store-back at finish then
+        # skip-existing-s straight past the already-stored chunks)
+        self.eager_store = eager_store
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = use_pallas
@@ -470,6 +477,15 @@ class ServingEngine:
         self._finish_prefill(req)
         self.prefilling.remove(req)
         self._on_prefill_complete(req)
+        if (self.eager_store and self.cache_engine is not None
+                and req.context_chunks is None):
+            # prompt KV is fully resident: store it now so decode
+            # instances can retrieve while this request still decodes
+            np_ = req.num_prompt_tokens
+            blob = self._read_slot(self.kv_pool,
+                                   jnp.asarray(req.slot))[:, :, :np_]
+            self.cache_engine.store(req.all_tokens[:np_], blob,
+                                    blocking=False)
         self._assign_slot_key(req)
         tok = self._sample_row(logits, req)
         req.output_tokens.append(tok)

@@ -198,3 +198,45 @@ def test_top_k_sampling(setup):
     [r2] = eng2.generate([prompt],
                          SamplingParams(max_new_tokens=6, temperature=5.0))
     assert r2.output_tokens != greedy.output_tokens
+
+
+def test_eager_store_publishes_at_prefill_complete(setup):
+    """eager_store=True stores the prompt KV the moment prefill
+    completes — while the request is still decoding — so disaggregated
+    decode instances can retrieve without waiting for completion. The
+    finish-time store-back then skip-existing-s past the chunks."""
+    from lmcache_tpu.serving.request import RequestState
+
+    tiny_cfg, tiny_params = setup
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="eager", world_size=1,
+                              worker_id=0, fmt="vllm",
+                              dtype=tiny_cfg.dtype))
+    eng = ServingEngine(tiny_cfg, tiny_params, max_batch=2, max_seq=128,
+                        use_pallas=False, cache_engine=ce,
+                        eager_store=True, prefill_chunk=32)
+    prompt = np.random.default_rng(31).integers(
+        0, tiny_cfg.vocab_size, 48, dtype=np.int32)
+    req = Request(list(prompt), SamplingParams(max_new_tokens=12))
+    eng.add_request(req)
+    # drive until prefill completes but the request is still decoding
+    for _ in range(50):
+        eng.step()
+        if req in eng.running:
+            break
+    assert req in eng.running and req.state != RequestState.FINISHED
+    ce.engine_.flush()
+    # the full-chunk prefix of the PROMPT is already retrievable
+    assert ce.lookup(prompt) >= 48 - 16
+    golden = list(req.output_tokens)
+    eng.run()
+    assert req.state == RequestState.FINISHED
+    assert req.output_tokens[:len(golden)] == golden
+
+    # a fresh request over the same prompt reuses the eager-stored KV
+    [r2] = eng.generate([list(prompt)], SamplingParams(max_new_tokens=12))
+    assert r2.cached_prefix_len > 0
+    assert r2.output_tokens == req.output_tokens
+    ce.close()
