@@ -153,9 +153,12 @@ def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
     @pl.when(live)
     def _():
         # whole GQA group per program: [group, bq, D] -> [group*bq, D].
-        # The dots run on the native bf16 inputs with f32 accumulation
-        # (preferred_element_type) — casting inputs to f32 first would
-        # halve MXU throughput for identical results.
+        # The QK dot runs on the native bf16 inputs with f32
+        # accumulation (identical to an f32 dot since the inputs were
+        # already bf16); the PV dot below intentionally rounds the f32
+        # probabilities to bf16 for MXU rate — standard flash-attention
+        # practice, covered by the parity suite's tolerances (incl.
+        # softcap and sink paths).
         q = q_ref[0].reshape(group * block_q, -1)
         k = k_ref[0, 0]  # [bk, D]
         v = v_ref[0, 0]  # [bk, D]

@@ -98,7 +98,12 @@ def _ring_body(q, k, v, q_offset, kv_len, is_global, sinks, *,
             s = jnp.where(mask[:, None, None, :, :], s, _NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             alpha = jnp.exp(m - m_new)
-            pr = jnp.exp(s - m_new)
+            # explicit zero for masked entries: when a block is FULLY
+            # masked for some row, m_new stays -1e30 there and
+            # exp(s - m_new) would be 1 (uniform garbage) — the l == 0
+            # zero-output contract below depends on masked probs being
+            # exactly 0, not on the block having been skipped
+            pr = jnp.exp(s - m_new) * mask[:, None, None, :, :]
             l = alpha * l + jnp.sum(pr, axis=-1, keepdims=True)
             acc = alpha * acc + jnp.einsum(
                 "bhgts,bhsd->bhgtd", pr.astype(vh.dtype), vh,
@@ -111,15 +116,20 @@ def _ring_body(q, k, v, q_offset, kv_len, is_global, sinks, *,
         # oldest query's window skip too
         live = src <= my
         if sliding_window is not None:
-            # oldest position any local query can see: for a trailing
-            # window it is qpos_min - W + 1; for chunked, the chunk
-            # start of qpos_min — both bounded below by that same value
-            oldest = jnp.min(q_offset) + my * Tl
             if window_kind == "chunked":
-                oldest = oldest - jax.lax.rem(oldest, sliding_window)
+                # Chunk boundaries are nonlinear in each row's ABSOLUTE
+                # positions (floor to a multiple of W), so with ragged
+                # q_offset the skip must be decided per row: row b needs
+                # the block iff its newest key position reaches b's own
+                # chunk start. Skip only when NO row needs it.
+                qmin = q_offset + my * Tl  # [B] oldest local query pos
+                cstart = qmin - jax.lax.rem(qmin, sliding_window)
+                newest = q_offset + (src + 1) * Tl - 1  # [B]
+                in_window = jnp.any(newest >= cstart)
             else:
-                oldest = oldest - sliding_window + 1
-            in_window = (src + 1) * Tl + jnp.min(q_offset) > oldest
+                # trailing window: q_offset cancels on both sides, the
+                # skip is offset-independent
+                in_window = (src + 1) * Tl > my * Tl - sliding_window + 1
             live &= in_window | glb
         m, l, acc = jax.lax.cond(live, update,
                                  lambda args: args, (m, l, acc))

@@ -120,6 +120,61 @@ def test_ring_windowed_matches_reference(kind, W):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("kind,W", [("chunked", 64), ("chunked", 100),
+                                    ("sliding", 64)])
+def test_ring_windowed_ragged_offsets(kind, W):
+    """Regression (ADVICE r2, medium): the chunked-window compute skip
+    used min(q_offset) to locate the chunk start, but chunk boundaries
+    are nonlinear in each row's ABSOLUTE positions — with ragged
+    q_offset a KV block needed by a higher-offset row was skipped,
+    silently corrupting its output. The skip must be decided per row."""
+    mesh = _mesh(8, 1)
+    rng = np.random.default_rng(W + 1)
+    B, T, Hkv, G, D = 3, 256, 2, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, T, Hkv * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    # ragged offsets that straddle chunk boundaries differently per row
+    o = jnp.asarray([0, W - 1, 3 * W + 7], jnp.int32)
+    kvl = o + jnp.asarray([256, 256, 224], jnp.int32)  # absolute bound
+    out = ring_attention(q, k, v, o, kvl, mesh, sliding_window=W,
+                         window_kind=kind)
+    ref = mha_reference_offsets(q, k, v, o, kvl, W, kind)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def mha_reference_offsets(q, k, v, o, kvl, W, kind):
+    """Dense reference for the RING's position convention: in the ring,
+    key block r of row b holds absolute positions q_offset[b] + r*Tl +
+    [0, Tl) — i.e. kpos is offset per row like qpos (the local KV is the
+    row's own context tail). mha_reference uses absolute kpos from 0, so
+    rebuild the mask here with per-row-offset key positions."""
+    B, T, H, D = q.shape
+    Hkv = k.shape[2]
+    G = H // Hkv
+    qh = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 3, 1, 4)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhgtd,bhsd->bhgts", qh.astype(jnp.float32),
+                   kh.astype(jnp.float32)) / (D**0.5)
+    qpos = o[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    kpos = o[:, None] + jnp.arange(T)[None, :]  # [B, S]: ring convention
+    mask = (kpos[:, None, :] <= qpos[:, :, None]) & (
+        kpos[:, None, :] < kvl[:, None, None])  # kv_len is absolute
+    if kind == "chunked":
+        mask &= kpos[:, None, :] // W == qpos[:, :, None] // W
+    else:
+        mask &= kpos[:, None, :] > qpos[:, :, None] - W
+    s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", p, vh.astype(jnp.float32))
+    # fully-masked (padding) rows emit exact zeros, as the ring does
+    empty = ~mask.any(axis=-1)  # [B, T]
+    out = jnp.where(empty[:, None, None, :, None], 0.0, out)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, H, D).astype(q.dtype)
+
+
 @pytest.mark.parametrize("family_kw", [
     dict(sliding_window=48),                           # Mistral-style
     dict(sliding_window=48, global_layer_map=(False, True),
