@@ -62,6 +62,20 @@ class LMCacheEngineConfig:
     # CacheBlend: fraction of tokens to re-compute when blending non-prefix
     # chunks (see lmcache_tpu/blend.py).
     blend_recompute_ratio: float = 0.15
+    # Hybrid startup prefetch budget. The reference pulls EVERY matching
+    # remote chunk into the local tier at construction (reference
+    # hybrid_backend.py:39-62) — against a production-sized shared store
+    # that turns startup into a full-keyspace transfer the local LRU then
+    # throws away. Here the prefetch takes at most this many chunks
+    # (most-recently-stored first; None = unbounded, 0 = disabled) and at
+    # most ``hybrid_prefetch_bytes`` bytes; everything else fills lazily
+    # through the read-through path on first use.
+    hybrid_prefetch_chunks: Optional[int] = 1024
+    hybrid_prefetch_bytes: Optional[int] = None
+    # Run the startup prefetch on a background thread (construction
+    # returns immediately; reads fall back to the remote tier until the
+    # warm-up lands). Call ``backend.wait_prefetch()`` to join it.
+    hybrid_prefetch_async: bool = False
 
     @staticmethod
     def from_defaults(**kwargs) -> "LMCacheEngineConfig":
@@ -127,6 +141,9 @@ class LMCacheEngineConfig:
             save_decode_cache=raw.get("save_decode_cache", False),
             local_capacity_bytes=raw.get("local_capacity_bytes", None),
             blend_recompute_ratio=raw.get("blend_recompute_ratio", 0.15),
+            hybrid_prefetch_chunks=raw.get("hybrid_prefetch_chunks", 1024),
+            hybrid_prefetch_bytes=raw.get("hybrid_prefetch_bytes", None),
+            hybrid_prefetch_async=raw.get("hybrid_prefetch_async", False),
         )
 
 

@@ -1399,6 +1399,7 @@ def forward(
     use_pallas: bool = True,
     last_logit_only: bool = False,
     mesh=None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One forward step (prefill when T>1, decode when T==1).
 
@@ -1471,8 +1472,14 @@ def forward(
         x = _mlp_residual(x, lp, cfg)
         return x, jnp.stack((new_k, new_v))
 
+    # remat: recompute each layer's activations in the backward pass
+    # instead of keeping them alive across the scan — training through
+    # the reference attention materializes [B, H, T, T] scores, which at
+    # long T only fits when one layer is live at a time (used by
+    # tools/train_quality_model.py; inference never differentiates)
     x, new_cache = jax.lax.scan(
-        layer, x, (params["layers"], kv_cache, layer_globals))
+        jax.checkpoint(layer) if remat else layer, x,
+        (params["layers"], kv_cache, layer_globals))
     if last_logit_only:
         x = x[:, -1:]
     return _lm_logits(x, params, cfg), new_cache

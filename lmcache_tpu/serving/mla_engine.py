@@ -93,15 +93,16 @@ class MLAServingEngine(ServingEngine):
         from lmcache_tpu.serving.engine import _sample_tokens
         decode_block = self.decode_block
 
-        @functools.partial(jax.jit, donate_argnums=(3,))
+        @functools.partial(jax.jit, donate_argnums=(3,),
+                           static_argnames=("mode",))
         def decode_block_step(params, tokens, start, pool, temps, keys,
-                              steps0, topks, topps):
+                              steps0, topks, topps, *, mode="full"):
             def body(carry, i):
                 tokens, start, pool = carry
                 logits, pool = fwd(params, tokens=tokens, start_pos=start,
                                    kv_cache=pool)
                 toks = _sample_tokens(logits[:, 0], temps, keys,
-                                      steps0 + i, topks, topps)
+                                      steps0 + i, topks, topps, mode=mode)
                 return (toks[:, None].astype(jnp.int32), start + 1,
                         pool), toks
 

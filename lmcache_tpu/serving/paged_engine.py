@@ -97,15 +97,16 @@ class PagedServingEngine(ServingEngine):
 
         from lmcache_tpu.serving.engine import _sample_tokens
 
-        @functools.partial(jax.jit, donate_argnums=(3,))
+        @functools.partial(jax.jit, donate_argnums=(3,),
+                           static_argnames=("mode",))
         def decode_block_paged(params, tokens, start, pool, tables, temps,
-                               keys, steps0, topks, topps):
+                               keys, steps0, topks, topps, *, mode="full"):
             def body(carry, i):
                 tokens, start, pool = carry
                 logits, pool = fwd(params, tokens=tokens, start_pos=start,
                                    kv_pool=pool, page_table=tables)
                 toks = _sample_tokens(logits[:, 0], temps, keys, steps0 + i,
-                                      topks, topps)
+                                      topks, topps, mode=mode)
                 return (toks[:, None].astype(jnp.int32), start + 1,
                         pool), toks
 
@@ -465,6 +466,7 @@ class PagedServingEngine(ServingEngine):
         self._assign_slot_key(req)
         tok = self._sample_row(logits, req)
         req.output_tokens.append(tok)
+        self._record_row_logprobs(req, logits, tok)
         req.ttft_s = time.perf_counter() - req.arrival_s
         self.running.append(req)
         self._maybe_finish(req)
@@ -476,22 +478,26 @@ class PagedServingEngine(ServingEngine):
         return logits
 
     def _decode_all(self) -> None:
-        from lmcache_tpu.serving.engine import _sample_tokens
+        from lmcache_tpu.serving.engine import (_sample_tokens,
+                                                _sampling_mode)
         self._ensure_decode_pages()
-        if self.spec_lookahead and any(
-                r.sampling.temperature == 0.0 for r in self.running):
+        need_lp = any(r.sampling.logprobs > 0 for r in self.running)
+        if (self.spec_lookahead and not need_lp and any(
+                r.sampling.temperature == 0.0 for r in self.running)):
             self._decode_speculative()
             return
         last, start, temps, steps, topks, topps = \
             self._gather_sampling_rows()
         keys = jnp.asarray(self._slot_keys)
+        mode = _sampling_mode(self.running)
 
         tables = jnp.asarray(self.page_tables, jnp.int32)
-        if self.decode_block > 1:
+        if self.decode_block > 1 and not need_lp:
             toks, self.kv_pool = self._decode_block_paged(
                 self.params, jnp.asarray(last), jnp.asarray(start),
                 self.kv_pool, tables, jnp.asarray(temps), keys,
-                jnp.asarray(steps), jnp.asarray(topks), jnp.asarray(topps))
+                jnp.asarray(steps), jnp.asarray(topks), jnp.asarray(topps),
+                mode=mode)
             toks = np.asarray(toks)
             for r in list(self.running):
                 for j in range(self.decode_block):
@@ -507,9 +513,12 @@ class PagedServingEngine(ServingEngine):
         toks = np.asarray(
             _sample_tokens(logits, jnp.asarray(temps), keys,
                            jnp.asarray(steps), jnp.asarray(topks),
-                           jnp.asarray(topps)))
+                           jnp.asarray(topps), mode=mode))
         for r in list(self.running):
-            r.output_tokens.append(int(toks[r.slot]))
+            tok = int(toks[r.slot])
+            r.output_tokens.append(tok)
+            if need_lp:
+                self._record_row_logprobs(r, logits[r.slot], tok)
             self._maybe_finish(r)
 
     def _store_back(self, req: Request) -> None:

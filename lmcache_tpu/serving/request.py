@@ -4,7 +4,7 @@ import itertools
 import time
 from dataclasses import dataclass, field
 from enum import Enum
-from typing import List, Optional
+from typing import Callable, List, Optional
 
 import numpy as np
 
@@ -25,6 +25,11 @@ class SamplingParams:
     top_p: float = 1.0  # 1.0 => no nucleus restriction
     stop_token_ids: tuple = ()
     seed: int = 0  # != 0 => reproducible per-request sample stream
+    # number of top-logprob alternatives to record per generated token
+    # (0 => off). Engines take the single-step decode path for batches
+    # containing logprobs requests (block/speculative decode sample on
+    # device and never materialize per-step logits on the host).
+    logprobs: int = 0
 
 
 @dataclass(eq=False)  # identity semantics: requests live in scheduler lists
@@ -49,6 +54,24 @@ class Request:
     arrival_s: float = field(default_factory=time.perf_counter)
     ttft_s: Optional[float] = None  # set when the first token lands
     finish_s: Optional[float] = None
+    # why generation ended: "stop" when a stop condition (EOS /
+    # stop_token_ids / stop string) fired, "length" when truncated by
+    # max_new_tokens. Set the moment is_finished first fires, so a stop
+    # hit exactly at the max_new_tokens boundary reports "stop"
+    # (OpenAI semantics; ADVICE r2 #3).
+    finish_reason: Optional[str] = None
+    # optional text-level stop detector installed by the API layer
+    # (the engine is tokenizer-agnostic; detokenization lives there).
+    # Called with the output token list after each appended token;
+    # returns the CHARACTER offset of the completed text at which a
+    # stop string begins, or None. The API truncates returned text at
+    # ``stop_text_offset``.
+    stop_checker: Optional[Callable[[List[int]], Optional[int]]] = None
+    stop_text_offset: Optional[int] = None
+    # per-token logprob records (when sampling.logprobs > 0): dicts of
+    # {"token": id, "logprob": float, "top": [(id, lp), ...]}
+    logprobs: Optional[List[dict]] = None
+    per_step_logits: bool = False  # engine hint set at admission
 
     def __post_init__(self):
         if self.context_chunks is not None:
@@ -76,12 +99,21 @@ class Request:
              np.asarray(self.output_tokens, np.int32)])
 
     def is_finished(self, eos_token_id: Optional[int] = None) -> bool:
-        if len(self.output_tokens) >= self.sampling.max_new_tokens:
-            return True
+        # stop conditions are checked BEFORE the length cap so a stop
+        # hit exactly at max_new_tokens reports finish_reason "stop"
         if self.output_tokens:
             last = self.output_tokens[-1]
-            if last in self.sampling.stop_token_ids:
+            if (last in self.sampling.stop_token_ids
+                    or (eos_token_id is not None and last == eos_token_id)):
+                self.finish_reason = self.finish_reason or "stop"
                 return True
-            if eos_token_id is not None and last == eos_token_id:
-                return True
+            if self.stop_checker is not None:
+                off = self.stop_checker(self.output_tokens)
+                if off is not None:
+                    self.stop_text_offset = off
+                    self.finish_reason = self.finish_reason or "stop"
+                    return True
+        if len(self.output_tokens) >= self.sampling.max_new_tokens:
+            self.finish_reason = self.finish_reason or "length"
+            return True
         return False

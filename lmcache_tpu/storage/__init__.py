@@ -53,4 +53,5 @@ def CreateStorageBackend(
             logger.info("Creating hybrid backend: local %s + %s",
                         config.local_device, config.remote_url)
             return LMCHybridBackend(_create_local(config),
-                                    cls(config, metadata), metadata)
+                                    cls(config, metadata), metadata,
+                                    config=config)

@@ -90,13 +90,22 @@ def _to_token_major(blob, fmt: str):
 class CacheGenSerializer(Serializer):
 
     def __init__(self, config: LMCacheEngineConfig,
-                 metadata: LMCacheEngineMetadata):
+                 metadata: LMCacheEngineMetadata,
+                 cachegen_config: "CacheGenConfig" = None):
+        """``cachegen_config`` overrides the model-name-derived bin
+        schedule (tools/eval_quality.py uses it to sweep bins -> quality
+        curves; the containers are self-describing, so the deserializer
+        needs no matching override)."""
         self.fmt = metadata.fmt
         self.dtype = metadata.dtype
         self.model_name = metadata.model_name
+        self._cg_override = cachegen_config
         self._cg_cache = {}
 
     def _cg(self, num_layers: int) -> CacheGenConfig:
+        if (self._cg_override is not None
+                and self._cg_override.num_layers == num_layers):
+            return self._cg_override
         if num_layers not in self._cg_cache:
             self._cg_cache[num_layers] = CacheGenConfig.from_model_name(
                 self.model_name, num_layers)

@@ -227,6 +227,172 @@ def test_chat_completions():
         ce.close()
 
 
+def test_n_choices_and_streamed_usage(server):
+    """n > 1 returns independent indexed choices; streaming with
+    stream_options.include_usage ends with a usage chunk (VERDICT r2
+    weak #8)."""
+
+    async def body(client):
+        prompt = np.random.default_rng(4).integers(0, 512, 8).tolist()
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 3,
+                                    "n": 2})
+        assert r.status == 200
+        out = await r.json()
+        assert [c["index"] for c in out["choices"]] == [0, 1]
+        # greedy choices coincide; usage counts both completions
+        assert out["usage"]["completion_tokens"] == 6
+        assert out["usage"]["prompt_tokens"] == 8
+
+        # seeded sampling: choice seeds differ so streams diverge but
+        # stay reproducible per index
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 6,
+                                    "temperature": 1.5, "seed": 9, "n": 2})
+        out = await r.json()
+        assert out["choices"][0]["tokens"] != out["choices"][1]["tokens"]
+
+        # streamed usage chunk before [DONE]
+        import json as _json
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 3,
+                                    "stream": True,
+                                    "stream_options": {
+                                        "include_usage": True}})
+        raw = (await r.read()).decode()
+        events = [ln[6:] for ln in raw.split("\n\n")
+                  if ln.startswith("data: ") and ln != "data: [DONE]"]
+        usage_chunk = _json.loads(events[-1])
+        assert usage_chunk["choices"] == []
+        assert usage_chunk["usage"]["completion_tokens"] == 3
+
+    asyncio.run(_with_client(server, body))
+
+
+def test_stop_strings(server):
+    """OpenAI ``stop`` strings: generation ends when the output text
+    contains a stop string, the matched text is excluded, finish_reason
+    is "stop", and streaming never emits a partial stop string."""
+
+    async def body(client):
+        prompt = np.random.default_rng(5).integers(0, 512, 9).tolist()
+        # discover the greedy continuation (default detokenizer renders
+        # tokens as space-joined decimal ids)
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 6})
+        toks = (await r.json())["choices"][0]["tokens"]
+        assert len(toks) == 6
+        stop = str(toks[2])  # text of the 3rd token
+
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 6,
+                                    "stop": stop})
+        out = await r.json()
+        c = out["choices"][0]
+        assert c["finish_reason"] == "stop"
+        assert stop not in c["text"]
+        # generation actually stopped early (within detokenizer slack)
+        assert len(c["tokens"]) <= 4
+
+        # streamed: concatenated deltas must equal the truncated text
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 6,
+                                    "stop": stop, "stream": True})
+        raw = (await r.read()).decode()
+        import json as _json
+        parts, finish = [], None
+        for ln in raw.split("\n\n"):
+            if not ln.startswith("data: ") or ln == "data: [DONE]":
+                continue
+            ch = _json.loads(ln[6:])["choices"][0]
+            parts.append(ch["text"])
+            if ch["finish_reason"]:
+                finish = ch["finish_reason"]
+        assert finish == "stop"
+        assert "".join(parts) == c["text"]
+
+        # list form + >4 stops rejected
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 2,
+                                    "stop": [stop, "zzz"]})
+        assert r.status == 200
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 2,
+                                    "stop": ["a", "b", "c", "d", "e"]})
+        assert r.status == 400
+
+    asyncio.run(_with_client(server, body))
+
+
+def test_finish_reason_stop_at_length_boundary(server):
+    """ADVICE r2 #3: a stop hit exactly at the max_tokens boundary must
+    report "stop", not "length"."""
+
+    async def body(client):
+        prompt = np.random.default_rng(6).integers(0, 512, 7).tolist()
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 4})
+        toks = (await r.json())["choices"][0]["tokens"]
+
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 4,
+                                    "stop_token_ids": [toks[3]]})
+        out = await r.json()
+        assert out["choices"][0]["tokens"] == toks
+        assert out["choices"][0]["finish_reason"] == "stop"
+
+    asyncio.run(_with_client(server, body))
+
+
+def test_logprobs(server):
+    """``logprobs: N`` returns per-token chosen logprob + top-N
+    alternatives; greedy chosen token is the top-1 alternative."""
+
+    async def body(client):
+        import math
+        prompt = np.random.default_rng(7).integers(0, 512, 10).tolist()
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 3,
+                                    "logprobs": 2})
+        out = await r.json()
+        c = out["choices"][0]
+        lp = c["logprobs"]
+        assert len(lp["tokens"]) == 3
+        assert len(lp["token_logprobs"]) == 3
+        for i, (tok_text, tok_lp, top) in enumerate(zip(
+                lp["tokens"], lp["token_logprobs"], lp["top_logprobs"])):
+            assert len(top) == 2
+            assert all(v <= 0.0 for v in top.values())
+            # greedy decode: the chosen token IS the most likely one
+            best = max(top, key=top.get)
+            assert best == tok_text
+            assert math.isclose(top[best], tok_lp, rel_tol=1e-5,
+                                abs_tol=1e-5)
+
+        # chat shape: logprobs: true + top_logprobs
+        msgs = [{"role": "user", "content": "hi"}]
+        srv_tok = APIServer(server.engine, model_name="x",
+                            tokenizer=lambda s: [ord(ch) % 512
+                                                 for ch in s])
+        from aiohttp.test_utils import TestClient, TestServer
+        client2 = TestClient(TestServer(srv_tok.build_app()))
+        await client2.start_server()
+        try:
+            r = await client2.post("/v1/chat/completions",
+                                   json={"messages": msgs,
+                                         "max_tokens": 2,
+                                         "logprobs": True,
+                                         "top_logprobs": 3})
+            out = await r.json()
+            content = out["choices"][0]["logprobs"]["content"]
+            assert len(content) == 2
+            assert len(content[0]["top_logprobs"]) == 3
+        finally:
+            await client2.close()
+
+    asyncio.run(_with_client(server, body))
+
+
 def test_chat_default_template_needs_tokenizer():
     """Without a chat template the generic text template feeds the
     tokenizer; with neither, a clear 400."""
