@@ -316,6 +316,23 @@ def new_paged_latent_pool(cfg: MLAConfig, num_pages: int,
                      jnp.dtype(cfg.dtype))
 
 
+def new_quantized_paged_latent_pool(cfg: MLAConfig, num_pages: int,
+                                    page_size: int):
+    """Int8 paged latent arena: ``{"sym" [L, P, page, r+p] int8,
+    "scale" [L, P, page] f32}`` — :func:`new_quantized_latent_cache`'s
+    per-token-scale layout on the page arena, so the same HBM holds
+    ~2x the pages (~114x the tokens of an expanded-KV arena at
+    DeepSeek-V2 geometry). Dequant is fused into the paged kernel
+    (ops/paged_latent_attention.quantized_paged_latent_attention)."""
+    return {
+        "sym": jnp.zeros(
+            (cfg.n_layers, num_pages, page_size, cfg.latent_dim),
+            jnp.int8),
+        "scale": jnp.ones((cfg.n_layers, num_pages, page_size),
+                          jnp.float32),
+    }
+
+
 def cache_to_blob(cache: jax.Array, b: int = 0,
                   n: Optional[int] = None) -> jax.Array:
     """One batch row as a wire blob ``[L, 1, n, 1, r+p]`` — vllm-format
@@ -796,7 +813,8 @@ def forward(
     return logits, new_cache
 
 
-def _shard_paged_latent_attend(attend, mesh, n_heads: int, batch: int):
+def _shard_paged_latent_attend(attend, mesh, n_heads: int, batch: int,
+                               quantized: bool = False):
     """:func:`_shard_latent_attend` for the paged kernel: q heads on
     "model", the latent arena and page tables replicated (pages are the
     cross-request resource — no batch or head axis to shard them on)."""
@@ -814,8 +832,12 @@ def _shard_paged_latent_attend(attend, mesh, n_heads: int, batch: int):
     pool = P(None, None, None)  # [P, page, C] arena, replicated
     tab = P(bax, None)  # [B, NP]
     vec = P(bax,)  # [B]
-    return shard_map_unchecked(attend, mesh,
-                     in_specs=(qspec, pool, tab, vec, vec),
+    if quantized:
+        scl = P(None, None)  # [P, page] scale pages, replicated
+        in_specs = (qspec, pool, scl, tab, vec, vec)
+    else:
+        in_specs = (qspec, pool, tab, vec, vec)
+    return shard_map_unchecked(attend, mesh, in_specs=in_specs,
                      out_specs=qspec)
 
 
@@ -830,25 +852,50 @@ def _mla_attention_paged(x, lp, cfg: MLAConfig, pool_l, page_table, pidx,
     H, r = cfg.n_heads, cfg.kv_lora_rank
 
     q_full, new_tok = _mla_project(x, lp, cfg, positions)
-    # scatter [B, T, C] latent rows into pages: pool[p, o] = new[b, t]
-    pool_l = pool_l.at[pidx, poff].set(new_tok.astype(pool_l.dtype))
-
     from lmcache_tpu.ops.paged_latent_attention import (
-        paged_latent_attention, paged_latent_attention_reference)
+        paged_latent_attention, paged_latent_attention_reference,
+        quantized_paged_latent_attention,
+        quantized_paged_latent_attention_reference)
     kv_len = start_pos + T
-    if use_pallas:
-        impl = functools.partial(paged_latent_attention, rank=r,
-                                 scale=cfg.sm_scale)
-        if mesh is not None:
-            sharded = _shard_paged_latent_attend(impl, mesh, H, B)
-            if sharded is not None:
-                impl = sharded
-        ctx = impl(q_full.astype(pool_l.dtype), pool_l, page_table,
-                   start_pos, kv_len)
+    if isinstance(pool_l, dict):
+        # int8 arena: quantize the new tokens' latents on write, fused
+        # dequant on read (per-token scale over the latent dim)
+        from lmcache_tpu.ops.latent_attention import quantize_latents
+        n_sym, n_sc = quantize_latents(new_tok)
+        pool_l = {
+            "sym": pool_l["sym"].at[pidx, poff].set(n_sym),
+            "scale": pool_l["scale"].at[pidx, poff].set(n_sc),
+        }
+        if use_pallas:
+            impl = functools.partial(quantized_paged_latent_attention,
+                                     rank=r, scale=cfg.sm_scale)
+            if mesh is not None:
+                sharded = _shard_paged_latent_attend(impl, mesh, H, B,
+                                                     quantized=True)
+                if sharded is not None:
+                    impl = sharded
+            ctx = impl(q_full.astype(jnp.dtype(cfg.dtype)), pool_l["sym"],
+                       pool_l["scale"], page_table, start_pos, kv_len)
+        else:
+            ctx = quantized_paged_latent_attention_reference(
+                q_full, pool_l["sym"], pool_l["scale"], page_table,
+                start_pos, kv_len, rank=r, scale=cfg.sm_scale)
     else:
-        ctx = paged_latent_attention_reference(q_full, pool_l, page_table,
-                                               start_pos, kv_len, rank=r,
-                                               scale=cfg.sm_scale)
+        # scatter [B, T, C] latent rows into pages: pool[p, o] = new[b, t]
+        pool_l = pool_l.at[pidx, poff].set(new_tok.astype(pool_l.dtype))
+        if use_pallas:
+            impl = functools.partial(paged_latent_attention, rank=r,
+                                     scale=cfg.sm_scale)
+            if mesh is not None:
+                sharded = _shard_paged_latent_attend(impl, mesh, H, B)
+                if sharded is not None:
+                    impl = sharded
+            ctx = impl(q_full.astype(pool_l.dtype), pool_l, page_table,
+                       start_pos, kv_len)
+        else:
+            ctx = paged_latent_attention_reference(
+                q_full, pool_l, page_table, start_pos, kv_len, rank=r,
+                scale=cfg.sm_scale)
     attn = jnp.einsum("bthr,hrv->bthv", ctx,
                       lp["w_kb_v"].astype(jnp.float32))
     return attn.astype(x.dtype).reshape(B, T, H * cfg.v_head_dim), pool_l
@@ -891,7 +938,7 @@ def forward_paged(
     gathers pages by DMA inside the kernel. Returns (logits, updated
     arena)."""
     B, T = tokens.shape
-    page = latent_pool.shape[2]
+    page = jax.tree.leaves(latent_pool)[0].shape[2]
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     # per-(batch, new-token) page id and in-page offset
     pidx = jnp.take_along_axis(page_table, positions // page, axis=1)
@@ -899,20 +946,25 @@ def forward_paged(
     x = params["embed"][tokens]
 
     kd = cfg.n_dense_layers
+
+    def psl(sl):  # layer-slice of the arena (int8 pools are trees)
+        return jax.tree.map(lambda a: a[sl], latent_pool)
+
     pools = []
     if kd:
         x, dense_pool = jax.lax.scan(
             _layer_block_paged(cfg, False, page_table, pidx, poff,
                                start_pos, positions, use_pallas, mesh), x,
-            (params["dense_layers"], latent_pool[:kd]))
+            (params["dense_layers"], psl(slice(None, kd))))
         pools.append(dense_pool)
     if kd < cfg.n_layers:
         x, moe_pool = jax.lax.scan(
             _layer_block_paged(cfg, True, page_table, pidx, poff,
                                start_pos, positions, use_pallas, mesh), x,
-            (params["moe_layers"], latent_pool[kd:]))
+            (params["moe_layers"], psl(slice(kd, None))))
         pools.append(moe_pool)
-    new_pool = pools[0] if len(pools) == 1 else jnp.concatenate(pools)
+    new_pool = (pools[0] if len(pools) == 1 else jax.tree.map(
+        lambda *xs: jnp.concatenate(xs), *pools))
 
     if last_logit_only:
         x = x[:, -1:]

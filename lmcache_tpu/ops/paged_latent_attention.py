@@ -49,9 +49,17 @@ def paged_latent_attention_reference(q_full, latent_pool, page_table,
                                       rank=rank, scale=scale)
 
 
-def _paged_latent_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, kv_ref,
-                         o_ref, m_scr, l_scr, acc_scr, *, block_r, page,
-                         n_tok, rank, scale):
+def _paged_latent_kernel(pages_ref, q_off_ref, kv_len_ref, *refs,
+                         block_r, page, n_tok, rank, scale,
+                         has_scale=False):
+    if has_scale:
+        # int8 page stream: per-token scales ride a parallel scale page
+        # and correct score/probability COLUMNS (the fused-dequant trick
+        # of ops/latent_attention._latent_kernel, on the paged stream)
+        q_ref, kv_ref, sc_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, kv_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        sc_ref = None
     b = pl.program_id(0)
     ir = pl.program_id(1)
     j = pl.program_id(2)  # page slot
@@ -73,10 +81,15 @@ def _paged_latent_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, kv_ref,
         # (ops/latent_attention.py); matmuls in the pool's native dtype
         # (MXU bf16 x bf16 -> f32 accumulate)
         q = q_ref[0]  # [block_r, C]
-        kv = kv_ref[0]  # [page, C] — the ONE stream
+        kv = kv_ref[0].astype(q.dtype)  # [page, C] — the ONE stream
+        #                                 (int8 dequantizes into q dtype)
 
         s = jax.lax.dot_general(q, kv, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
+        if has_scale:
+            s = s * (sc_ref[0].astype(jnp.float32) * scale)
+        else:
+            s = s * scale
 
         g = (ir * block_r + jax.lax.broadcasted_iota(
             jnp.int32, (block_r, page), 0))
@@ -91,9 +104,11 @@ def _paged_latent_kernel(pages_ref, q_off_ref, kv_len_ref, q_ref, kv_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-        # value = the latent prefix of the SAME page already in VMEM
+        # value = the latent prefix of the SAME page already in VMEM;
+        # with scales, the probabilities absorb the per-token scale
+        pv = (p * sc_ref[0].astype(jnp.float32)) if has_scale else p
         acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p.astype(kv.dtype), kv[:, :rank], (((1,), (0,)), ((), ())),
+            pv.astype(kv.dtype), kv[:, :rank], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:] = m_new
 
@@ -122,6 +137,55 @@ def paged_latent_attention(
 ) -> jax.Array:
     """Single-read streaming MLA attention over paged latents; see
     module docstring. Returns [B, T, H, rank] in q_full's dtype."""
+    return _paged_latent_call(q_full, latent_pool, None, page_table,
+                              q_offset, kv_len, rank=rank, scale=scale,
+                              block_q=block_q, interpret=interpret)
+
+
+def quantized_paged_latent_attention_reference(q_full, sym_pool,
+                                               scale_pool, page_table,
+                                               q_offset, kv_len, *, rank,
+                                               scale):
+    """Dequantize the gathered pages, then dense latent attention
+    (tests / CPU fallback). sym_pool int8 [P, page, C], scale_pool f32
+    [P, page]."""
+    lat = (sym_pool.astype(jnp.float32)
+           * scale_pool[..., None]).astype(jnp.float32)
+    return paged_latent_attention_reference(q_full, lat, page_table,
+                                            q_offset, kv_len, rank=rank,
+                                            scale=scale)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rank", "scale", "block_q", "interpret"))
+def quantized_paged_latent_attention(
+    q_full: jax.Array,  # [B, T, H, C]
+    sym_pool: jax.Array,  # int8 [P, page, C]
+    scale_pool: jax.Array,  # f32 [P, page] (per-token scales)
+    page_table: jax.Array,  # int32 [B, NP]
+    q_offset: jax.Array,  # int32 [B]
+    kv_len: jax.Array,  # int32 [B]
+    *,
+    rank: int,
+    scale: float,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`paged_latent_attention` over an int8 latent arena: the
+    per-token scale page rides the same page-table DMA as its latent
+    page and corrects score/probability columns in the kernel (fused
+    dequant — see _paged_latent_kernel)."""
+    return _paged_latent_call(q_full, sym_pool, scale_pool, page_table,
+                              q_offset, kv_len, rank=rank, scale=scale,
+                              block_q=block_q, interpret=interpret)
+
+
+def _paged_latent_call(q_full, latent_pool, scale_pool, page_table,
+                       q_offset, kv_len, *, rank, scale, block_q,
+                       interpret):
+    """Shared pallas_call builder for the bf16 and int8 paged latent
+    streams (``scale_pool`` present => int8 with fused dequant)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, T, H, C = q_full.shape
@@ -145,18 +209,26 @@ def paged_latent_attention(
         jm = jnp.minimum(j, live - 1)
         return (pt[b, jm], 0, 0)
 
+    has_scale = scale_pool is not None
+    in_specs = [
+        pl.BlockSpec((1, bR, C), lambda b, ir, j, *_: (b, ir, 0)),
+        pl.BlockSpec((1, page, C), page_index),
+    ]
+    inputs = [qh, latent_pool]
+    if has_scale:
+        # the scale page rides the SAME index map as its latent page
+        in_specs.append(pl.BlockSpec((1, 1, page), page_index))
+        inputs.append(scale_pool[:, None, :])
+
     kernel = functools.partial(_paged_latent_kernel, block_r=bR,
-                               page=page, n_tok=T, rank=rank, scale=scale)
+                               page=page, n_tok=T, rank=rank, scale=scale,
+                               has_scale=has_scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # page_table, q_offset, kv_len
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bR, C),
-                             lambda b, ir, j, *_: (b, ir, 0)),
-                pl.BlockSpec((1, page, C), page_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, bR, rank),
                                    lambda b, ir, j, *_: (b, ir, 0)),
             scratch_shapes=[
@@ -168,5 +240,5 @@ def paged_latent_attention(
         out_shape=jax.ShapeDtypeStruct((B, Rp, rank), q_full.dtype),
         interpret=interpret,
     )(jnp.asarray(page_table, jnp.int32), q_offset.astype(jnp.int32),
-      kv_len.astype(jnp.int32), qh, latent_pool)
+      kv_len.astype(jnp.int32), *inputs)
     return out[:, :R].reshape(B, H, T, rank).transpose(0, 2, 1, 3)

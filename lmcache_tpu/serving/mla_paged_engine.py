@@ -32,11 +32,12 @@ logger = init_logger(__name__)
 class MLAPagedServingEngine(PagedServingEngine):
 
     def __init__(self, cfg: mla.MLAConfig, params, **kwargs):
-        if kwargs.get("kv_dtype", "native") != "native":
-            raise NotImplementedError(
-                "int8 latent arenas are not implemented yet (the latent "
-                "cache is already ~57x smaller than expanded K/V)")
+        if kwargs.get("kv_dtype", "native") not in ("native", "int8"):
+            raise ValueError(
+                f"kv_dtype {kwargs['kv_dtype']!r}: expected 'native' or "
+                "'int8'")
         super().__init__(cfg, params, **kwargs)
+        quantized = self.kv_dtype == "int8"
         if (self.mesh is not None and self.use_pallas
                 and cfg.n_heads % self.mesh.shape.get("model", 1)):
             # mla._shard_paged_latent_attend would silently fall back to
@@ -92,16 +93,31 @@ class MLAPagedServingEngine(PagedServingEngine):
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject_pages(pool, blob, pages):
-            # latent wire blob [L, 1, n*page, 1, C] -> arena pages
+            # latent wire blob [L, 1, n*page, 1, C] -> arena pages.
+            # Wire blobs stay LOSSLESS native-dtype latents (tiers,
+            # serde, server unchanged); an int8 arena re-quantizes here
             L, _, _, _, C = blob.shape
             n = pages.shape[0]
             paged = blob[:, 0, :, 0, :].reshape(L, n, page, C)
+            if quantized:
+                from lmcache_tpu.ops.latent_attention import \
+                    quantize_latents
+                sym, scl = quantize_latents(paged)
+                return {
+                    "sym": pool["sym"].at[:, pages].set(sym),
+                    "scale": pool["scale"].at[:, pages].set(scl),
+                }
             return pool.at[:, pages].set(paged.astype(pool.dtype))
 
         @jax.jit
         def read_pages(pool, pages):
             # gather whole pages -> wire blob [L, 1, n*page, 1, C]
-            g = pool[:, pages]  # [L, n, page, C]
+            if quantized:
+                g = (pool["sym"][:, pages].astype(jnp.float32)
+                     * pool["scale"][:, pages][..., None]).astype(
+                         jnp.dtype(cfg.dtype))  # [L, n, page, C]
+            else:
+                g = pool[:, pages]  # [L, n, page, C]
             L, n, pg, C = g.shape
             return g.reshape(L, n * pg, C)[:, None, :, None, :]
 
@@ -113,14 +129,19 @@ class MLAPagedServingEngine(PagedServingEngine):
         self._read_pages = read_pages
 
     def _alloc_arena(self):
-        pool = mla.new_paged_latent_pool(self.cfg, self.num_pages,
-                                         self.page_size)
+        pool = (mla.new_quantized_paged_latent_pool(
+                    self.cfg, self.num_pages, self.page_size)
+                if self.kv_dtype == "int8" else
+                mla.new_paged_latent_pool(self.cfg, self.num_pages,
+                                          self.page_size))
         if self.mesh is not None:
             # pages are the cross-request resource and the latent has no
             # head axis: fully replicated (queries shard instead —
             # mla._shard_paged_latent_attend)
             from jax.sharding import NamedSharding, PartitionSpec as P
-            pool = jax.device_put(pool, NamedSharding(self.mesh, P()))
+            pool = jax.tree.map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(self.mesh, P())), pool)
         return pool
 
     def _get_blender(self):

@@ -208,14 +208,107 @@ def test_preemption_exact_resume(setup):
 
 def test_unsupported_modes_fail_loudly(setup):
     cfg, params = setup
-    with pytest.raises(NotImplementedError, match="int8 latent"):
+    with pytest.raises(ValueError, match="kv_dtype"):
         MLAPagedServingEngine(cfg, params, max_batch=2, max_seq=64,
-                              num_pages=8, page_size=16, kv_dtype="int8")
-    eng = MLAPagedServingEngine(cfg, params, max_batch=2, max_seq=64,
-                                num_pages=8, page_size=16,
-                                use_pallas=False)
-    with pytest.raises(NotImplementedError, match="CacheBlend"):
-        eng._get_blender()
+                              num_pages=8, page_size=16, kv_dtype="int4")
+
+
+def test_quantized_paged_latent_kernel_matches_reference():
+    """Int8 paged latent kernel (fused dequant, scale page riding the
+    same page-table DMA) vs the dequantize-then-dense reference."""
+    from lmcache_tpu.ops.latent_attention import quantize_latents
+    from lmcache_tpu.ops.paged_latent_attention import (
+        quantized_paged_latent_attention,
+        quantized_paged_latent_attention_reference)
+
+    rng = np.random.default_rng(3)
+    B, T, H, C, rank = 2, 4, 8, 96, 64
+    P, page, NP = 12, 16, 5
+    q = jnp.asarray(rng.standard_normal((B, T, H, C)), jnp.float32)
+    pool = jnp.asarray(rng.standard_normal((P, page, C)), jnp.float32)
+    sym, scl = quantize_latents(pool)
+    table = jnp.asarray([[1, 3, 5, 0, 0], [2, 4, 6, 7, 9]], jnp.int32)
+    q_off = jnp.asarray([17, 43], jnp.int32)
+    kv_len = q_off + T
+
+    for t in (T, 1):
+        ref = quantized_paged_latent_attention_reference(
+            q[:, :t], sym, scl, table, q_off, kv_len, rank=rank,
+            scale=0.13)
+        out = quantized_paged_latent_attention(
+            q[:, :t], sym, scl, table, q_off, kv_len, rank=rank,
+            scale=0.13)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_int8_paged_latent_serving(setup):
+    """kv_dtype="int8" on the page arena: int8 pages + per-token scale
+    pages (~114x smaller than an expanded-KV arena), quantize-on-write
+    (both the forward scatter and cache injection), lossless native
+    wire blobs. Greedy reuse reproduces the same output and the tokens
+    agree with the native-dtype paged engine on this tiny model."""
+    cfg, params = setup
+    rng = np.random.default_rng(77)
+    prompt = rng.integers(0, cfg.vocab_size, 40, dtype=np.int32)
+
+    ce = LMCacheEngine(
+        LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                          chunk_size=16),
+        LMCacheEngineMetadata(model_name="mla-paged-int8", world_size=1,
+                              worker_id=0, fmt="vllm", dtype=cfg.dtype))
+    try:
+        eng = MLAPagedServingEngine(cfg, params, max_batch=2, max_seq=128,
+                                    num_pages=32, page_size=16,
+                                    cache_engine=ce, kv_dtype="int8",
+                                    use_pallas=False)
+        assert isinstance(eng.kv_pool, dict)
+        assert eng.kv_pool["sym"].dtype == jnp.int8
+
+        [first] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
+        assert first.cached_prefix_len == 0
+        ce.engine_.flush()
+        # forget resident pages so the hit must come from the tiers
+        eng._resident.clear()
+        eng._page_hash.clear()
+        [again] = eng.generate([prompt], SamplingParams(max_new_tokens=6))
+        assert again.cached_prefix_len >= 32
+        assert again.output_tokens == first.output_tokens
+        assert eng.allocator.num_free == 31  # all pages returned
+
+        native = MLAPagedServingEngine(cfg, params, max_batch=2,
+                                       max_seq=128, num_pages=32,
+                                       page_size=16, use_pallas=False)
+        [g] = native.generate([prompt], SamplingParams(max_new_tokens=6))
+        assert g.output_tokens == first.output_tokens
+    finally:
+        ce.close()
+
+
+def test_int8_paged_forward_matches_quantized_dense(setup):
+    """mla.forward_paged on the int8 arena (reference AND pallas paths)
+    == mla.forward on the dense int8 latent pool."""
+    cfg, params = setup
+    B, T, page, P, NP = 2, 12, 8, 16, 6
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T),
+                                      dtype=np.int32))
+    start = jnp.zeros((B,), jnp.int32)
+
+    cache = mla.new_quantized_latent_cache(cfg, B, 64)
+    gl, _ = mla.forward(params, cfg, tokens, start, cache,
+                        use_pallas=False)
+
+    pool = mla.new_quantized_paged_latent_pool(cfg, P, page)
+    table = np.zeros((B, NP), np.int32)
+    table[0, :2] = [1, 2]
+    table[1, :2] = [3, 4]
+    for pallas in (False, True):
+        pl_, pp = mla.forward_paged(params, cfg, tokens, start, pool,
+                                    jnp.asarray(table), use_pallas=pallas)
+        np.testing.assert_allclose(np.asarray(pl_), np.asarray(gl),
+                                   atol=2e-3, rtol=2e-3)
+        assert pp["sym"].dtype == jnp.int8
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")

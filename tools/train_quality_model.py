@@ -1,0 +1,114 @@
+"""Train the in-repo quality checkpoint (checkpoints/quality_8l.npz).
+
+Trains the 8-layer model of tools/quality_common.py on the
+copy-with-offset corpus until the copy positions are predicted at
+~100% accuracy (peaked logits, ppl ~1 on determined positions). The
+checkpoint makes the BASELINE "<0.1 perplexity delta" codec gate
+(tools/eval_quality.py --model trained) a real measurement instead of
+tie-breaking noise on random-init logits.
+
+The loss is masked to DETERMINED positions only (t+1 >= R); base-
+segment targets are iid noise. (T, R) pairs are cycled so induction
+generalizes across retrieval distances, covering the eval geometry
+(T=2112, R=1056) by interpolation.
+
+    python tools/train_quality_model.py            # ~3k steps on TPU
+    python tools/train_quality_model.py --steps 200 --out /tmp/q.npz
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import quality_common as qc  # noqa: E402
+
+# (seq_len, repeat) curriculum: distances 128..1280, eval is 1056
+SHAPES = ((512, 128), (512, 256), (1024, 512), (2560, 1280),
+          (2560, 640))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=qc.CKPT_PATH)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lmcache_tpu.models import llama
+
+    cfg = qc.quality_config(dtype="float32")
+    params = llama.init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    warmup = min(200, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=warmup, decay_steps=args.steps,
+        end_value=args.lr * 0.05)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(sched, weight_decay=0.01))
+    opt_state = tx.init(params)
+
+    def loss_fn(p, tokens, mask):
+        B, T = tokens.shape
+        cache = llama.new_kv_cache(cfg, B, T)
+        # einsum attention: differentiable; remat keeps long-T backward
+        # activations bounded (the forward's remat flag exists for this)
+        logits, _ = llama.forward(p, cfg, tokens,
+                                  jnp.zeros(B, jnp.int32), cache,
+                                  use_pallas=False, remat=True)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+        tgt = tokens[:, 1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        acc = (logits[:, :-1].argmax(-1) == tgt)
+        m = mask[None, :]
+        denom = m.sum() * B
+        return ((nll * m).sum() / denom,
+                (acc * m).sum() / denom)
+
+    @jax.jit
+    def train_step(p, o, tokens, mask):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, tokens, mask)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss, acc
+
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for step in range(args.steps):
+        T, R = SHAPES[step % len(SHAPES)]
+        tokens = jnp.asarray(qc.make_train_batch(rng, args.batch, T, R))
+        mask = jnp.asarray(qc.target_mask(T, R))
+        params, opt_state, loss, acc = train_step(params, opt_state,
+                                                  tokens, mask)
+        if step % 100 == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  T={T:5d} R={R:5d}  "
+                  f"loss {float(loss):.4f}  copy-acc {float(acc):.4f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    qc.save_params(params, args.out)
+    print(f"saved {args.out} "
+          f"({os.path.getsize(args.out) / 1e6:.1f} MB)")
+
+    # quick self-check on the eval geometry (held-out seed)
+    eval_rng = np.random.default_rng(12345)
+    tokens = jnp.asarray(qc.make_eval_tokens(eval_rng, 2112))[None, :]
+    mask = jnp.asarray(qc.target_mask(2112, 1056))
+    p16 = qc.load_params("float32", args.out)  # through f16 storage
+    loss, acc = jax.jit(loss_fn)(p16, tokens, mask)
+    print(f"eval geometry (T=2112, R=1056, f16 round-trip): "
+          f"nll {float(loss):.4f} (ppl {float(np.exp(loss)):.4f})  "
+          f"copy-acc {float(acc):.4f}")
+
+
+if __name__ == "__main__":
+    main()
