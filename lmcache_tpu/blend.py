@@ -308,33 +308,25 @@ def assemble_chunks(chunk_blobs: Sequence[np.ndarray],
     return jnp.concatenate(parts, axis=2)
 
 
-class CacheBlender:
-    """Store/retrieve independently-hashed text chunks and blend them.
+class BlenderBase:
+    """Shared store/retrieve/blend orchestration for the family-specific
+    blenders (:class:`CacheBlender` for dense-KV models,
+    :class:`lmcache_tpu.blend_mla.MLACacheBlender` for latent-KV models).
 
     Unlike prefix caching (rolling hash chains, chunks.py), blend chunks
     are keyed by their own content hash so the same document KV is
-    reusable at any position in any prompt.
+    reusable at any position in any prompt. Subclasses supply:
+    ``_chunk_prefill(params, tokens[1, t]) -> wire blob``,
+    ``_assemble(blobs) -> position-corrected cache``, and
+    ``_heal(full_tokens, blended, n_rec) -> (logits, wire blob)``.
     """
 
-    def __init__(self, cfg: llama.LlamaConfig, params, cache_engine,
+    def __init__(self, cfg, params, cache_engine,
                  recompute_ratio: float = 0.15):
         self.cfg = cfg
         self.params = params
         self.engine = cache_engine
         self.ratio = recompute_ratio
-
-        cfg_ = cfg
-
-        @jax.jit
-        def chunk_prefill(params, tokens):
-            cache = llama.new_kv_cache(cfg_, 1, tokens.shape[1])
-            _, cache = llama.forward(params, cfg_, tokens,
-                                     jnp.zeros(1, jnp.int32), cache,
-                                     use_pallas=False)
-            # head-major pool [L, 2, H, T, D] -> wire blob [L, 2, T, H, D]
-            return cache[:, :, 0].transpose(0, 1, 3, 2, 4)
-
-        self._chunk_prefill = chunk_prefill
 
     def _key(self, tokens: np.ndarray):
         from lmcache_tpu.chunks import hash_tokens
@@ -354,8 +346,8 @@ class CacheBlender:
     def blend(self, chunk_tokens: List[np.ndarray]):
         """Blend cached chunks into a healed prompt KV.
 
-        Returns (last_logits [vocab], kv [L, 2, T, H_kv, D], info dict).
-        Chunks missing from the cache are prefilled (and stored) first.
+        Returns (last_logits [vocab], wire KV blob, info dict). Chunks
+        missing from the cache are prefilled (and stored) first.
         """
         blobs, misses = [], 0
         for tokens in chunk_tokens:
@@ -368,22 +360,48 @@ class CacheBlender:
             blobs.append(blob)
 
         full = np.concatenate([np.asarray(t, np.int32) for t in chunk_tokens])
-        per_layer = (self.cfg.rope_local_theta is not None
-                     or self.cfg.nope_on_global_layers)
-        blended = assemble_chunks(
-            blobs, self.cfg.rope_theta, self.cfg.rotary_dim,
-            self.cfg.rope_interleaved, self.cfg.rope_scaling_spec,
-            local_theta=self.cfg.rope_local_theta,
-            global_layers=(tuple(self.cfg.layer_windows())
-                           if per_layer else None),
-            nope_global=self.cfg.nope_on_global_layers)
+        blended = self._assemble(blobs)
         T = len(full)
         n_rec = max(1, min(T, int(np.ceil(self.ratio * T))))
-        logits, kv = blend_prefill(self.params, self.cfg,
-                                   jnp.asarray(full), blended, n_rec)
+        logits, kv = self._heal(jnp.asarray(full), blended, n_rec)
         return logits, kv, {
             "num_chunks": len(chunk_tokens),
             "misses": misses,
             "recomputed_tokens": n_rec,
             "total_tokens": T,
         }
+
+
+class CacheBlender(BlenderBase):
+    """:class:`BlenderBase` for dense-KV (llama-family) models; the wire
+    blob is vllm-format ``[L, 2, T, H_kv, D]``."""
+
+    def __init__(self, cfg: llama.LlamaConfig, params, cache_engine,
+                 recompute_ratio: float = 0.15):
+        super().__init__(cfg, params, cache_engine, recompute_ratio)
+        cfg_ = cfg
+
+        @jax.jit
+        def chunk_prefill(params, tokens):
+            cache = llama.new_kv_cache(cfg_, 1, tokens.shape[1])
+            _, cache = llama.forward(params, cfg_, tokens,
+                                     jnp.zeros(1, jnp.int32), cache,
+                                     use_pallas=False)
+            # head-major pool [L, 2, H, T, D] -> wire blob [L, 2, T, H, D]
+            return cache[:, :, 0].transpose(0, 1, 3, 2, 4)
+
+        self._chunk_prefill = chunk_prefill
+
+    def _assemble(self, blobs):
+        per_layer = (self.cfg.rope_local_theta is not None
+                     or self.cfg.nope_on_global_layers)
+        return assemble_chunks(
+            blobs, self.cfg.rope_theta, self.cfg.rotary_dim,
+            self.cfg.rope_interleaved, self.cfg.rope_scaling_spec,
+            local_theta=self.cfg.rope_local_theta,
+            global_layers=(tuple(self.cfg.layer_windows())
+                           if per_layer else None),
+            nope_global=self.cfg.nope_on_global_layers)
+
+    def _heal(self, full, blended, n_rec):
+        return blend_prefill(self.params, self.cfg, full, blended, n_rec)

@@ -183,6 +183,12 @@ class MLAServingEngine(ServingEngine):
         return pool
 
     def _get_blender(self):
-        raise NotImplementedError(
-            "CacheBlend for MLA models is not implemented (position "
-            "healing must re-rotate only the rope slice of each latent)")
+        if self._blender is None:
+            if self.cache_engine is None:
+                raise ValueError(
+                    "context_chunks requests need a cache_engine")
+            from lmcache_tpu.blend_mla import MLACacheBlender
+            self._blender = MLACacheBlender(
+                self.cfg, self.params, self.cache_engine,
+                recompute_ratio=self._blend_ratio)
+        return self._blender

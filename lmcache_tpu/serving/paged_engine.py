@@ -51,6 +51,7 @@ class PagedServingEngine(ServingEngine):
         kv_dtype: str = "native",  # "native" | "int8" (half-size arena)
         spec_lookahead: int = 0,
         spec_ngram: int = 3,
+        blend_recompute_ratio: float = 0.15,
     ):
         if (cache_engine is not None
                 and cache_engine.chunk_size % page_size != 0):
@@ -68,7 +69,8 @@ class PagedServingEngine(ServingEngine):
                          decode_block=decode_block,
                          prefill_chunk=prefill_chunk, kv_dtype=kv_dtype,
                          spec_lookahead=spec_lookahead,
-                         spec_ngram=spec_ngram)
+                         spec_ngram=spec_ngram,
+                         blend_recompute_ratio=blend_recompute_ratio)
         quantized = kv_dtype == "int8"
 
         from lmcache_tpu.models.paged import forward_paged_quantized
