@@ -52,6 +52,9 @@ class PagedServingEngine(ServingEngine):
         spec_lookahead: int = 0,
         spec_ngram: int = 3,
         blend_recompute_ratio: float = 0.15,
+        prefill_token_budget: Optional[int] = None,
+        admission_window: int = 8,
+        max_admission_bypass: int = 64,
     ):
         if (cache_engine is not None
                 and cache_engine.chunk_size % page_size != 0):
@@ -70,7 +73,10 @@ class PagedServingEngine(ServingEngine):
                          prefill_chunk=prefill_chunk, kv_dtype=kv_dtype,
                          spec_lookahead=spec_lookahead,
                          spec_ngram=spec_ngram,
-                         blend_recompute_ratio=blend_recompute_ratio)
+                         blend_recompute_ratio=blend_recompute_ratio,
+                         prefill_token_budget=prefill_token_budget,
+                         admission_window=admission_window,
+                         max_admission_bypass=max_admission_bypass)
         quantized = kv_dtype == "int8"
 
         from lmcache_tpu.models.paged import forward_paged_quantized

@@ -316,3 +316,111 @@ def test_blend_admission_near_full_arena(setup):
     assert len(a.output_tokens) == 30
     assert len(b.output_tokens) == 4
     ce.close()
+
+
+# -- round-3 token-budget scheduler (VERDICT r2 next #5) --------------------
+
+
+def test_window_admission_bypasses_blocked_head(setup):
+    """A huge head request must not block admissible small requests
+    behind it: they admit from the window, run, and free pages until
+    the head fits."""
+    cfg, params = setup
+    # head needs 9 pages (128 prompt + 2 new); small ones need 1 each
+    eng = PagedServingEngine(cfg, params, max_batch=3, max_seq=192,
+                             num_pages=10, page_size=16,  # 9 usable
+                             use_pallas=False)
+    first = Request(_prompt(cfg, 14, 19), SamplingParams(max_new_tokens=30))
+    eng.add_request(first)
+    while not first.output_tokens:
+        eng.step()  # one page occupied: the arena can no longer hold big
+    big = Request(_prompt(cfg, 128, 10), SamplingParams(max_new_tokens=2))
+    smalls = [Request(_prompt(cfg, 14, 20 + i),
+                      SamplingParams(max_new_tokens=2)) for i in range(3)]
+    eng.add_request(big)
+    for s in smalls:
+        eng.add_request(s)
+    eng.step()
+    # the head (9 pages) cannot fit alongside anything; smalls bypassed it
+    assert big in eng.waiting
+    assert sum(s not in eng.waiting for s in smalls) == 2  # 2 free slots
+    eng.run()
+    assert len(eng.finished) == 5
+    assert len(big.output_tokens) == 2
+
+
+def test_admission_bypass_bound_prevents_starvation(setup):
+    """After max_admission_bypass consecutive bypasses the window
+    collapses to FIFO: later small requests WAIT even though they fit,
+    the arena drains, and the head admits."""
+    cfg, params = setup
+    eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=192,
+                             num_pages=10, page_size=16,
+                             use_pallas=False, max_admission_bypass=2)
+    big = Request(_prompt(cfg, 128, 11), SamplingParams(max_new_tokens=2))
+    smalls = [Request(_prompt(cfg, 14, 30 + i),
+                      SamplingParams(max_new_tokens=2)) for i in range(6)]
+    eng.add_request(big)
+    for s in smalls:
+        eng.add_request(s)
+    eng.run()
+    assert len(eng.finished) == 7
+    # only 2 smalls may have been admitted before the FIFO freeze, so the
+    # big request finished BEFORE at least the last 4 smalls
+    order = [r.request_id for r in eng.finished]
+    assert order.index(big.request_id) < order.index(
+        smalls[-1].request_id)
+
+
+def test_prefill_token_budget_spreads_across_requests(setup):
+    """With budget > prefill_chunk, several prefilling requests advance
+    in ONE scheduler step (the r2 scheduler advanced only the head);
+    greedy outputs stay identical to the single-segment engine."""
+    cfg, params = setup
+    prompts = [_prompt(cfg, 48, 40 + i) for i in range(3)]
+
+    eng = ServingEngine(cfg, params, max_batch=3, max_seq=128,
+                        use_pallas=False, prefill_chunk=16,
+                        prefill_token_budget=48)
+    for p in prompts:
+        eng.add_request(Request(p, SamplingParams(max_new_tokens=3)))
+    eng.step()  # admits all three, then spends 48 tokens over 3 segments
+    assert [r.prefill_pos for r in eng.prefilling] == [16, 16, 16]
+    eng.run()
+
+    golden = ServingEngine(cfg, params, max_batch=3, max_seq=128,
+                           use_pallas=False, prefill_chunk=16)
+    gold = golden.generate(prompts, SamplingParams(max_new_tokens=3))
+    for r, g in zip(eng.finished, gold):
+        assert r.output_tokens == g.output_tokens
+
+
+def test_decode_jitter_bounded_under_mixed_load(setup):
+    """8 decoding requests + one long prefill share steps: every
+    scheduler step during the long prefill still produces one decode
+    token per running request (bounded decode-latency jitter)."""
+    cfg, params = setup
+    eng = ServingEngine(cfg, params, max_batch=9, max_seq=256,
+                        use_pallas=False, prefill_chunk=16)
+    decoders = [Request(_prompt(cfg, 8, 50 + i),
+                        SamplingParams(max_new_tokens=64))
+                for i in range(8)]
+    for d in decoders:
+        eng.add_request(d)
+    while not all(d.output_tokens for d in decoders):
+        eng.step()
+
+    long_req = Request(_prompt(cfg, 160, 59),
+                       SamplingParams(max_new_tokens=1))
+    eng.add_request(long_req)
+    before = [len(d.output_tokens) for d in decoders]
+    steps = 0
+    while long_req not in eng.running and not long_req.state.name == \
+            "FINISHED" and steps < 32:
+        eng.step()
+        steps += 1
+        # every step with the prefill in flight advanced EVERY decode
+        for d, b in zip(decoders, before):
+            if not d.is_finished(eng.eos_token_id):
+                assert len(d.output_tokens) == b + steps
+    assert steps >= 160 // 16 - 1  # the prefill really was sliced
