@@ -1,0 +1,87 @@
+"""The committed quality checkpoint must stay peaked and retrieval-bound.
+
+The BASELINE.md "<0.1 perplexity delta" codec gate only measures
+anything on a model whose next-token predictions depend on retrieving
+KV from far away (docs/codec.md).  This guards the committed
+checkpoint (checkpoints/quality_8l.npz): if a refactor of the llama
+stack, the rope path, or the checkpoint loader breaks it, the bench's
+codec_quality_gate would silently lose its teeth.
+
+Geometries: (512, 128) and (1536, 768) — distances the final
+curriculum stage replays/trains (the mechanism is rotary-phase
+specific: unreplayed bands like R=256/512 sit at ~0 accuracy — probed
+at commit time).  The full eval geometry (T=2112, R=1056) runs on TPU
+via tools/eval_quality.py and bench.py.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def quality():
+    from tools import quality_common as qc
+    cfg = qc.quality_config(dtype="float32")
+    params = qc.load_params(dtype="float32")
+    return qc, cfg, params
+
+
+def test_checkpoint_is_peaked_and_retrieval_bound(quality):
+    import jax.numpy as jnp
+
+    from lmcache_tpu.models import llama
+
+    qc, cfg, params = quality
+    for T, R in ((512, 128), (1536, 768)):
+        tokens = qc.make_sequence(np.random.default_rng(0), T, R)
+        cache = llama.new_kv_cache(cfg, 1, T)
+        logits, _ = llama.forward(
+            params, cfg, jnp.asarray(tokens)[None, :],
+            jnp.zeros(1, jnp.int32), cache, use_pallas=False)
+        pred = np.asarray(jnp.argmax(logits[0], -1))
+        det = qc.target_mask(T, R)  # targets determined by the copy rule
+        acc = float((pred[:-1][det] == tokens[1:][det]).mean())
+        assert acc > 0.99, f"copy accuracy degraded at R={R}: {acc:.4f}"
+
+    # peaked (last geometry): mean top-2 logprob margin is large
+    lp = np.asarray(jnp.sort(
+        jnp.log(jnp.clip(jnp.exp(logits[0, :-1][det]) /
+                         jnp.exp(logits[0, :-1][det]).sum(-1, keepdims=True),
+                         1e-30)), axis=-1))
+    margin = float((lp[:, -1] - lp[:, -2]).mean())
+    assert margin > 1.0, f"logits not peaked: margin {margin:.3f} nats"
+
+
+def test_corrupting_cached_kv_breaks_retrieval(quality):
+    """The property the codec gate relies on: damage to the cached KV of
+    the base segment must destroy copy accuracy downstream."""
+    import jax.numpy as jnp
+
+    from lmcache_tpu.models import llama
+
+    qc, cfg, params = quality
+    # single-repeat geometry: every continuation position retrieves
+    # from the (corrupted) base segment — at multi-repeat geometries
+    # later repeats retrieve from CLEAN later KV and accuracy survives
+    T, R = 1536, 768
+    tokens = qc.make_sequence(np.random.default_rng(1), T, R)
+    cache = llama.new_kv_cache(cfg, 1, T)
+    _, cache = llama.forward(
+        params, cfg, jnp.asarray(tokens[:R])[None, :],
+        jnp.zeros(1, jnp.int32), cache, use_pallas=False)
+    blob = llama.cache_to_blob(cache, 0, R)
+
+    def acc_with(blob_in):
+        c = llama.new_kv_cache(cfg, 1, T)
+        c = llama.blob_into_cache(c, jnp.asarray(blob_in))
+        logits, _ = llama.forward(
+            params, cfg, jnp.asarray(tokens[R:])[None, :],
+            jnp.asarray([R], jnp.int32), c, use_pallas=False)
+        pred = np.asarray(jnp.argmax(logits[0, :-1], -1))
+        return float((pred == tokens[R + 1:]).mean())
+
+    assert acc_with(blob) > 0.99
+    rng = np.random.default_rng(2)
+    noisy = np.asarray(blob) + rng.normal(
+        0, 2.0, np.shape(blob)).astype(np.asarray(blob).dtype)
+    assert acc_with(noisy) < 0.5, "KV corruption did not break retrieval"

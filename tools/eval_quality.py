@@ -149,7 +149,14 @@ def evaluate(model: str = "tiny", ctx: int = 256, cont: int = 64,
     conf_top1 = float(agree[confident].sum() / max(n_conf, 1))
 
     nll_exact, nll_codec = nll_of(lp_exact), nll_of(lp_codec)
-    ppl_exact, ppl_codec = np.exp(nll_exact), np.exp(nll_codec)
+    # cap the exponent: a destroyed cache can push nll past float range
+    # (or to nan via overflowed activations); report a finite, still
+    # obviously-failing perplexity instead of nan
+    def _ppl(nll: float) -> float:
+        if not np.isfinite(nll):
+            nll = 700.0
+        return float(np.exp(min(nll, 700.0)))
+    ppl_exact, ppl_codec = _ppl(nll_exact), _ppl(nll_codec)
     ratio = exact_blob.size * np.dtype(cfg.dtype).itemsize / len(bs)
     delta = ppl_codec - ppl_exact
 
@@ -224,8 +231,8 @@ def main():
                   f"{'ppl_codec':>10} {'ppl_delta':>10} {'logit_kl':>9}")
             for r in rows:
                 print(f"{str(r['bins']):>8} {r['compression_x']:>11.2f}x "
-                      f"{r['ppl_exact']:>10.4f} {r['ppl_codec']:>10.4f} "
-                      f"{r['ppl_delta']:>+10.4f} {r['logit_kl']:>9.5f}")
+                      f"{r['ppl_exact']:>10.4g} {r['ppl_codec']:>10.4g} "
+                      f"{r['ppl_delta']:>+10.4g} {r['logit_kl']:>9.4g}")
         return 0
 
     result = evaluate(args.model, args.ctx, args.cont, args.seed)

@@ -8,9 +8,9 @@ checkpoint makes the BASELINE "<0.1 perplexity delta" codec gate
 tie-breaking noise on random-init logits.
 
 The loss is masked to DETERMINED positions only (t+1 >= R); base-
-segment targets are iid noise. (T, R) pairs are cycled so induction
-generalizes across retrieval distances, covering the eval geometry
-(T=2112, R=1056) by interpolation.
+segment targets are iid noise. A staged short-to-long curriculum forms
+the induction mechanism at small R first, then extends it to the eval
+geometry (T=2112, R=1056) — see CURRICULUM.
 
     python tools/train_quality_model.py            # ~3k steps on TPU
     python tools/train_quality_model.py --steps 200 --out /tmp/q.npz
@@ -27,16 +27,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools import quality_common as qc  # noqa: E402
 
-# (seq_len, repeat) curriculum: distances 128..1280, eval is 1056
-SHAPES = ((512, 128), (512, 256), (1024, 512), (2560, 1280),
-          (2560, 640))
+# Staged (seq_len, repeat) curriculum. Induction heads form quickly at
+# SHORT repeat distances (verified: a 2-layer probe is stuck at uniform
+# loss for 400+ steps when started at R=128, but transitions within
+# ~500 steps at R=8). The match is content-based but rides rotary
+# positions, so distance extension must be GRADUAL: a run that jumped
+# 640 -> 1280 reached 94% at R=640 and 0% at R=1056/1280 (no transfer
+# across a 2x gap), and a run that mixed all distances from 20% in
+# never formed induction at all (conflicting signal while the
+# mechanism was still soft). Each stage widens the band ~1.2-1.4x
+# while keeping recent distances in the mix.
+CURRICULUM = (
+    # (fraction of steps, shapes cycled within the stage)
+    (0.18, ((256, 8), (256, 16), (256, 32), (256, 64))),
+    (0.18, ((512, 128), (512, 256), (1024, 512), (512, 128))),
+    (0.24, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
+    # final stage: long-distance focus + SHORT-distance replay. Replay
+    # is safe once the mechanism is formed (mixing from 20% in blocked
+    # formation; mixing here does not) and keeps the checkpoint
+    # accurate across the whole distance band instead of long-only.
+    (0.40, ((2048, 896), (2112, 1056), (2560, 1280), (1536, 768),
+            (2048, 896), (2112, 1056), (512, 128), (256, 32))),
+)
+
+
+def shape_for_step(step: int, total: int):
+    """(seq_len, repeat) of ``step`` under the staged curriculum."""
+    start = 0
+    for frac, shapes in CURRICULUM:
+        n = int(round(frac * total))
+        if step < start + n or (frac, shapes) == CURRICULUM[-1]:
+            return shapes[(step - start) % len(shapes)]
+        start += n
+    return CURRICULUM[-1][1][0]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=qc.CKPT_PATH)
     args = ap.parse_args()
@@ -53,7 +83,7 @@ def main():
     warmup = min(200, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=warmup, decay_steps=args.steps,
-        end_value=args.lr * 0.05)
+        end_value=args.lr * 0.15)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(sched, weight_decay=0.01))
     opt_state = tx.init(params)
@@ -85,7 +115,7 @@ def main():
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     for step in range(args.steps):
-        T, R = SHAPES[step % len(SHAPES)]
+        T, R = shape_for_step(step, args.steps)
         tokens = jnp.asarray(qc.make_train_batch(rng, args.batch, T, R))
         mask = jnp.asarray(qc.target_mask(T, R))
         params, opt_state, loss, acc = train_step(params, opt_state,
