@@ -58,3 +58,29 @@ def test_save_decode_cache_gates_store():
     decode = itg.StepInput(tokens=np.arange(8, dtype=np.int32),
                            is_prefill=False)
     assert itg.lmcache_should_store(decode)
+
+
+def test_retrieve_kv_stream_pieces_and_early_close():
+    cfg = LMCacheEngineConfig.from_defaults(local_device="cpu",
+                                            chunk_size=16)
+    eng = itg.init_lmcache_engine("m", config=cfg)
+    tokens = np.arange(48, dtype=np.int32)
+    prefill = itg.StepInput(tokens=tokens, is_prefill=True)
+    blob = _blob(48)
+    itg.lmcache_store_kv(prefill, blob)
+    eng.engine_.flush()
+
+    # pieces are contiguous, cover exactly num_computed_tokens of the
+    # non-streaming hook, and the last piece is cut to leave >= 1 token
+    pieces = list(itg.lmcache_retrieve_kv_stream(prefill))
+    starts = [s for s, _ in pieces]
+    lens = [c.shape[2] for _, c in pieces]
+    assert starts == [0, 16, 32]
+    assert lens == [16, 16, 15]
+    rebuilt = np.concatenate([np.asarray(c) for _, c in pieces], axis=2)
+    np.testing.assert_array_equal(rebuilt, blob[:, :, :47])
+
+    # closing early cancels cleanly (no error, no further pieces)
+    gen = itg.lmcache_retrieve_kv_stream(prefill)
+    assert next(gen)[0] == 0
+    gen.close()
