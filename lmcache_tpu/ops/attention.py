@@ -168,11 +168,18 @@ def _flash_kernel(q_off_ref, kv_len_ref, *rest, block_q, block_k, group,
         if logit_softcap is not None:
             s = logit_softcap * jnp.tanh(s / logit_softcap)
 
+        # broadcast 1-D position vectors, and fold the causal + length
+        # conditions into ONE compare against the per-row bound
+        # min(qpos, kv_len-1): only that compare and the where
+        # materialize at [rows, bk]. (An interior/boundary pl.when
+        # split was measured SLOWER — 85 vs 92 TFLOP/s — the duplicated
+        # softmax-update bodies schedule worse than the saved masking;
+        # bf16 exp, bk=512/2048, bq=128 all lost too. docs/kernels.md)
         qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (group * block_q, block_k), 0) % block_q)
-        kpos = (kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (group * block_q, block_k), 1))
-        mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+            jnp.int32, (group * block_q, 1), 0) % block_q)
+        kpos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
         if sliding_window is not None:
             if window_kind == "chunked":
                 mask &= kpos // sliding_window == qpos // sliding_window

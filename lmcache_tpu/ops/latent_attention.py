@@ -99,12 +99,14 @@ def _latent_kernel(q_off_ref, kv_len_ref, *refs, block_r, block_k,
     else:
         s = s * scale
 
+    # 1-D broadcast positions + folded causal/length compare
+    # (see ops/attention.py _flash_kernel)
     g = (ir * block_r + jax.lax.broadcasted_iota(
-        jnp.int32, (block_r, block_k), 0))
+        jnp.int32, (block_r, 1), 0))
     qpos = q_off_ref[b] + g % n_tok
-    kpos = (ik * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_r, block_k), 1))
-    mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+    kpos = ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1)
+    mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
     s = jnp.where(mask, s, _NEG_INF)
 
     m_prev = m_scr[:]

@@ -122,11 +122,13 @@ def _qflash_kernel(q_off_ref, kv_len_ref, *rest, block_q,
         if logit_softcap is not None:
             s = logit_softcap * jnp.tanh(s / logit_softcap)
 
+        # 1-D broadcast positions + folded causal/length compare
+        # (see ops/attention.py _flash_kernel)
         qpos = (q_off_ref[b] + iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (group * block_q, block_k), 0) % block_q)
-        kpos = (kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (group * block_q, block_k), 1))
-        mask = (kpos <= qpos) & (kpos < kv_len_ref[b])
+            jnp.int32, (group * block_q, 1), 0) % block_q)
+        kpos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
         if sliding_window is not None:
             if window_kind == "chunked":
                 mask &= kpos // sliding_window == qpos // sliding_window
