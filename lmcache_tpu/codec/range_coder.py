@@ -31,12 +31,19 @@ def _build() -> Optional[ctypes.CDLL]:
     os.makedirs(_LIBDIR, exist_ok=True)
     if (not os.path.exists(_LIBPATH)
             or os.path.getmtime(_LIBPATH) < os.path.getmtime(_SRC)):
-        cmd = [
-            "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
-            _SRC, "-o", _LIBPATH + ".tmp"
-        ]
-        logger.info("Building range coder: %s", " ".join(cmd))
-        subprocess.run(cmd, check=True, capture_output=True)
+        base = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+                "-fopenmp", _SRC, "-o", _LIBPATH + ".tmp"]
+        # -march=native vectorizes the branchless symbol search (packed
+        # uint16 compares); the lib is built on the deployment host, so
+        # native is the right target — fall back for exotic toolchains
+        for cmd in ([base[0], "-march=native"] + base[1:], base):
+            logger.info("Building range coder: %s", " ".join(cmd))
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                break
+            except subprocess.CalledProcessError:
+                if cmd is base:
+                    raise
         os.replace(_LIBPATH + ".tmp", _LIBPATH)
     lib = ctypes.CDLL(_LIBPATH)
     lib.lmtc_encode_streams.argtypes = [
