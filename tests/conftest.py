@@ -89,6 +89,24 @@ class FakeSentinel:
         return self.backend
 
 
+@pytest.fixture(autouse=True, scope="module")
+def bounded_xla_jit_cache():
+    """Clear JAX's executable caches between test modules.
+
+    The suite compiles thousands of distinct XLA:CPU programs (every
+    eager op shape, every jitted engine step across ~37 modules);
+    letting them all accumulate in one process segfaults the XLA CPU
+    JIT around the ~270th test (reproduced twice at the same spot,
+    crash inside backend_compile_and_load on a routine scan — an
+    upstream accumulation bug, not a test bug). Per-module eviction
+    bounds the live-executable count; modules recompile their own
+    programs, which they mostly would anyway.
+    """
+    yield
+    import jax
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True)
 def mock_redis(monkeypatch):
     """Install a fake `redis` module (reference: conftest.py:9-54)."""
