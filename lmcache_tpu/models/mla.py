@@ -306,27 +306,48 @@ def new_quantized_latent_cache(cfg: MLAConfig, batch: int,
     }
 
 
+def latent_pad_dim(cfg: MLAConfig) -> int:
+    """Latent dim of the PAGED arenas, padded to a lane multiple (128)
+    so the manual-DMA kernels can copy whole pages
+    (ops/paged_latent_attention DMA family: HBM DMA slices must be
+    128-lane aligned). Pad columns are zero; the zero-padded query
+    scores them 0, so they never affect attention; wire blobs and the
+    dense latent cache stay at the logical ``cfg.latent_dim``."""
+    return -(-cfg.latent_dim // 128) * 128
+
+
+def pad_latents(cfg: MLAConfig, x: jax.Array) -> jax.Array:
+    """Zero-pad the trailing latent dim to :func:`latent_pad_dim`."""
+    pad = latent_pad_dim(cfg) - x.shape[-1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
 def new_paged_latent_pool(cfg: MLAConfig, num_pages: int,
                           page_size: int) -> jax.Array:
-    """Paged latent arena ``[L, P, page, r+p]``. Page 0 is the null page
-    (parked writes land there, as in models/paged.new_paged_kv_pool).
-    No head axis — one latent page holds ~57x the tokens of an
-    expanded-KV page of equal bytes at DeepSeek-V2 geometry."""
-    return jnp.zeros((cfg.n_layers, num_pages, page_size, cfg.latent_dim),
-                     jnp.dtype(cfg.dtype))
+    """Paged latent arena ``[L, P, page, pad128(r+p)]``. Page 0 is the
+    null page (parked writes land there, as in
+    models/paged.new_paged_kv_pool). No head axis — one latent page
+    holds ~57x the tokens of an expanded-KV page of equal bytes at
+    DeepSeek-V2 geometry. The latent dim is lane-padded
+    (:func:`latent_pad_dim`)."""
+    return jnp.zeros(
+        (cfg.n_layers, num_pages, page_size, latent_pad_dim(cfg)),
+        jnp.dtype(cfg.dtype))
 
 
 def new_quantized_paged_latent_pool(cfg: MLAConfig, num_pages: int,
                                     page_size: int):
-    """Int8 paged latent arena: ``{"sym" [L, P, page, r+p] int8,
-    "scale" [L, P, page] f32}`` — :func:`new_quantized_latent_cache`'s
+    """Int8 paged latent arena: ``{"sym" [L, P, page, pad128(r+p)]
+    int8, "scale" [L, P, page] f32}`` — :func:`new_quantized_latent_cache`'s
     per-token-scale layout on the page arena, so the same HBM holds
     ~2x the pages (~114x the tokens of an expanded-KV arena at
-    DeepSeek-V2 geometry). Dequant is fused into the paged kernel
-    (ops/paged_latent_attention.quantized_paged_latent_attention)."""
+    DeepSeek-V2 geometry). Dequant is fused into the paged kernels
+    (ops/paged_latent_attention)."""
     return {
         "sym": jnp.zeros(
-            (cfg.n_layers, num_pages, page_size, cfg.latent_dim),
+            (cfg.n_layers, num_pages, page_size, latent_pad_dim(cfg)),
             jnp.int8),
         "scale": jnp.ones((cfg.n_layers, num_pages, page_size),
                           jnp.float32),
@@ -853,13 +874,18 @@ def _mla_attention_paged(x, lp, cfg: MLAConfig, pool_l, page_table, pidx,
 
     q_full, new_tok = _mla_project(x, lp, cfg, positions)
     from lmcache_tpu.ops.paged_latent_attention import (
-        paged_latent_attention, paged_latent_attention_reference,
-        quantized_paged_latent_attention,
+        paged_latent_attention_dma, paged_latent_attention_reference,
+        quantized_paged_latent_attention_dma,
         quantized_paged_latent_attention_reference)
     kv_len = start_pos + T
+    # the paged arenas are lane-padded (latent_pad_dim); pad the new
+    # rows and the query to match — zero columns never affect attention
+    new_tok = pad_latents(cfg, new_tok)
+    q_pad = pad_latents(cfg, q_full)
     if isinstance(pool_l, dict):
         # int8 arena: quantize the new tokens' latents on write, fused
-        # dequant on read (per-token scale over the latent dim)
+        # dequant on read (per-token scale over the latent dim; zero
+        # pad columns quantize to 0 and leave the absmax scale as-is)
         from lmcache_tpu.ops.latent_attention import quantize_latents
         n_sym, n_sc = quantize_latents(new_tok)
         pool_l = {
@@ -867,34 +893,34 @@ def _mla_attention_paged(x, lp, cfg: MLAConfig, pool_l, page_table, pidx,
             "scale": pool_l["scale"].at[pidx, poff].set(n_sc),
         }
         if use_pallas:
-            impl = functools.partial(quantized_paged_latent_attention,
+            impl = functools.partial(quantized_paged_latent_attention_dma,
                                      rank=r, scale=cfg.sm_scale)
             if mesh is not None:
                 sharded = _shard_paged_latent_attend(impl, mesh, H, B,
                                                      quantized=True)
                 if sharded is not None:
                     impl = sharded
-            ctx = impl(q_full.astype(jnp.dtype(cfg.dtype)), pool_l["sym"],
+            ctx = impl(q_pad.astype(jnp.dtype(cfg.dtype)), pool_l["sym"],
                        pool_l["scale"], page_table, start_pos, kv_len)
         else:
             ctx = quantized_paged_latent_attention_reference(
-                q_full, pool_l["sym"], pool_l["scale"], page_table,
+                q_pad, pool_l["sym"], pool_l["scale"], page_table,
                 start_pos, kv_len, rank=r, scale=cfg.sm_scale)
     else:
         # scatter [B, T, C] latent rows into pages: pool[p, o] = new[b, t]
         pool_l = pool_l.at[pidx, poff].set(new_tok.astype(pool_l.dtype))
         if use_pallas:
-            impl = functools.partial(paged_latent_attention, rank=r,
+            impl = functools.partial(paged_latent_attention_dma, rank=r,
                                      scale=cfg.sm_scale)
             if mesh is not None:
                 sharded = _shard_paged_latent_attend(impl, mesh, H, B)
                 if sharded is not None:
                     impl = sharded
-            ctx = impl(q_full.astype(pool_l.dtype), pool_l, page_table,
+            ctx = impl(q_pad.astype(pool_l.dtype), pool_l, page_table,
                        start_pos, kv_len)
         else:
             ctx = paged_latent_attention_reference(
-                q_full, pool_l, page_table, start_pos, kv_len, rank=r,
+                q_pad, pool_l, page_table, start_pos, kv_len, rank=r,
                 scale=cfg.sm_scale)
     attn = jnp.einsum("bthr,hrv->bthv", ctx,
                       lp["w_kb_v"].astype(jnp.float32))

@@ -34,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from lmcache_tpu.ops.attention import _round_up
 from lmcache_tpu.ops.latent_attention import (_NEG_INF,
                                               latent_attention_reference)
+from lmcache_tpu.ops.paged_attention import (N_BUF, _group_info,
+                                             _super_pages)
 
 
 def paged_latent_attention_reference(q_full, latent_pool, page_table,
@@ -242,3 +244,265 @@ def _paged_latent_call(q_full, latent_pool, scale_pool, page_table,
     )(jnp.asarray(page_table, jnp.int32), q_offset.astype(jnp.int32),
       kv_len.astype(jnp.int32), *inputs)
     return out[:, :R].reshape(B, H, T, rank).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Manual-DMA paged latent kernels (round 3)
+# ---------------------------------------------------------------------------
+#
+# Same move as ops/paged_attention's DMA family: the arena stays in HBM
+# (memory_space=ANY) and the kernel streams exactly the live pages
+# through an N_BUF-deep async-copy pipeline, coalescing runs of
+# physically-consecutive page ids into ONE strided copy per
+# _super_pages(page) slots (_group_info). This removes the grid-step
+# fixed cost that dominates the BlockSpec kernel at small latent pages
+# — the page sizes MLA's ~57x token density makes attractive.
+#
+# DMA slices must be 128-lane aligned, so these kernels require the
+# arena's latent dim padded to a multiple of 128
+# (mla.latent_pad_dim; zero pad columns score 0 against the zero-padded
+# query and never affect the softmax). The bf16 kernel scores a whole
+# coalesced group as one [bR, SP*page] dot (columns are in natural
+# token order — no lane packing here); the int8 kernel computes per
+# sub-page so each page's [1, page] scale row applies directly.
+
+
+def _paged_latent_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs,
+                             block_r, page, n_tok, rank, scale,
+                             super_pages, has_scale=False):
+    if has_scale:
+        q_ref, kv_hbm, sc_hbm, o_ref = refs
+    else:
+        q_ref, kv_hbm, o_ref = refs
+        sc_hbm = None
+    b = pl.program_id(0)
+    ir = pl.program_id(1)
+    SP = super_pages
+    POOL = kv_hbm.shape[0]
+
+    live = (kv_len_ref[b] + page - 1) // page
+    num_g = (live + SP - 1) // SP
+    q = q_ref[0]  # [block_r, Cp]
+
+    def scoped(kv_scr, sc_scr, sem):
+        def group_dmas(slot, g):
+            ids, pg0, seq = _group_info(pages_ref, b, jnp.int32(0), live,
+                                        g, sp=SP, pool_pages=POOL)
+            out = []
+            streams = [(kv_hbm, kv_scr, 0)]
+            if has_scale:
+                streams.append((sc_hbm, sc_scr, 1))
+            for hbm, scr, si in streams:
+                if SP == 1:
+                    out.append((pltpu.make_async_copy(
+                        hbm.at[ids[0]], scr.at[slot, 0],
+                        sem.at[slot, si]), None))
+                    continue
+                out.append((pltpu.make_async_copy(
+                    hbm.at[pl.ds(pg0, SP)], scr.at[slot],
+                    sem.at[slot, si]), seq))
+                for i in range(SP):
+                    out.append((pltpu.make_async_copy(
+                        hbm.at[ids[i]], scr.at[slot, i],
+                        sem.at[slot, si]), jnp.logical_not(seq)))
+            return out
+
+        def start_group(slot, g):
+            for d, pred in group_dmas(slot, g):
+                if pred is None:
+                    d.start()
+                else:
+                    @pl.when(pred)
+                    def _(d=d):
+                        d.start()
+
+        def wait_group(slot, g):
+            for d, pred in group_dmas(slot, g):
+                if pred is None:
+                    d.wait()
+                else:
+                    @pl.when(pred)
+                    def _(d=d):
+                        d.wait()
+
+        for w in range(N_BUF - 1):
+            @pl.when(w < num_g)
+            def _(w=w):
+                start_group(w, w)
+
+        spage = SP * page
+
+        def body(g, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(g, N_BUF)
+
+            @pl.when(g + N_BUF - 1 < num_g)
+            def _():
+                start_group(jax.lax.rem(g + N_BUF - 1, N_BUF),
+                            g + N_BUF - 1)
+
+            wait_group(slot, g)
+
+            rows_kv = SP * kv_scr.shape[2]
+            kv = kv_scr[slot].astype(q.dtype).reshape(rows_kv, -1)
+
+            gidx = (ir * block_r + jax.lax.broadcasted_iota(
+                jnp.int32, (block_r, 1), 0))
+            qpos = q_off_ref[b] + gidx % n_tok
+
+            if not has_scale:
+                # fused group: one dot + one softmax update per SP pages
+                s = jax.lax.dot_general(
+                    q, kv, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                kpos = g * spage + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, spage), 1)
+                mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
+                s = jnp.where(mask, s, _NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+                acc = alpha * acc + jax.lax.dot_general(
+                    p.astype(kv.dtype), kv[:, :rank],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return m_new, l, acc
+
+            # int8: per sub-page, each page's scale row [1, page]
+            # corrects score/probability columns (fused dequant)
+            for sp in range(SP):
+                kv_p = kv_scr[slot, sp].astype(q.dtype)  # [page, Cp]
+                sc = sc_scr[slot, sp][:, :page].astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    q, kv_p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * (sc * scale)
+                kpos = ((g * SP + sp) * page + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, page), 1))
+                mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
+                s = jnp.where(mask, s, _NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+                acc = alpha * acc + jax.lax.dot_general(
+                    (p * sc).astype(kv_p.dtype), kv_p[:, :rank],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m = m_new
+            return m, l, acc
+
+        m0 = jnp.full((block_r, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_r, 1), jnp.float32)
+        a0 = jnp.zeros((block_r, rank), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_g, body, (m0, l0, a0))
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = jnp.where(l == 0.0, 0.0, acc / safe).astype(o_ref.dtype)
+
+    scratch = dict(
+        kv_scr=pltpu.VMEM((N_BUF, super_pages) + tuple(kv_hbm.shape[1:]),
+                          kv_hbm.dtype),
+        sc_scr=(pltpu.VMEM(
+            (N_BUF, super_pages) + tuple(sc_hbm.shape[1:]), sc_hbm.dtype)
+            if has_scale else pltpu.VMEM((1, 1, 8, 128), jnp.float32)),
+        sem=pltpu.SemaphoreType.DMA((N_BUF, 2)),
+    )
+    pl.run_scoped(scoped, **scratch)
+
+
+def _paged_latent_dma_call(q_full, latent_pool, scale_pool, page_table,
+                           q_offset, kv_len, *, rank, scale, block_q,
+                           interpret):
+    """pallas_call builder for the manual-DMA latent kernels. Requires
+    the pool's latent dim to be a multiple of 128 (the paged arenas are
+    allocated that way — mla.latent_pad_dim); q_full may be narrower
+    and is zero-padded here."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, Cq = q_full.shape
+    P, page, Cp = latent_pool.shape
+    if Cp % 128:
+        raise ValueError(f"DMA latent kernel needs a 128-aligned pool "
+                         f"latent dim, got {Cp}")
+
+    R = H * T
+    bR = min(block_q * 8, _round_up(R, 8), 1024)
+    Rp = _round_up(R, bR)
+    qh = q_full.transpose(0, 2, 1, 3).reshape(B, R, Cq)
+    qh = jnp.pad(qh, ((0, 0), (0, Rp - R), (0, Cp - Cq)))
+
+    has_scale = scale_pool is not None
+    inputs = [qh, latent_pool]
+    in_specs = [
+        pl.BlockSpec((1, bR, Cp), lambda b, ir, *_: (b, ir, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if has_scale:
+        # lane-pad the [P, page] scale rows so their DMA slice aligns
+        pad = _round_up(page, 128) - page
+        inputs.append(jnp.pad(scale_pool, ((0, 0), (0, pad)))[:, None, :])
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+
+    kernel = functools.partial(
+        _paged_latent_dma_kernel, block_r=bR, page=page, n_tok=T,
+        rank=rank, scale=scale, super_pages=_super_pages(page),
+        has_scale=has_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, Rp // bR),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bR, rank),
+                                   lambda b, ir, *_: (b, ir, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Rp, rank), q_full.dtype),
+        interpret=interpret,
+    )(jnp.asarray(page_table, jnp.int32), q_offset.astype(jnp.int32),
+      kv_len.astype(jnp.int32), *inputs)
+    return out[:, :R].reshape(B, H, T, rank).transpose(0, 2, 1, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rank", "scale", "block_q", "interpret"))
+def paged_latent_attention_dma(
+    q_full: jax.Array,  # [B, T, H, C] (C <= pool's padded latent dim)
+    latent_pool: jax.Array,  # [P, page, Cp], Cp % 128 == 0
+    page_table: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    rank: int,
+    scale: float,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`paged_latent_attention` with kernel-driven coalesced page
+    DMA (see the section comment above). Preferred on TPU."""
+    return _paged_latent_dma_call(q_full, latent_pool, None, page_table,
+                                  q_offset, kv_len, rank=rank,
+                                  scale=scale, block_q=block_q,
+                                  interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rank", "scale", "block_q", "interpret"))
+def quantized_paged_latent_attention_dma(
+    q_full: jax.Array,
+    sym_pool: jax.Array,  # int8 [P, page, Cp]
+    scale_pool: jax.Array,  # f32 [P, page]
+    page_table: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    rank: int,
+    scale: float,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`quantized_paged_latent_attention` with kernel-driven
+    coalesced page DMA and fused per-token dequant."""
+    return _paged_latent_dma_call(q_full, sym_pool, scale_pool,
+                                  page_table, q_offset, kv_len,
+                                  rank=rank, scale=scale,
+                                  block_q=block_q, interpret=interpret)

@@ -94,11 +94,14 @@ class MLAPagedServingEngine(PagedServingEngine):
         @functools.partial(jax.jit, donate_argnums=(0,))
         def inject_pages(pool, blob, pages):
             # latent wire blob [L, 1, n*page, 1, C] -> arena pages.
-            # Wire blobs stay LOSSLESS native-dtype latents (tiers,
-            # serde, server unchanged); an int8 arena re-quantizes here
+            # Wire blobs stay LOSSLESS native-dtype latents at the
+            # LOGICAL latent dim (tiers, serde, server unchanged); the
+            # arena is lane-padded (mla.latent_pad_dim) so the pad is
+            # added here; an int8 arena re-quantizes here
             L, _, _, _, C = blob.shape
             n = pages.shape[0]
-            paged = blob[:, 0, :, 0, :].reshape(L, n, page, C)
+            paged = mla.pad_latents(
+                cfg, blob[:, 0, :, 0, :].reshape(L, n, page, C))
             if quantized:
                 from lmcache_tpu.ops.latent_attention import \
                     quantize_latents
@@ -112,12 +115,14 @@ class MLAPagedServingEngine(PagedServingEngine):
         @jax.jit
         def read_pages(pool, pages):
             # gather whole pages -> wire blob [L, 1, n*page, 1, C]
+            # (the arena's lane pad is stripped: wire stays logical C)
             if quantized:
                 g = (pool["sym"][:, pages].astype(jnp.float32)
                      * pool["scale"][:, pages][..., None]).astype(
-                         jnp.dtype(cfg.dtype))  # [L, n, page, C]
+                         jnp.dtype(cfg.dtype))  # [L, n, page, Cp]
             else:
-                g = pool[:, pages]  # [L, n, page, C]
+                g = pool[:, pages]  # [L, n, page, Cp]
+            g = g[..., :cfg.latent_dim]
             L, n, pg, C = g.shape
             return g.reshape(L, n * pg, C)[:, None, :, None, :]
 

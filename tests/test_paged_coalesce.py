@@ -89,3 +89,40 @@ def test_super_pages_schedule():
     assert _super_pages(256) == 2
     assert _super_pages(512) == 1
     assert _super_pages(16) == 8  # capped
+
+
+@pytest.mark.parametrize("kind", ["sequential", "shuffled"])
+@pytest.mark.parametrize("quantized", [False, True])
+def test_latent_dma_coalesced_matches_reference(kind, quantized):
+    """Manual-DMA latent kernels (lane-padded arena) vs the dense
+    reference, across coalesced and fallback table layouts."""
+    from lmcache_tpu.ops.paged_latent_attention import (
+        paged_latent_attention_dma, paged_latent_attention_reference,
+        quantized_paged_latent_attention_dma,
+        quantized_paged_latent_attention_reference)
+
+    rng = np.random.default_rng(2)
+    B, T, H, rank, rope = 2, 4, 4, 64, 16
+    Cp = 128  # lane-padded latent dim (logical 80)
+    page, NP, P = 16, 8, 64
+    q = jnp.asarray(rng.standard_normal((B, T, H, Cp)), jnp.float32)
+    q = q.at[..., rank + rope:].set(0.0)  # zero pad columns
+    pt = jnp.asarray(_tables(kind, B, NP, P, rng), jnp.int32)
+    kv_len = jnp.asarray([NP * page - page - 3, NP * page], jnp.int32)
+    q_off = kv_len - T
+
+    if quantized:
+        sym = jnp.asarray(rng.integers(-127, 128, (P, page, Cp)), jnp.int8)
+        scl = jnp.asarray(rng.random((P, page)) * 0.02 + 0.01, jnp.float32)
+        ref = quantized_paged_latent_attention_reference(
+            q, sym, scl, pt, q_off, kv_len, rank=rank, scale=0.125)
+        out = quantized_paged_latent_attention_dma(
+            q, sym, scl, pt, q_off, kv_len, rank=rank, scale=0.125)
+    else:
+        pool = jnp.asarray(rng.standard_normal((P, page, Cp)), jnp.float32)
+        ref = paged_latent_attention_reference(
+            q, pool, pt, q_off, kv_len, rank=rank, scale=0.125)
+        out = paged_latent_attention_dma(
+            q, pool, pt, q_off, kv_len, rank=rank, scale=0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
