@@ -159,7 +159,7 @@ def main():
         """retrieve -> device inject, synced (the full serving path)."""
         return nbytes_ctx / _best(lambda: inject_only(
             jnp.asarray(eng_tier.retrieve(
-                tokens_np[:CTX], return_tuple=False)[0])), reps=10) / 1e9
+                tokens_np[:CTX], return_tuple=False)[0])), reps=6) / 1e9
 
     def kv_load_read(eng_tier):
         """tier read only (host-side materialization)."""
