@@ -216,6 +216,9 @@ class APIServer:
             "prompt_tokens": r0.num_prompt_tokens,
             "completion_tokens": completion,
             "total_tokens": r0.num_prompt_tokens + completion,
+            # the OpenAI prompt-caching field, so standard clients see
+            # the reuse; cached_prefix_tokens kept as the legacy alias
+            "prompt_tokens_details": {"cached_tokens": r0.cached_prefix_len},
             "cached_prefix_tokens": r0.cached_prefix_len,
             "ttft_ms": (round(r0.ttft_s * 1e3, 2) if r0.ttft_s else None),
         }

@@ -192,6 +192,9 @@ def test_chat_completions():
                                         "max_tokens": 4})
             out2 = await r.json()
             assert out2["usage"]["cached_prefix_tokens"] >= 16
+            # the OpenAI prompt-caching shape (prompt_tokens_details)
+            assert (out2["usage"]["prompt_tokens_details"]["cached_tokens"]
+                    == out2["usage"]["cached_prefix_tokens"])
             assert len(out2["choices"][0]["tokens"]) == 4
 
             # streaming chat: deltas then [DONE]
