@@ -63,11 +63,21 @@ int encode_stream(const uint8_t* symbols, int n, const uint16_t* cdf,
 }
 
 // Branchless symbol search: the count of CDF entries <= target IS the
-// symbol (cdf[0] == 0 <= target always). n_bins <= 32, so the loop
-// auto-vectorizes under -O3 into a handful of packed uint16 compares —
-// measured ~1.4x over the former binary search, whose ~5 data-dependent
-// branches mispredict on near-uniform streams.
+// symbol (cdf[0] == 0 <= target always). For the CacheGen alphabets
+// (n_bins <= 32) the loop auto-vectorizes under -O3 into a handful of
+// packed uint16 compares — measured ~1.4x over a binary search, whose
+// ~5 data-dependent branches mispredict on near-uniform streams. The
+// linear scan stops paying past ~64 bins, so large alphabets (the entry
+// points accept arbitrary n_bins) fall back to binary search.
 inline int find_symbol(const uint16_t* cdf, int n_bins, uint32_t target) {
+  if (n_bins > 64) {
+    int lo = 0, hi = n_bins;  // invariant: cdf[lo] <= target < cdf[hi]
+    while (hi - lo > 1) {
+      const int mid = (lo + hi) >> 1;
+      if (cdf[mid] <= target) lo = mid; else hi = mid;
+    }
+    return lo;
+  }
   int lo = 0;
   for (int i = 1; i < n_bins; ++i) lo += (cdf[i] <= target) ? 1 : 0;
   return lo;

@@ -6,8 +6,11 @@ environment so the ABI is a plain C interface.
 """
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
+import sys
 import threading
 from typing import Optional, Tuple
 
@@ -20,19 +23,72 @@ logger = init_logger(__name__)
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "csrc", "lmtc_codec.cc")
 _LIBDIR = os.path.join(_HERE, "_lib")
-_LIBPATH = os.path.join(_LIBDIR, "liblmtc_codec.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+def _isa_tag() -> str:
+    """Host-ISA fingerprint baked into the cached lib filename.
+
+    -march=native output is only valid on hosts with the same CPU
+    features; if the package dir is shared (NFS, baked image), a lib
+    built on a newer-ISA host would SIGILL on an older one. Keying the
+    cache on machine + cpu flags forces a rebuild per ISA instead.
+    """
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat += " " + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feat.encode()).hexdigest()[:12]
+
+
+def _lib_path() -> str:
+    return os.path.join(_LIBDIR, f"liblmtc_codec-{_isa_tag()}.so")
+
+
+def _smoke_ok(libpath: str) -> bool:
+    """Run a tiny decode in a THROWAWAY subprocess: an ISA mismatch the
+    filename tag missed dies with SIGILL there instead of killing us."""
+    code = (
+        "import ctypes, numpy as np\n"
+        f"lib = ctypes.CDLL({libpath!r})\n"
+        "P, I = ctypes.c_void_p, ctypes.c_int\n"
+        "lib.lmtc_encode_streams.argtypes = [P, I, I, P, I, P, I, P]\n"
+        "lib.lmtc_decode_streams.argtypes = [P, P, I, I, P, I, P]\n"
+        "sym = np.arange(8, dtype=np.uint8).reshape(1, 8) % 2\n"
+        "cdf = np.array([[0, 32768] + [65535] * 31], np.uint16)\n"
+        "out = np.empty((1, 32), np.uint8)\n"
+        "lens = np.empty(1, np.int32)\n"
+        "lib.lmtc_encode_streams(sym.ctypes.data, 1, 8, cdf.ctypes.data,"
+        " 32, out.ctypes.data, 32, lens.ctypes.data)\n"
+        "offs = np.array([0, lens[0]], np.int64)\n"
+        "dec = np.empty((1, 8), np.uint8)\n"
+        "lib.lmtc_decode_streams(out.ctypes.data, offs.ctypes.data, 1, 8,"
+        " cdf.ctypes.data, 32, dec.ctypes.data)\n"
+        "assert (dec == sym).all()\n")
+    try:
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       capture_output=True, timeout=60)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
 def _build() -> Optional[ctypes.CDLL]:
     os.makedirs(_LIBDIR, exist_ok=True)
-    if (not os.path.exists(_LIBPATH)
-            or os.path.getmtime(_LIBPATH) < os.path.getmtime(_SRC)):
+    libpath = _lib_path()
+    fresh = False
+    if (not os.path.exists(libpath)
+            or os.path.getmtime(libpath) < os.path.getmtime(_SRC)):
         base = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
-                "-fopenmp", _SRC, "-o", _LIBPATH + ".tmp"]
+                "-fopenmp", _SRC, "-o", libpath + ".tmp"]
         # -march=native vectorizes the branchless symbol search (packed
         # uint16 compares); the lib is built on the deployment host, so
         # native is the right target — fall back for exotic toolchains
@@ -44,8 +100,18 @@ def _build() -> Optional[ctypes.CDLL]:
             except subprocess.CalledProcessError:
                 if cmd is base:
                     raise
-        os.replace(_LIBPATH + ".tmp", _LIBPATH)
-    lib = ctypes.CDLL(_LIBPATH)
+        os.replace(libpath + ".tmp", libpath)
+        fresh = True
+    if not fresh and not _smoke_ok(libpath):
+        # cached lib crashes on this host (e.g. stale pre-ISA-tag cache
+        # on NFS): rebuild with generic flags, which run anywhere
+        logger.warning("Cached range coder failed smoke test; "
+                       "rebuilding without -march=native")
+        generic = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+                   "-fopenmp", _SRC, "-o", libpath + ".tmp"]
+        subprocess.run(generic, check=True, capture_output=True)
+        os.replace(libpath + ".tmp", libpath)
+    lib = ctypes.CDLL(libpath)
     lib.lmtc_encode_streams.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p

@@ -121,7 +121,8 @@ class LMCacheEngineConfig:
             if local_device in ("cpu", "tpu", "cuda"):
                 # accept "cuda" in legacy configs and map it to the
                 # accelerator tier
-                local_device = "tpu" if local_device == "cuda" else local_device
+                if local_device == "cuda":
+                    local_device = "tpu"
             elif _FILE_RE.match(local_device):
                 local_device = local_device[len("file://"):]
             else:

@@ -4,8 +4,10 @@ The canonical unit flowing through every layer is a single "blob" array
 holding all layers' K and V for a run of tokens (reference convention,
 lmcache/cache_engine.py:98-161):
 
-- ``"vllm"`` format:        ``[num_layers, 2, num_tokens, num_kv_heads, head_size]``
-- ``"huggingface"`` format: ``[num_layers, 2, num_kv_heads, num_tokens, head_size]``
+- ``"vllm"`` format:
+  ``[num_layers, 2, num_tokens, num_kv_heads, head_size]``
+- ``"huggingface"`` format:
+  ``[num_layers, 2, num_kv_heads, num_tokens, head_size]``
 
 These helpers are dtype/namespace-polymorphic: they work on both ``numpy``
 arrays (host tiers) and ``jax.Array``s (HBM tier) without forcing a device

@@ -964,7 +964,8 @@ def _attn_residual(x, attn_flat, lp, cfg):
     if cfg.attention_out_bias:
         y = y + lp["bo"]
     if cfg.post_norms:
-        y = _rms_norm(y, lp["post_attn_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        y = _rms_norm(y, lp["post_attn_norm"], cfg.norm_eps,
+                      cfg.norm_one_offset)
     return x + y
 
 
@@ -1079,7 +1080,8 @@ def _mlp_residual(x, lp, cfg):
         up = (h @ lp["w_up"]).astype(jnp.float32)
         y = (gate * up).astype(x.dtype) @ lp["w_down"]
     if cfg.post_norms:
-        y = _rms_norm(y, lp["post_mlp_norm"], cfg.norm_eps, cfg.norm_one_offset)
+        y = _rms_norm(y, lp["post_mlp_norm"], cfg.norm_eps,
+                      cfg.norm_one_offset)
     return x + y
 
 

@@ -80,7 +80,8 @@ class RequestHeader:
 
     @staticmethod
     def unpack_fixed(bs: bytes) -> tuple:
-        """Parse the fixed 16-byte prefix -> (command, key_len, payload_len)."""
+        """Parse the fixed 16-byte prefix ->
+        (command, key_len, payload_len)."""
         magic, version, command, key_len, payload_len = _REQ.unpack(bs)
         if magic != MAGIC_REQUEST:
             raise ValueError(f"Bad request magic: {magic:#x}")

@@ -4,7 +4,8 @@ Replaces the reference's external vLLM integration (hook contract:
 reference docs/source/developer_tutorial/LLM_Engine.rst:25-117) with a
 native loop. TPU-first structure:
 
-- ONE resident KV pool ``[L, 2, B, H_kv, S, D]`` (head-major; optionally mesh-sharded:
+- ONE resident KV pool ``[L, 2, B, H_kv, S, D]`` (head-major; optionally
+  mesh-sharded:
   batch on "data", heads on "model"); requests own slots of it,
 - decode is a single jitted step over the whole batch every iteration
   (idle / still-prefilling slots park their write at position S in the

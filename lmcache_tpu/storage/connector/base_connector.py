@@ -65,7 +65,8 @@ class RemoteConnectorDebugWrapper(RemoteConnector):
         with Timer() as t:
             self._connector.set(key, obj)
         logger.debug("Remote set %.2f MB in %.2f ms (%.2f Gbps)",
-                     len(obj) / 1e6, t.ms, 8 * len(obj) / max(t.ms, 1e-9) / 1e6)
+                     len(obj) / 1e6, t.ms,
+                     8 * len(obj) / max(t.ms, 1e-9) / 1e6)
 
     def list(self) -> List[str]:
         return self._connector.list()

@@ -32,7 +32,8 @@ from lmcache_tpu import metrics
 from lmcache_tpu.logging_utils import init_logger
 from lmcache_tpu.storage.abstract_backend import LMCBackendInterface
 from lmcache_tpu.storage.serde.raw_serde import decode_array, encode_array
-from lmcache_tpu.utils import CacheEngineKey, _lmcache_trace_annotate, nbytes_of
+from lmcache_tpu.utils import (CacheEngineKey, _lmcache_trace_annotate,
+                               nbytes_of)
 
 logger = init_logger(__name__)
 

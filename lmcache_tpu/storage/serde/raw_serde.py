@@ -44,7 +44,8 @@ def _to_numpy(blob) -> np.ndarray:
 def encode_array(blob, compress_level: Optional[int] = None) -> bytes:
     arr = np.ascontiguousarray(_to_numpy(blob))
     dtype_name = arr.dtype.name.encode("ascii")
-    payload = arr.tobytes()  # TODO: avoid copy with memoryview for aligned arrays
+    # TODO: avoid copy with memoryview for aligned arrays
+    payload = arr.tobytes()
     flags = 0
     if compress_level is not None:
         import zstandard

@@ -7,9 +7,14 @@ Standalone script (pytest-benchmark is unavailable in this image):
     python tests/benchmarks/codec_bench.py
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 
 def main():

@@ -1,4 +1,5 @@
-"""Storage-backend factory / tiering tests (reference: tests/test_backends.py)."""
+"""Storage-backend factory / tiering tests (reference:
+tests/test_backends.py)."""
 
 import time
 
@@ -190,7 +191,7 @@ def test_hybrid_batched_get_remote_misses(lmserver_process, autorelease):
     assert backend.local.contains(key)
 
 
-# -- redis (fake) --------------------------------------------------------------
+# -- redis (fake) -------------------------------------------------------
 
 def test_redis_backend(autorelease):
     config = LMCacheEngineConfig(local_device=None,
@@ -203,7 +204,7 @@ def test_redis_backend(autorelease):
     assert key in backend.list()
 
 
-# -- round 2: batched metadata (MEXIST) + streaming retrieval ------------------
+# -- round 2: batched metadata (MEXIST) + streaming retrieval ------------
 
 class CountingConnector:
     """Wraps a real connector, counting calls per method."""

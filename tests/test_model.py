@@ -87,7 +87,8 @@ def test_matches_huggingface():
     hf_cfg = HFConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
                       num_hidden_layers=2, num_attention_heads=4,
                       num_key_value_heads=2, max_position_embeddings=256,
-                      rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False)
+                      rms_norm_eps=1e-5, rope_theta=10000.0,
+                      tie_word_embeddings=False)
     torch.manual_seed(0)
     hf_model = LlamaForCausalLM(hf_cfg).eval().float()
 

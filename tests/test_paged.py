@@ -7,7 +7,8 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from lmcache_tpu.models import llama  # noqa: E402
-from lmcache_tpu.models.paged import (PageAllocator, forward_paged,  # noqa: E402
+from lmcache_tpu.models.paged import (PageAllocator,  # noqa: E402
+                                       forward_paged,
                                       new_paged_kv_pool, pages_needed)
 from lmcache_tpu.ops.attention import mha_reference  # noqa: E402
 from lmcache_tpu.ops.paged_attention import (  # noqa: E402

@@ -7,7 +7,8 @@ import pytest
 jax = pytest.importorskip("jax")
 
 from lmcache_tpu.models import llama  # noqa: E402
-from lmcache_tpu.parallel import MeshConfig, make_mesh, shard_params  # noqa: E402
+from lmcache_tpu.parallel import (MeshConfig, make_mesh,  # noqa: E402
+                                  shard_params)
 from lmcache_tpu.serving import SamplingParams, ServingEngine  # noqa: E402
 
 

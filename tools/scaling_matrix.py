@@ -136,12 +136,13 @@ def main():
           f"{'allreduce':>10} {'permute':>8} {'ring-permute':>13}")
     for r in rows:
         m = r["mesh"]
+        ring = r.get("ring_collectives", {}).get("collective_permute", "-")
         print(f"{m['data']}x{m['model']:>8} "
               f"{r['param_bytes_per_device']/1e6:>10.2f}MB "
               f"{r['kv_bytes_per_device']/1e3:>8.1f}KB "
               f"{r['collectives']['all_reduce']:>10} "
               f"{r['collectives']['collective_permute']:>8} "
-              f"{r.get('ring_collectives', {}).get('collective_permute', '-'):>13}")
+              f"{ring:>13}")
     return 0
 
 
