@@ -200,7 +200,7 @@ class LMCacheEngine:
             metrics.inc("lmcache_retrieve_misses")
             return ((), ret_mask) if return_tuple else (None, ret_mask)
 
-        blob = (retrieved[0]
+        blob = (kv.ensure_blob(retrieved[0], fmt)
                 if len(retrieved) == 1 else kv.concat_blobs(retrieved, fmt))
         n_ret = kv.num_tokens_in_blob(blob, fmt)
         ret_mask[num_skip_tok + n_ret:] = False

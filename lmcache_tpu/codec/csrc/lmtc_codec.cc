@@ -204,6 +204,22 @@ void lmtc_decode_streams(const uint8_t* in, const int64_t* offsets,
   }
 }
 
+// Re-lay concatenated variable-length streams into a zero-padded
+// [n_streams, stride] matrix — the transfer layout of the on-device
+// range decoder (lmcache_tpu/ops/range_decode.py). A Python-side loop
+// over ~1e5 streams costs seconds; this is one OpenMP memcpy pass.
+void lmtc_pad_streams(const uint8_t* in, const int64_t* offsets,
+                      int n_streams, int stride, uint8_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < n_streams; ++i) {
+    const int64_t len = offsets[i + 1] - offsets[i];
+    const int64_t n = len < stride ? len : stride;
+    uint8_t* dst = out + static_cast<int64_t>(i) * stride;
+    std::memcpy(dst, in + offsets[i], n);
+    std::memset(dst + n, 0, stride - n);
+  }
+}
+
 int lmtc_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

@@ -120,6 +120,10 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p
     ]
+    lib.lmtc_pad_streams.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p
+    ]
     lib.lmtc_num_threads.restype = ctypes.c_int
     return lib
 
@@ -174,6 +178,32 @@ def encode_streams(symbols: np.ndarray,
     payload = b"".join(
         out[i, :lens[i]].tobytes() for i in range(n_streams))
     return payload, lens64
+
+
+def pad_streams(payload, lens: np.ndarray, stride: int) -> np.ndarray:
+    """Re-lay concatenated streams as zero-padded uint8
+    [n_streams, stride] — the transfer layout of the on-device decoder
+    (ops/range_decode.py). C++ when available, vectorized numpy
+    fallback otherwise."""
+    lens = np.asarray(lens, np.int64)
+    n_streams = len(lens)
+    offsets = np.zeros(n_streams + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    buf = np.frombuffer(payload, np.uint8, count=int(offsets[-1]))
+    out = np.empty((n_streams, stride), np.uint8)
+    if buf.size == 0:
+        out[:] = 0
+        return out
+    lib = _get_lib()
+    if lib is not None:
+        lib.lmtc_pad_streams(buf.ctypes.data, offsets.ctypes.data,
+                             n_streams, stride, out.ctypes.data)
+        return out
+    idx = offsets[:-1, None] + np.arange(stride, dtype=np.int64)[None]
+    valid = np.arange(stride)[None] < lens[:, None]
+    np.take(buf, np.minimum(idx, max(len(buf) - 1, 0)), out=out)
+    out[~valid] = 0
+    return out
 
 
 def decode_streams(payload: bytes, lens: np.ndarray, n_symbols: int,

@@ -76,6 +76,14 @@ class LMCacheEngineConfig:
     # returns immediately; reads fall back to the remote tier until the
     # warm-up lands). Call ``backend.wait_prefetch()`` to join it.
     hybrid_prefetch_async: bool = False
+    # Where CacheGen containers entropy-decode on retrieval:
+    #   "auto" — on the accelerator when it is a TPU (only the coded
+    #            payload crosses host->device), else host C++;
+    #   "on" / "off" — force device / host decode.
+    # Exactness is identical either way (ops/range_decode.py is
+    # bit-exact with the C++ coder and falls back on its overflow
+    # guard).
+    cachegen_device_decode: str = "auto"
 
     @staticmethod
     def from_defaults(**kwargs) -> "LMCacheEngineConfig":
@@ -145,6 +153,8 @@ class LMCacheEngineConfig:
             hybrid_prefetch_chunks=raw.get("hybrid_prefetch_chunks", 1024),
             hybrid_prefetch_bytes=raw.get("hybrid_prefetch_bytes", None),
             hybrid_prefetch_async=raw.get("hybrid_prefetch_async", False),
+            cachegen_device_decode=raw.get("cachegen_device_decode",
+                                           "auto"),
         )
 
 

@@ -121,15 +121,21 @@ def lmcache_retrieve_kv_stream(step: StepInput):
     ``step.tokens[sum(lengths):]``; or ``close()`` the generator to
     cancel in-flight fetches.
     """
+    from lmcache_tpu import kv
+
     engine = _engine()
+    fmt = engine.metadata.fmt
     limit = len(step.tokens) - 1  # leave >= 1 token to recompute
     for chunk, start_tok, num_toks in engine.retrieve_stream(step.tokens):
+        # the stream may carry undecoded host chunks (cachegen);
+        # external consumers get plain arrays
         if start_tok + num_toks >= limit:
             keep = limit - start_tok
             if keep > 0:
-                yield start_tok, chunk[:, :, :keep]
+                chunk = kv.slice_blob_tokens(chunk, fmt, 0, keep)
+                yield start_tok, kv.ensure_blob(chunk, fmt)
             return
-        yield start_tok, chunk
+        yield start_tok, kv.ensure_blob(chunk, fmt)
 
 
 def build_partial_prefill_input(step: StepInput) -> np.ndarray:

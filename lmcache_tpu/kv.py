@@ -42,6 +42,9 @@ def token_axis(fmt: str) -> int:
 
 
 def num_tokens_in_blob(blob: Array, fmt: str) -> int:
+    n = getattr(blob, "num_tokens", None)  # host-chunk protocol
+    if n is not None:
+        return n
     return blob.shape[token_axis(fmt)]
 
 
@@ -71,10 +74,25 @@ def blob_to_tuple(blob: Array) -> KVTuples:
 def slice_blob_tokens(blob: Array, fmt: str, start: int,
                       end: int = None) -> Array:
     """Slice the blob along the token axis: ``blob[..., start:end, ...]``."""
+    if hasattr(blob, "slice_tokens"):  # host-chunk protocol (lazy)
+        return blob.slice_tokens(start, end)
     axis = token_axis(fmt)
     idx = [slice(None)] * blob.ndim
     idx[axis] = slice(start, end)
     return blob[tuple(idx)]
+
+
+def ensure_blob(blob: Array, fmt: str = "vllm") -> Array:
+    """Materialize a host-chunk (undecoded container) into a real KV
+    blob array; arrays pass through unchanged.
+
+    The storage pipeline yields :class:`CacheGenHostChunk`-style
+    objects so decode + dequant can be batched on the accelerator
+    (storage/serde/cachegen_serde.py); consumers that need a plain
+    array per chunk call this."""
+    if hasattr(blob, "to_blob"):
+        return blob.to_blob()
+    return blob
 
 
 def chunk_blob(blob: Array, fmt: str, chunk_size: int,
@@ -99,6 +117,10 @@ def _jit_concat(axis: int):
 
 
 def concat_blobs(blobs: Sequence[Array], fmt: str) -> Array:
+    if hasattr(blobs[0], "finish_concat"):
+        # host-chunk protocol: one batched device decode+dequant for
+        # the whole run instead of per-chunk dispatches
+        return type(blobs[0]).finish_concat(list(blobs), fmt)
     xp = _xp(blobs[0])
     if xp is not np:
         # device blobs: run the concat under jit — the eager op pays a

@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from lmcache_tpu import kv
 from lmcache_tpu.cache_engine import LMCacheEngine
 from lmcache_tpu.logging_utils import init_logger
 from lmcache_tpu.models import llama
@@ -642,16 +643,75 @@ class ServingEngine:
             req._slot_cache = None
         req._tokens_dev = None
 
+    # chunks per grouped device upload+inject in _stream_inject: large
+    # enough to amortize per-dispatch cost (which in tunneled
+    # environments is milliseconds), small enough to keep the pipeline
+    # overlapping fetch/decode with injection
+    inject_group_chunks = 16
+
+    def _group_key(self, blob):
+        """Chunks that may share one batched inject. Host chunks carry
+        their geometry; arrays key on shape (the trailing short chunk
+        naturally starts its own group)."""
+        if hasattr(blob, "to_blob"):
+            return ("host", blob.T, blob.g, blob.N, blob.L, blob.H,
+                    blob.D)
+        return ("arr", blob.shape, str(blob.dtype))
+
+    def _finish_group(self, group):
+        """Materialize a token-consecutive group of pending chunks into
+        ONE device blob (one transfer + one program). Returns
+        (blob, overflow_dev_or_None, redo_or_None)."""
+        if hasattr(group[0], "to_blob"):
+            from lmcache_tpu.storage.serde.cachegen_serde import (
+                finish_host_chunks)
+            return finish_host_chunks(group, defer_overflow=True)
+        if len(group) == 1:
+            return jnp.asarray(group[0]), None, None
+        if isinstance(group[0], np.ndarray):
+            return jnp.asarray(np.concatenate(group, axis=2)), None, None
+        return jnp.concatenate(group, axis=2), None, None
+
     def _stream_inject(self, req: Request, tokens: np.ndarray) -> int:
-        """Retrieve the cached prefix as a stream and inject each chunk
-        into the slot as it arrives — the device upload (async dispatch)
-        of chunk ``i`` overlaps the fetch + decode of chunk ``i+1``.
-        Returns the number of cached tokens injected."""
+        """Retrieve the cached prefix as a stream and inject it into
+        the slot in GROUPS of chunks: host-side chunks (remote/dram/
+        disk tiers, possibly still entropy-coded) accumulate until
+        ``inject_group_chunks``, then one batched transfer + one device
+        program decodes/dequantizes/uploads the whole group while the
+        next group is still being fetched. Device-resident chunks (HBM
+        tier) inject immediately. Returns the cached tokens injected.
+
+        Exactness: groups decoded on-device carry a deferred overflow
+        flag (ops/range_decode.py); all flags are checked with one sync
+        at the end and any tripped group is re-decoded on host and
+        re-injected before prefill runs — so a decoder-bound violation
+        can never corrupt served KV."""
         if self.cache_engine is None:
             return 0
         # always recompute >= 1 token so prefill yields the next logits
         limit = len(tokens) - 1
         cached = 0
+        pending: list = []
+        pending_pos = 0
+        pending_key = None
+        deferred: list = []  # (overflow_dev, redo, pos)
+
+        def inject_at(blob, pos):
+            self.kv_pool = self._inject(
+                self.kv_pool, blob, jnp.asarray(req.slot, jnp.int32),
+                jnp.asarray(pos, jnp.int32))
+
+        def flush():
+            nonlocal pending, pending_key
+            if not pending:
+                return
+            blob, ovf, redo = self._finish_group(pending)
+            inject_at(blob, pending_pos)  # _inject casts to pool dtype
+            if ovf is not None:
+                deferred.append((ovf, redo, pending_pos))
+            pending = []
+            pending_key = None
+
         stream = self.cache_engine.retrieve_stream(tokens)
         try:
             for blob, pos, n in stream:
@@ -659,16 +719,32 @@ class ServingEngine:
                 if take <= 0:
                     break
                 if take < n:
-                    blob = blob[:, :, :take]
-                self.kv_pool = self._inject(
-                    self.kv_pool, jnp.asarray(blob),
-                    jnp.asarray(req.slot, jnp.int32),
-                    jnp.asarray(pos, jnp.int32))
+                    blob = kv.slice_blob_tokens(blob, "vllm", 0, take)
+                if isinstance(blob, jnp.ndarray) and not isinstance(
+                        blob, np.ndarray):
+                    flush()  # device chunk (HBM tier): inject directly
+                    inject_at(blob, pos)
+                else:
+                    key = self._group_key(blob)
+                    if pending and key != pending_key:
+                        flush()
+                    if not pending:
+                        pending_pos = pos
+                        pending_key = key
+                    pending.append(blob)
+                    if len(pending) >= self.inject_group_chunks:
+                        flush()
                 cached = pos + take
                 if take < n:
                     break
         finally:
             stream.close()
+        flush()
+        if deferred:
+            flags = np.asarray(jnp.stack([d[0] for d in deferred]))
+            for tripped, (_, redo, pos) in zip(flags, deferred):
+                if tripped:
+                    inject_at(redo(), pos)
         return cached
 
     def _admit_blend(self, req: Request) -> None:

@@ -429,6 +429,38 @@ class PagedServingEngine(ServingEngine):
             # tokens in the cache-tier stream (zero-copy beats retrieve)
             mask = np.ones(len(tokens), bool)
             mask[:shared_tok] = False
+
+        # grouped injection (see ServingEngine._stream_inject): host
+        # chunks accumulate and decode/upload as ONE device program per
+        # group; every group stays page-aligned because only the final
+        # (clipped) chunk can be a non-multiple of page_size and it
+        # flushes the group immediately.
+        from lmcache_tpu import kv
+        pending: list = []
+        pending_pos = 0
+        pending_key = None
+        deferred: list = []
+
+        def scatter(blob, pos):
+            t = blob.shape[2]
+            first_page = pos // self.page_size
+            n_pages = t // self.page_size
+            self.kv_pool = self._inject_pages(
+                self.kv_pool, blob,
+                jnp.asarray(pages[first_page:first_page + n_pages],
+                            jnp.int32))
+
+        def flush():
+            nonlocal pending, pending_key
+            if not pending:
+                return
+            blob, ovf, redo = self._finish_group(pending)
+            scatter(blob, pending_pos)
+            if ovf is not None:
+                deferred.append((ovf, redo, pending_pos))
+            pending = []
+            pending_key = None
+
         stream = self.cache_engine.retrieve_stream(tokens, mask=mask)
         try:
             for blob, pos, n in stream:
@@ -438,17 +470,33 @@ class PagedServingEngine(ServingEngine):
                 aligned = (take // self.page_size) * self.page_size
                 if aligned <= 0:
                     break
-                first_page = pos // self.page_size
-                n_pages = aligned // self.page_size
-                self.kv_pool = self._inject_pages(
-                    self.kv_pool, jnp.asarray(blob[:, :, :aligned]),
-                    jnp.asarray(pages[first_page:first_page + n_pages],
-                                jnp.int32))
+                if aligned < n:
+                    blob = kv.slice_blob_tokens(blob, "vllm", 0, aligned)
+                if isinstance(blob, jnp.ndarray) and not isinstance(
+                        blob, np.ndarray):
+                    flush()
+                    scatter(blob, pos)
+                else:
+                    key = self._group_key(blob)
+                    if pending and key != pending_key:
+                        flush()
+                    if not pending:
+                        pending_pos = pos
+                        pending_key = key
+                    pending.append(blob)
+                    if len(pending) >= self.inject_group_chunks:
+                        flush()
                 cached = pos + aligned
                 if aligned < n:
                     break
         finally:
             stream.close()
+        flush()
+        if deferred:
+            flags = np.asarray(jnp.stack([d[0] for d in deferred]))
+            for tripped, (_, redo, pos) in zip(flags, deferred):
+                if tripped:
+                    scatter(redo(), pos)
         return cached
 
     def _admit_blend(self, req: Request) -> None:

@@ -19,6 +19,7 @@ prefetched fill lazily through the read-through path.
 import threading
 from typing import Iterable, Iterator, List, Optional, Tuple
 
+from lmcache_tpu import kv
 from lmcache_tpu.config import LMCacheEngineConfig, LMCacheEngineMetadata
 from lmcache_tpu.logging_utils import init_logger
 from lmcache_tpu.storage.abstract_backend import LMCBackendInterface
@@ -87,6 +88,9 @@ class LMCHybridBackend(LMCBackendInterface):
         for key, blob in zip(matched, self.remote.batched_get(matched)):
             if blob is None:
                 continue
+            # remote batched_get may yield undecoded host chunks;
+            # the local tier stores real arrays
+            blob = kv.ensure_blob(blob, self.metadata.fmt)
             self.local.put(key, blob, blocking=True)
             # numpy and jax arrays both expose nbytes without a copy
             fetched_bytes += getattr(blob, "nbytes", 0)
@@ -145,6 +149,7 @@ class LMCHybridBackend(LMCBackendInterface):
             for (idx, key), blob in zip(misses,
                                         self.remote.batched_get(miss_keys)):
                 if blob is not None:
+                    blob = kv.ensure_blob(blob, self.metadata.fmt)
                     results[idx] = blob
                     self.local.put(key, blob, blocking=False)
         yield from results

@@ -36,7 +36,9 @@ estimated (T samples per 33-bin CDF is noise at T = 64). g is chosen
 adaptively from T at encode time; decode reads it from the container.
 """
 
+import functools
 import struct
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -168,79 +170,303 @@ class CacheGenSerializer(Serializer):
         return b"".join(parts)
 
 
+class CacheGenHostChunk:
+    """A parsed-but-undecoded CacheGen container (host memory only).
+
+    The retrieval path yields these instead of decoded KV blobs so the
+    expensive work — entropy decode and dequantization — can be batched
+    across many chunks and executed in ONE accelerator program
+    (:func:`finish_host_chunks`). Parsing is numpy views over the wire
+    bytes; nothing is copied or dispatched here.
+
+    ``tok_start``/``tok_stop`` implement the retrieval contract's token
+    slicing (partial-first-chunk drop, suffix clipping) lazily: the
+    whole chunk still decodes (entropy streams are not seekable) but
+    the finished blob is sliced before it is returned.
+    """
+
+    __slots__ = ("payload", "lens", "cdf", "maxes", "key_bins",
+                 "value_bins", "L", "H", "D", "T", "g", "N", "fmt",
+                 "dtype", "tok_start", "tok_stop")
+
+    def __init__(self, payload, lens, cdf, maxes, key_bins, value_bins,
+                 L, H, D, T, g, N, fmt, dtype,
+                 tok_start=0, tok_stop=None):
+        self.payload = payload  # bytes/memoryview: all streams, K then V
+        self.lens = lens  # u32 [N, L*Cg]
+        self.cdf = cdf  # u16 [N, L*Cg, 33]
+        self.maxes = maxes  # f32 [N, L, T]
+        self.key_bins = key_bins  # u8 [L]
+        self.value_bins = value_bins
+        self.L, self.H, self.D, self.T = L, H, D, T
+        self.g, self.N = g, N
+        self.fmt = fmt
+        self.dtype = dtype
+        self.tok_start = tok_start
+        self.tok_stop = T if tok_stop is None else tok_stop
+
+    @property
+    def num_tokens(self) -> int:
+        return self.tok_stop - self.tok_start
+
+    @property
+    def nbytes(self) -> int:
+        return len(self.payload) + self.cdf.nbytes + self.maxes.nbytes
+
+    def slice_tokens(self, start: int, stop: Optional[int] = None):
+        """View of tokens [start, stop) relative to current window."""
+        new_stop = (self.tok_stop if stop is None
+                    else min(self.tok_start + stop, self.tok_stop))
+        out = CacheGenHostChunk(
+            self.payload, self.lens, self.cdf, self.maxes, self.key_bins,
+            self.value_bins, self.L, self.H, self.D, self.T, self.g,
+            self.N, self.fmt, self.dtype,
+            tok_start=self.tok_start + start, tok_stop=new_stop)
+        if out.num_tokens < 0:
+            raise ValueError("slice_tokens out of range")
+        return out
+
+    def to_blob(self):
+        return finish_host_chunks([self])
+
+    @staticmethod
+    def finish_concat(chunks: Sequence["CacheGenHostChunk"], fmt: str):
+        """kv.concat_blobs hook: batch-decode a run of host chunks
+        (mixed shapes allowed — the trailing chunk may be short)."""
+        return finish_mixed_chunks(list(chunks))
+
+
+def _parse_container(bs) -> CacheGenHostChunk:
+    magic, version, fmt_code, dlen = _HDR.unpack_from(bs, 0)
+    if magic != MAGIC:
+        raise ValueError("Not an LMCG container")
+    if version not in (1, 2, 3):
+        raise ValueError(f"Unsupported CacheGen container v{version}")
+    off = _HDR.size
+    dtype_name = bytes(bs[off:off + dlen]).decode("ascii")
+    off += dlen
+    L, H, D, T = _GEOM.unpack_from(bs, off)
+    off += _GEOM.size
+    C = H * D
+
+    key_bins = np.frombuffer(bs, np.uint8, L, off)
+    off += L
+    value_bins = np.frombuffer(bs, np.uint8, L, off)
+    off += L
+    g = 1
+    if version >= 2:
+        (g,) = struct.unpack_from("<B", bs, off)
+        off += 1
+    N = 2
+    if version >= 3:
+        (N,) = struct.unpack_from("<B", bs, off)
+        off += 1
+    if g < 1 or C % g:
+        raise ValueError(f"Corrupt LMCG container: group {g} "
+                         f"does not divide {C} channels")
+    if N not in (1, 2):
+        raise ValueError(f"Corrupt LMCG container: {N} streams")
+    Cg = C // g
+    maxes = np.frombuffer(bs, np.float32, N * L * T, off).reshape(N, L, T)
+    off += maxes.nbytes
+    cdf = np.frombuffer(bs, np.uint16, N * L * Cg * (_MAX_BINS + 1),
+                        off).reshape(N, L * Cg, _MAX_BINS + 1)
+    off += cdf.nbytes
+    lens = np.frombuffer(bs, np.uint32, N * L * Cg, off).reshape(N, L * Cg)
+    off += lens.nbytes
+
+    # validate the stream-length table against the container size
+    # before handing the payload to the decoder — a truncated or
+    # corrupt container must fail here, not as an out-of-bounds read
+    if off + int(lens.sum()) > len(bs):
+        raise ValueError(
+            f"Corrupt LMCG container: streams claim "
+            f"{int(lens.sum())} payload bytes but only "
+            f"{len(bs) - off} remain")
+    payload = memoryview(bs)[off:off + int(lens.sum())]
+    return CacheGenHostChunk(payload, lens, cdf, maxes, key_bins,
+                             value_bins, L, H, D, T, g, N,
+                             _FMT_NAME[fmt_code], dtype_name)
+
+
+@functools.lru_cache(maxsize=None)
+def _symbols_to_blob_jit():
+    import jax
+    import jax.numpy as jnp
+
+    def f(sym, maxes, half, nchunks, L, H, D, T, g, N, fmt, dtype_name,
+          tok_start, tok_stop):
+        """One accelerator program: symbols -> dequantized wire blob.
+
+        sym: uint8 [nchunks * N * L * Cg, g * T] in coder stream order;
+        maxes: f32 [nchunks, N, L, T]; half: f32 [N, L] (bins/2 - 1).
+        Returns [L, N, T_out, H, D] (vllm) / [L, N, H, T_out, D] (hf).
+        """
+        C = H * D
+        Cg = C // g
+        # stream order within a chunk: (half, layer, group); symbols
+        # within a stream: (channel-in-group, token) — invert the
+        # encoder layout
+        x = sym.reshape(nchunks, N, L, Cg, g, T)
+        x = jnp.transpose(x, (0, 1, 2, 5, 3, 4)).reshape(
+            nchunks, N, L, T, C)
+        x = (x.astype(jnp.float32) - half[None, :, :, None, None])
+        x = x * maxes[..., None] / half[None, :, :, None, None]
+        # [nchunks, N, L, T, C] -> [L, N, nchunks*T, H, D]
+        x = jnp.transpose(x, (2, 1, 0, 3, 4)).reshape(
+            L, N, nchunks * T, H, D)
+        x = x[:, :, tok_start:tok_stop].astype(jnp.dtype(dtype_name))
+        if fmt == "huggingface":
+            x = jnp.transpose(x, (0, 1, 3, 2, 4))
+        return x
+
+    return jax.jit(f, static_argnames=(
+        "nchunks", "L", "H", "D", "T", "g", "N", "fmt", "dtype_name",
+        "tok_start", "tok_stop"))
+
+
+def _device_decode_enabled(mode: str) -> bool:
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def finish_host_chunks(chunks: List[CacheGenHostChunk],
+                       mode: str = "auto", defer_overflow: bool = False):
+    """Decode + dequantize a token-consecutive run of host chunks with
+    ONE accelerator program (and, in device mode, one transfer of the
+    still-entropy-coded payload).
+
+    mode:
+        "auto"   — decode on the accelerator when it is a TPU, else on
+                   host (C++ range coder);
+        "on"/"off" — force device / host entropy decode.
+
+    In device mode only ~2-4 bits/value cross host->device (the coded
+    payload + CDF tables) instead of 16-bit KV — the transfer the whole
+    remote tier is bottlenecked on. The decoder proves completion via
+    its overflow flag; on the (never observed) overflow it falls back
+    to the host decoder, so results are always exact.
+
+    With ``defer_overflow=True`` returns ``(blob, overflow_dev | None,
+    redo)`` without forcing a device sync — the caller batches flag
+    checks across groups and calls ``redo()`` for any that tripped.
+    """
+    import jax.numpy as jnp
+
+    first = chunks[0]
+    L, H, D, T, g, N = (first.L, first.H, first.D, first.T, first.g,
+                        first.N)
+    for c in chunks[1:]:
+        if (c.L, c.H, c.D, c.T, c.g, c.N, c.fmt, c.dtype) != (
+                L, H, D, T, g, N, first.fmt, first.dtype):
+            raise ValueError("finish_host_chunks needs uniform chunks; "
+                             "use finish_mixed_chunks")
+    # interior chunks must be whole (the retrieval contract only clips
+    # the first and last chunk)
+    for c in chunks[1:]:
+        if c.tok_start:
+            raise ValueError("non-leading chunk with tok_start set")
+    for c in chunks[:-1]:
+        if c.tok_stop != T:
+            raise ValueError("non-trailing chunk with tok_stop set")
+
+    nchunks = len(chunks)
+    Cg = (H * D) // g
+    streams_per_chunk = N * L * Cg
+    n_symbols = g * T
+
+    lens = np.concatenate([np.asarray(c.lens).reshape(-1) for c in chunks])
+    cdf = np.concatenate(
+        [np.asarray(c.cdf).reshape(-1, _MAX_BINS + 1) for c in chunks])
+    maxes = np.stack([np.asarray(c.maxes) for c in chunks])
+    halfs = np.stack([
+        (np.asarray(first.key_bins, np.int32) // 2 - 1),
+        (np.asarray(first.value_bins, np.int32) // 2 - 1),
+    ])[:N].astype(np.float32)  # [N, L]
+    tok_start = chunks[0].tok_start
+    tok_stop = (nchunks - 1) * T + chunks[-1].tok_stop
+
+    use_device = _device_decode_enabled(mode)
+    overflow_dev = None
+    if use_device:
+        from lmcache_tpu.codec.range_coder import pad_streams
+        from lmcache_tpu.ops.range_decode import decode_streams_device
+        payload = b"".join(bytes(c.payload) for c in chunks)
+        # stride: one guaranteed zero pad byte, rounded to u32 words,
+        # bucketed to multiples of 16 to bound recompilation
+        stride = max(16, (int(lens.max()) + 4 + 15) // 16 * 16)
+        padded = pad_streams(payload, lens, stride)
+        sym_dev, overflow_dev = decode_streams_device(
+            jnp.asarray(padded), jnp.asarray(lens.astype(np.int32)),
+            jnp.asarray(cdf), n_symbols)
+    else:
+        payloads = b"".join(bytes(c.payload) for c in chunks)
+        sym = decode_streams(payloads, lens, n_symbols, cdf)
+        sym_dev = jnp.asarray(sym)
+
+    blob = _symbols_to_blob_jit()(
+        sym_dev, jnp.asarray(maxes), jnp.asarray(halfs),
+        nchunks=nchunks, L=L, H=H, D=D, T=T, g=g, N=N,
+        fmt=first.fmt, dtype_name=first.dtype,
+        tok_start=tok_start, tok_stop=tok_stop)
+
+    def redo():
+        logger.warning("Device range decode overflowed; falling back "
+                       "to the host decoder for %d chunks", nchunks)
+        return finish_host_chunks(chunks, mode="off")
+
+    if defer_overflow:
+        return blob, overflow_dev, redo
+    if overflow_dev is not None and bool(np.asarray(overflow_dev)):
+        return redo()
+    return blob
+
+
+def finish_mixed_chunks(chunks: List[CacheGenHostChunk],
+                        mode: str = "auto"):
+    """Batch-decode chunks of possibly mixed shapes: consecutive
+    same-shape runs are each one device program, concatenated after
+    (the trailing chunk of a store is the only shape break in
+    practice)."""
+    from lmcache_tpu import kv
+    runs, cur = [], [chunks[0]]
+    for c in chunks[1:]:
+        p = cur[-1]
+        if (c.T, c.g, c.N, c.L, c.H, c.D) == (p.T, p.g, p.N, p.L, p.H,
+                                              p.D) and p.tok_stop == p.T:
+            cur.append(c)
+        else:
+            runs.append(cur)
+            cur = [c]
+    runs.append(cur)
+    blobs = [finish_host_chunks(r, mode=mode) for r in runs]
+    if len(blobs) == 1:
+        return blobs[0]
+    return kv.concat_blobs(blobs, chunks[0].fmt)
+
+
 class CacheGenDeserializer(Deserializer):
 
     def __init__(self, config: LMCacheEngineConfig,
                  metadata: LMCacheEngineMetadata):
         self.fmt = metadata.fmt
+        self.decode_mode = getattr(config, "cachegen_device_decode",
+                                   "auto") or "auto"
+
+    def from_bytes_host(self, bs) -> CacheGenHostChunk:
+        """Host phase only: parse the container into numpy views.
+
+        No device dispatch and no entropy decode happen here — the
+        storage pipeline calls this from its deserialize worker and the
+        consumer batches many chunks into one device program via
+        :func:`finish_host_chunks`."""
+        return _parse_container(bs)
 
     @_lmcache_trace_annotate
-    def from_bytes(self, bs: bytes):
-        import jax.numpy as jnp
-        from lmcache_tpu.ops.quant import dequantize
-
-        magic, version, fmt_code, dlen = _HDR.unpack_from(bs, 0)
-        if magic != MAGIC:
-            raise ValueError("Not an LMCG container")
-        if version not in (1, 2, 3):
-            raise ValueError(f"Unsupported CacheGen container v{version}")
-        off = _HDR.size
-        dtype_name = bs[off:off + dlen].decode("ascii")
-        off += dlen
-        L, H, D, T = _GEOM.unpack_from(bs, off)
-        off += _GEOM.size
-        C = H * D
-
-        key_bins = np.frombuffer(bs, np.uint8, L, off)
-        off += L
-        value_bins = np.frombuffer(bs, np.uint8, L, off)
-        off += L
-        g = 1
-        if version >= 2:
-            (g,) = struct.unpack_from("<B", bs, off)
-            off += 1
-        N = 2
-        if version >= 3:
-            (N,) = struct.unpack_from("<B", bs, off)
-            off += 1
-        if g < 1 or C % g:
-            raise ValueError(f"Corrupt LMCG container: group {g} "
-                             f"does not divide {C} channels")
-        if N not in (1, 2):
-            raise ValueError(f"Corrupt LMCG container: {N} streams")
-        Cg = C // g
-        maxes = np.frombuffer(bs, np.float32, N * L * T,
-                              off).reshape(N, L, T)
-        off += maxes.nbytes
-        cdf = np.frombuffer(bs, np.uint16, N * L * Cg * (_MAX_BINS + 1),
-                            off).reshape(N, L * Cg, _MAX_BINS + 1)
-        off += cdf.nbytes
-        lens = np.frombuffer(bs, np.uint32, N * L * Cg,
-                             off).reshape(N, L * Cg)
-        off += lens.nbytes
-
-        # validate the stream-length table against the container size
-        # before handing the payload to the C++ decoder — a truncated or
-        # corrupt container must fail here, not as an out-of-bounds read
-        if off + int(lens.sum()) > len(bs):
-            raise ValueError(
-                f"Corrupt LMCG container: streams claim "
-                f"{int(lens.sum())} payload bytes but only "
-                f"{len(bs) - off} remain")
-
-        halves = []
-        for i, bins in enumerate((key_bins, value_bins)[:N]):
-            n = int(lens[i].sum())
-            sym = decode_streams(bs[off:off + n], lens[i], g * T, cdf[i])
-            off += n
-            # [L*Cg, g*T] -> [L, C, T] -> [L, T, C]
-            sym = jnp.transpose(
-                jnp.asarray(sym.reshape(L, C, T)), (0, 2, 1))
-            x = dequantize(sym, jnp.asarray(maxes[i])[..., None],
-                           jnp.asarray(bins, jnp.int32))
-            halves.append(x.reshape(L, T, H, D))
-
-        blob = jnp.stack(halves, axis=1).astype(jnp.dtype(dtype_name))
-        if _FMT_NAME[fmt_code] == "huggingface":
-            blob = jnp.transpose(blob, (0, 1, 3, 2, 4))
-        return blob
+    def from_bytes(self, bs):
+        return finish_host_chunks([_parse_container(bs)],
+                                  mode=self.decode_mode)

@@ -240,3 +240,67 @@ def test_eager_store_publishes_at_prefill_complete(setup):
     assert r2.cached_prefix_len > 0
     assert r2.output_tokens == req.output_tokens
     ce.close()
+
+
+def test_remote_cachegen_grouped_inject_matches_retrieve(
+        setup, lmserver_process):
+    """The grouped host-chunk injection path (_stream_inject batching
+    many still-entropy-coded chunks into one device program) must put
+    EXACTLY the same KV into the pool as the plain retrieve() path —
+    byte-parity between the two decode routes is the whole exactness
+    contract of the on-device decoder."""
+    import dataclasses
+
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, cfg.vocab_size, 70, dtype=np.int32)
+
+    def make_ce(pipelined):
+        c = LMCacheEngineConfig.from_defaults(
+            local_device=None, remote_url=lmserver_process.url,
+            remote_serde="cachegen", chunk_size=16,
+            pipelined_backend=pipelined)
+        c = dataclasses.replace(c, cachegen_device_decode="on")
+        return LMCacheEngine(
+            c, LMCacheEngineMetadata(model_name="tiny-grouped",
+                                     world_size=1, worker_id=0,
+                                     fmt="vllm", dtype=cfg.dtype))
+
+    # seed the remote store with the prompt's KV
+    seed = make_ce(False)
+    cache = llama.new_kv_cache(cfg, 1, 128)
+    _, cache = llama.forward(params, cfg, jnp.asarray(prompt)[None],
+                             jnp.zeros(1, jnp.int32), cache,
+                             use_pallas=False)
+    seed.store(prompt, llama.cache_to_blob(cache, 0, len(prompt)),
+               blocking=True)
+    seed.close()
+
+    ce = make_ce(True)
+    try:
+        eng = ServingEngine(cfg, params, max_batch=2, max_seq=256,
+                            cache_engine=ce, use_pallas=False)
+        # force several small groups so flush-boundary logic runs
+        eng.inject_group_chunks = 2
+        req = Request(prompt, SamplingParams(max_new_tokens=1))
+        eng.add_request(req)
+        # drive steps to trigger admission + grouped stream inject
+        while not (eng.running or req.output_tokens):
+            eng.step()
+        # all 70 tokens are stored (incl. the partial trailing chunk);
+        # the engine always recomputes >= 1 token
+        assert req.cached_prefix_len == 69
+
+        # reference route: retrieve() -> one manual inject on a fresh
+        # pool position (slot 1 is free)
+        blob, mask = ce.retrieve(prompt, return_tuple=False)
+        assert int(mask.sum()) == 70
+        pool2 = eng._inject(eng.kv_pool, jnp.asarray(blob),
+                            jnp.asarray(1, jnp.int32),
+                            jnp.asarray(0, jnp.int32))
+        got = np.asarray(pool2[:, :, req.slot, :, :69])
+        ref = np.asarray(pool2[:, :, 1, :, :69])
+        assert np.array_equal(got, ref)
+        eng.run()
+    finally:
+        ce.close()
