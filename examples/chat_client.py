@@ -1,13 +1,16 @@
 """Minimal chat-style client for the API server (reference analogue:
-examples/frontend streamlit app — here a terminal REPL, tokenizer-free).
+examples/frontend streamlit app — here a terminal REPL).
 
 Start a server first (examples/online_session.py serves one), then:
 
     python examples/chat_client.py --port 8377
 
-Each line you type is hashed to token ids (demo stand-in for a real
-tokenizer), appended to the running conversation, and completed with
-streaming output; the growing prefix hits the KV cache every round.
+Each line you type is appended to the running conversation as TEXT —
+the server tokenizes with its real (byte-level BPE) tokenizer, completes
+with streaming output, and reports how many prompt tokens were served
+from the KV cache via the OpenAI ``prompt_tokens_details.cached_tokens``
+usage field. Watch that number climb every round: the growing prefix is
+prefilled exactly once.
 """
 
 import os as _os
@@ -18,19 +21,9 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 
 import argparse
-import hashlib
 import json
 
 import httpx
-
-
-def fake_tokenize(text: str, vocab: int = 512):
-    """Deterministic text -> token ids (demo only; bring a tokenizer)."""
-    out = []
-    for word in text.split():
-        h = hashlib.sha256(word.encode()).digest()
-        out.append(int.from_bytes(h[:2], "little") % vocab)
-    return out
 
 
 def main():
@@ -41,7 +34,7 @@ def main():
     args = ap.parse_args()
     base = f"http://{args.host}:{args.port}"
 
-    history = []
+    history = ""
     print("chat client — empty line to quit")
     while True:
         try:
@@ -50,22 +43,35 @@ def main():
             break
         if not line:
             break
-        history += fake_tokenize(line)
+        history += ("\n" if history else "") + line
         with httpx.stream("POST", f"{base}/v1/completions",
                           json={"prompt": history,
                                 "max_tokens": args.max_tokens,
-                                "stream": True},
+                                "stream": True,
+                                "stream_options": {
+                                    "include_usage": True}},
                           timeout=300) as r:
-            toks = []
+            reply = ""
+            usage = None
             for raw in r.iter_lines():
                 if not raw.startswith("data: ") or raw == "data: [DONE]":
                     continue
                 ev = json.loads(raw[len("data: "):])
-                tok = ev["choices"][0]["token"]
-                toks.append(tok)
-                print(tok, end=" ", flush=True)
+                if ev.get("usage"):
+                    usage = ev["usage"]
+                    continue
+                if not ev["choices"]:
+                    continue
+                piece = ev["choices"][0].get("text", "")
+                reply += piece
+                print(piece, end="", flush=True)
             print()
-            history += toks
+            if usage:
+                cached = usage.get("prompt_tokens_details", {}).get(
+                    "cached_tokens", 0)
+                print(f"  [cached {cached}/{usage['prompt_tokens']} "
+                      f"prompt tokens; ttft {usage.get('ttft_ms')} ms]")
+            history += reply
 
 
 if __name__ == "__main__":

@@ -47,7 +47,13 @@ def main():
                               fmt="vllm", dtype=cfg.dtype))
     engine = ServingEngine(cfg, params, max_batch=4, max_seq=512,
                            cache_engine=cache, save_decode_cache=True)
-    server = APIServer(engine, model_name="tiny-session")
+    # a REAL tokenizer (byte-level BPE trained offline; see
+    # demo_tokenizer.py) so clients can speak text and the OpenAI
+    # prompt_tokens_details.cached_tokens field describes actual words
+    from demo_tokenizer import get_tokenizer
+    tok = get_tokenizer(cfg.vocab_size)
+    server = APIServer(engine, model_name="tiny-session",
+                       tokenizer=tok.encode, detokenizer=tok.decode)
 
     t = threading.Thread(target=server.run,
                          kwargs=dict(host="localhost", port=PORT),
@@ -64,17 +70,19 @@ def main():
         except httpx.TransportError:
             time.sleep(0.1)
 
-    history = np.random.default_rng(0).integers(0, cfg.vocab_size, 120,
-                                                dtype=np.int32).tolist()
+    _ = np  # token-id prompts also work; this session speaks text
+    history = ("the quick brown fox jumps over the lazy dog and the "
+               "cache holds the keys and values of every token")
     for round_ in range(3):
         r = httpx.post(f"http://localhost:{PORT}/v1/completions",
                        json={"prompt": history, "max_tokens": 16},
                        timeout=120).json()
         usage = r["usage"]
+        cached = usage["prompt_tokens_details"]["cached_tokens"]
         print(f"round {round_}: ttft={usage['ttft_ms']}ms "
-              f"cached={usage['cached_prefix_tokens']}/"
-              f"{usage['prompt_tokens']} tokens")
-        history += r["choices"][0]["tokens"]  # grow the conversation
+              f"cached_tokens={cached}/{usage['prompt_tokens']}")
+        # grow the conversation with the decoded completion text
+        history += r["choices"][0]["text"]
 
     # the API server runs on a daemon thread with no external stop;
     # skip interpreter teardown so its event loop isn't killed mid-await
