@@ -409,7 +409,7 @@ def main():
                 for _ in range(reps):
                     ce = remote_engine(pipelined)
                     eng_r = ServingEngine(cfg, params, max_batch=1,
-                                          max_seq=S,
+                                          max_seq=TOTAL + 8,
                                           cache_engine=ce,
                                           use_pallas=on_tpu)
                     eng_r.generate(

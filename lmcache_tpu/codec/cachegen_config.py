@@ -64,6 +64,21 @@ class CacheGenConfig:
                               value_bins=expand(value_schedule))
 
     @staticmethod
+    def for_latent(num_layers: int) -> "CacheGenConfig":
+        """Schedule for MLA latent streams (single-stream containers,
+        models/mla.py cache_to_blob).
+
+        One latent row feeds BOTH keys and values of EVERY head after
+        up-projection, so per-value damage is amplified ~2*n_heads x
+        relative to a GQA K or V entry — the schedule keeps the full
+        32-bin width at every layer instead of the graduated K/V curve
+        (measured: all-32 halves latent relative error and logit KL vs
+        the 7B K/V schedule at equal order of wire size). value_bins is
+        carried but unused for N == 1 containers."""
+        return CacheGenConfig(key_bins=(32,) * num_layers,
+                              value_bins=(32,) * num_layers)
+
+    @staticmethod
     def from_model_name(model_name: str,
                         num_layers: int = 32) -> "CacheGenConfig":
         name = model_name.lower()

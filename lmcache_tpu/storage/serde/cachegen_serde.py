@@ -59,12 +59,18 @@ _FMT_CODE = {"vllm": 0, "huggingface": 1}
 _FMT_NAME = {v: k for k, v in _FMT_CODE.items()}
 
 
-def _group_for(T: int, C: int) -> int:
+def _group_for(T: int, C: int, min_g: int = 1) -> int:
     """Channels per shared CDF, adaptive on chunk length: full chunks
     keep per-channel CDFs (best ratio), short chunks pool channels so
-    the fixed header scales down with the payload."""
+    the fixed header scales down with the payload. ``min_g`` forces a
+    floor — latent streams use 4 because their channels share one
+    RMS-normalized distribution, so pooling costs ~nothing in ratio
+    while shrinking the CDF header 4x (it is ~30% of a latent
+    container at T=256 otherwise)."""
     g = 1
     while T * g < 256 and g < 16 and C % (g * 2) == 0:
+        g *= 2
+    while g < min_g and C % (g * 2) == 0:
         g *= 2
     return g
 
@@ -121,12 +127,16 @@ class CacheGenSerializer(Serializer):
         halves, H, D = _to_token_major(blob, self.fmt)
         N = len(halves)
         L, T, C = halves[0].shape
-        g = _group_for(T, C)
+        g = _group_for(T, C, min_g=4 if N == 1 else 1)
         Cg = C // g
-        cg = self._cg(L)
+        # latent blobs (N == 1) take the latent-aware schedule unless
+        # the caller overrode it (quality sweeps)
+        if N == 1 and self._cg_override is None:
+            cg = CacheGenConfig.for_latent(L)
+        else:
+            cg = self._cg(L)
         key_bins = jnp.asarray(cg.key_bins, jnp.int32)
         value_bins = jnp.asarray(cg.value_bins, jnp.int32)
-        # latent blobs (N == 1) take the key bin schedule
         bins_per_half = ((key_bins, value_bins) if N == 2
                          else (key_bins,))
 

@@ -182,6 +182,119 @@ def evaluate(model: str = "tiny", ctx: int = 256, cont: int = 64,
     }
 
 
+def evaluate_mla(ctx: int = 256, cont: int = 64, seed: int = 0,
+                 cachegen_config=None, trained: bool = False) -> dict:
+    """Codec quality for MLA LATENT wire blobs (VERDICT r3 next #3).
+
+    The latent stream is the joint K/V bottleneck — one row feeds every
+    head — so this measures the same KL / confident-top-1 gates as
+    :func:`evaluate` but through ``models.mla`` with the cachegen
+    serde's latent path (single-stream v3 containers, latent-aware
+    all-32 bins schedule). With ``trained=True`` the in-repo MLA
+    retrieval checkpoint makes the ppl-delta gate binding, like the
+    dense one."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmcache_tpu.config import (LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+    from lmcache_tpu.models import mla
+    from lmcache_tpu.storage.serde.cachegen_serde import (
+        CacheGenDeserializer, CacheGenSerializer)
+
+    total = ctx + cont
+    if trained:
+        import quality_common as qc
+        cfg, params, tokens = qc.load_mla_checkpoint(ctx, cont, seed)
+        model_name = "trained-mla"
+    else:
+        cfg = mla.MLAConfig(
+            vocab_size=8000, dim=512, n_layers=4, n_heads=8,
+            hidden_dim=1024, max_seq_len=max(1024, total),
+            q_lora_rank=None, kv_lora_rank=256, qk_nope_head_dim=64,
+            qk_rope_head_dim=32, v_head_dim=64, dtype="float32")
+        params = mla.init_params(jax.random.PRNGKey(seed + 3), cfg)
+        tokens = np.random.default_rng(seed).integers(
+            0, cfg.vocab_size, total, dtype=np.int32)
+        model_name = "mla-random"
+
+    use_pallas = jax.default_backend() != "cpu"
+
+    def continuation_logp(ctx_blob):
+        cache = mla.new_latent_cache(cfg, 1, total)
+        cache = mla.blob_into_cache(cache, jnp.asarray(ctx_blob))
+        logits, _ = mla.forward(
+            params, cfg, jnp.asarray(tokens[ctx:])[None, :],
+            jnp.asarray([ctx], jnp.int32), cache,
+            use_pallas=use_pallas)
+        return jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32),
+                                  axis=-1)
+
+    cache = mla.new_latent_cache(cfg, 1, total)
+    _, cache = mla.forward(params, cfg,
+                           jnp.asarray(tokens[:ctx])[None, :],
+                           jnp.zeros(1, jnp.int32), cache,
+                           use_pallas=use_pallas)
+    exact_blob = mla.cache_to_blob(cache, 0, ctx)
+
+    ecfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
+    meta = LMCacheEngineMetadata(model_name=model_name, world_size=1,
+                                 worker_id=0, fmt="vllm",
+                                 dtype=cfg.dtype)
+    ser = CacheGenSerializer(ecfg, meta, cachegen_config=cachegen_config)
+    de = CacheGenDeserializer(ecfg, meta)
+    bs = ser.to_bytes(exact_blob)
+    codec_blob = de.from_bytes(bs)
+
+    lp_exact = continuation_logp(exact_blob)
+    lp_codec = continuation_logp(codec_blob)
+    p = jnp.exp(lp_exact)
+    kl = float((p * (lp_exact - lp_codec)).sum(axis=-1).mean())
+    agree = jnp.argmax(lp_exact, -1) == jnp.argmax(lp_codec, -1)
+    top1 = float(agree.mean())
+    top2 = jnp.sort(lp_exact, axis=-1)[:, -2:]
+    margins = top2[:, 1] - top2[:, 0]
+    margin_eff = float(min(CONFIDENT_MARGIN, jnp.quantile(margins, 0.9)))
+    confident = margins >= margin_eff
+    conf_top1 = float(agree[confident].sum() /
+                      max(int(confident.sum()), 1))
+
+    tgt = jnp.asarray(tokens[ctx + 1:])
+
+    def _nll(lp):
+        return float(-jnp.take_along_axis(lp, tgt[:, None],
+                                          axis=1).mean())
+
+    def _ppl(nll):
+        if not np.isfinite(nll):
+            nll = 700.0
+        return float(np.exp(min(nll, 700.0)))
+
+    ppl_exact = _ppl(_nll(lp_exact))
+    ppl_codec = _ppl(_nll(lp_codec))
+    delta = ppl_codec - ppl_exact
+    # wire economics vs the bf16 latents MLA reuse shipped before r4
+    bf16_bytes = exact_blob.size * 2
+    ok = kl <= KL_GATE and conf_top1 >= CONFIDENT_TOP1_GATE
+    if trained:
+        ok = ok and delta < PPL_DELTA_GATE
+    return {
+        "model": model_name,
+        "ctx": ctx,
+        "cont": cont,
+        "latent_dim": cfg.latent_dim,
+        "compression_vs_bf16_x": round(bf16_bytes / len(bs), 3),
+        "logit_kl": round(kl, 5),
+        "top1_agreement": round(top1, 4),
+        "confident_top1_agreement": round(conf_top1, 4),
+        "ppl_exact": round(ppl_exact, 4),
+        "ppl_codec": round(ppl_codec, 4),
+        "ppl_delta": round(float(delta), 4),
+        "ppl_gate_binding": bool(trained),
+        "pass": bool(ok),
+    }
+
+
 def sweep(model: str, ctx: int, cont: int, seed: int) -> list:
     """Bins -> quality curve: uniform key/value bin widths from the
     default schedule down to 2 bits. The ppl delta must grow as bins
@@ -208,7 +321,8 @@ def sweep(model: str, ctx: int, cont: int, seed: int) -> list:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="tiny",
-                    choices=["tiny", "tinyllama", "trained"])
+                    choices=["tiny", "tinyllama", "trained", "mla",
+                             "trained-mla"])
     ap.add_argument("--ctx", type=int, default=None)
     ap.add_argument("--cont", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
@@ -218,7 +332,22 @@ def main():
     args = ap.parse_args()
     if args.ctx is None:
         # trained-model retrieval spans ~ctx/2; make it a real distance
-        args.ctx = 2048 if args.model == "trained" else 256
+        args.ctx = (2048 if args.model in ("trained", "trained-mla")
+                    else 256)
+
+    if args.model in ("mla", "trained-mla"):
+        result = evaluate_mla(args.ctx, args.cont, args.seed,
+                              trained=args.model == "trained-mla")
+        if args.json:
+            print(json.dumps(result))
+        else:
+            print(f"model={result['model']} ctx={result['ctx']} "
+                  f"compression(bf16)={result['compression_vs_bf16_x']}x "
+                  f"kl={result['logit_kl']} "
+                  f"conf_top1={result['confident_top1_agreement']} "
+                  f"ppl_delta={result['ppl_delta']} "
+                  f"pass={result['pass']}")
+        return 0 if result["pass"] else 1
 
     if args.sweep:
         rows = sweep(args.model, args.ctx, args.cont, args.seed)

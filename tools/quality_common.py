@@ -38,15 +38,41 @@ from lmcache_tpu.models import llama  # noqa: E402
 
 CKPT_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "checkpoints", "quality_8l.npz")
+MLA_CKPT_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "checkpoints", "quality_mla_4l.npz")
 
-VOCAB = 4096  # >= the largest eval R (ctx 4096 -> R 2080): base unique
+# >= the largest eval R (ctx 8192 + cont 64 -> R 4128): base tokens
+# must be unique so retrieval is the only signal (round 4 raised the
+# north-star eval geometry to ctx >= 8192, VERDICT r3 next #2)
+VOCAB = 8192
 
 
 def quality_config(dtype: str = "float32") -> "llama.LlamaConfig":
     """8-layer llama-config model (GQA 4q/2kv, D=64) for the gate."""
     return llama.LlamaConfig(
         vocab_size=VOCAB, dim=256, n_layers=8, n_heads=4, n_kv_heads=2,
-        hidden_dim=512, max_seq_len=8192, dtype=dtype)
+        hidden_dim=512, max_seq_len=16384, dtype=dtype)
+
+
+def quality_mla_config(dtype: str = "float32"):
+    """4-layer MLA model for the LATENT codec gate (same copy corpus;
+    the latent stream is the only recurrent state, so codec damage to
+    it breaks retrieval exactly like K/V damage does for GQA)."""
+    from lmcache_tpu.models import mla
+    return mla.MLAConfig(
+        vocab_size=VOCAB, dim=256, n_layers=4, n_heads=4,
+        hidden_dim=512, max_seq_len=8192, q_lora_rank=None,
+        kv_lora_rank=128, qk_nope_head_dim=64, qk_rope_head_dim=32,
+        v_head_dim=64, dtype=dtype)
+
+
+def load_mla_checkpoint(ctx: int, cont: int, seed: int):
+    """(cfg, params, tokens) for the trained-MLA codec gate."""
+    cfg = quality_mla_config()
+    params = load_params("float32", MLA_CKPT_PATH)
+    rng = np.random.default_rng(12345 + seed)
+    tokens = make_eval_tokens(rng, ctx + cont)
+    return cfg, params, tokens
 
 
 def make_sequence(rng: np.random.Generator, total: int,

@@ -1,19 +1,23 @@
-"""Train the in-repo quality checkpoint (checkpoints/quality_8l.npz).
+"""Train the in-repo quality checkpoints (checkpoints/quality_*.npz).
 
-Trains the 8-layer model of tools/quality_common.py on the
-copy-with-offset corpus until the copy positions are predicted at
-~100% accuracy (peaked logits, ppl ~1 on determined positions). The
-checkpoint makes the BASELINE "<0.1 perplexity delta" codec gate
-(tools/eval_quality.py --model trained) a real measurement instead of
-tie-breaking noise on random-init logits.
+Trains the models of tools/quality_common.py on the copy-with-offset
+corpus until the copy positions are predicted at ~100% accuracy (peaked
+logits, ppl ~1 on determined positions). The checkpoints make the
+BASELINE "<0.1 perplexity delta" codec gate
+(tools/eval_quality.py --model trained / trained-mla) a real
+measurement instead of tie-breaking noise on random-init logits.
 
 The loss is masked to DETERMINED positions only (t+1 >= R); base-
 segment targets are iid noise. A staged short-to-long curriculum forms
 the induction mechanism at small R first, then extends it to the eval
-geometry (T=2112, R=1056) — see CURRICULUM.
+geometry — round 4 extends the dense model to R = 4224 (ctx-8192 eval,
+VERDICT r3 next #2) and ends with an ALL-BAND replay stage so the
+checkpoint stays accurate at every distance, not just the long ones
+(the r3 checkpoint's short-R bands decayed to ~0 when left out of the
+final stage).
 
-    python tools/train_quality_model.py            # ~3k steps on TPU
-    python tools/train_quality_model.py --steps 200 --out /tmp/q.npz
+    python tools/train_quality_model.py                 # dense, ~40 min
+    python tools/train_quality_model.py --family mla    # latent gate
 """
 
 import argparse
@@ -36,49 +40,77 @@ from tools import quality_common as qc  # noqa: E402
 # across a 2x gap), and a run that mixed all distances from 20% in
 # never formed induction at all (conflicting signal while the
 # mechanism was still soft). Each stage widens the band ~1.2-1.4x
-# while keeping recent distances in the mix.
+# while keeping recent distances in the mix; the FINAL stage replays
+# every band (safe once the mechanism is formed; keeps short-R sharp).
 CURRICULUM = (
-    # (fraction of steps, shapes cycled within the stage)
-    (0.18, ((256, 8), (256, 16), (256, 32), (256, 64))),
-    (0.18, ((512, 128), (512, 256), (1024, 512), (512, 128))),
-    (0.24, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
-    # final stage: long-distance focus + SHORT-distance replay. Replay
-    # is safe once the mechanism is formed (mixing from 20% in blocked
-    # formation; mixing here does not) and keeps the checkpoint
-    # accurate across the whole distance band instead of long-only.
-    (0.40, ((2048, 896), (2112, 1056), (2560, 1280), (1536, 768),
-            (2048, 896), (2112, 1056), (512, 128), (256, 32))),
+    (0.13, ((256, 8), (256, 16), (256, 32), (256, 64))),
+    (0.13, ((512, 128), (512, 256), (1024, 512), (512, 128))),
+    (0.15, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
+    (0.15, ((2048, 896), (2112, 1056), (2560, 1280), (1536, 768))),
+    (0.18, ((2560, 1280), (3072, 1536), (4096, 2048), (2112, 1056),
+            (3072, 1536), (4096, 2048))),
+    # long-distance extension + ALL-band replay
+    (0.26, ((4096, 2048), (5120, 2560), (6144, 3072), (8448, 4224),
+            (256, 32), (512, 128), (1024, 512), (2112, 1056),
+            (2560, 1280), (8448, 4224), (4096, 2048), (8448, 4224))),
+)
+
+# MLA (latent) model: eval geometry is ctx 2048 (R 1056); same staging
+# with an all-band replay tail.
+CURRICULUM_MLA = (
+    (0.20, ((256, 8), (256, 16), (256, 32), (256, 64))),
+    (0.20, ((512, 128), (512, 256), (1024, 512), (512, 128))),
+    (0.25, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
+    (0.35, ((2048, 896), (2112, 1056), (2560, 1280),
+            (256, 32), (512, 128), (1024, 512), (2112, 1056))),
 )
 
 
-def shape_for_step(step: int, total: int):
+def shape_for_step(step: int, total: int, curriculum):
     """(seq_len, repeat) of ``step`` under the staged curriculum."""
     start = 0
-    for frac, shapes in CURRICULUM:
+    for frac, shapes in curriculum:
         n = int(round(frac * total))
-        if step < start + n or (frac, shapes) == CURRICULUM[-1]:
+        if step < start + n or (frac, shapes) == curriculum[-1]:
             return shapes[(step - start) % len(shapes)]
         start += n
-    return CURRICULUM[-1][1][0]
+    return curriculum[-1][1][0]
+
+
+def batch_for(T: int, base: int) -> int:
+    """Shrink the batch as T grows: keeps the quadratic-attention step
+    cost and the [B, T, V] logits buffer bounded at T = 8448."""
+    return max(4, min(base, (base * 2048) // T))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--family", default="llama", choices=["llama", "mla"])
+    ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default=qc.CKPT_PATH)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.steps is None:
+        args.steps = 3400 if args.family == "llama" else 2000
+    if args.out is None:
+        args.out = (qc.CKPT_PATH if args.family == "llama"
+                    else qc.MLA_CKPT_PATH)
+    curriculum = (CURRICULUM if args.family == "llama"
+                  else CURRICULUM_MLA)
 
     import jax
     import jax.numpy as jnp
     import optax
 
-    from lmcache_tpu.models import llama
-
-    cfg = qc.quality_config(dtype="float32")
-    params = llama.init_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.family == "llama":
+        from lmcache_tpu.models import llama as family
+        cfg = qc.quality_config(dtype="float32")
+    else:
+        from lmcache_tpu.models import mla as family
+        cfg = qc.quality_mla_config(dtype="float32")
+    params = family.init_params(jax.random.PRNGKey(args.seed), cfg)
 
     warmup = min(200, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
@@ -90,12 +122,18 @@ def main():
 
     def loss_fn(p, tokens, mask):
         B, T = tokens.shape
-        cache = llama.new_kv_cache(cfg, B, T)
-        # einsum attention: differentiable; remat keeps long-T backward
-        # activations bounded (the forward's remat flag exists for this)
-        logits, _ = llama.forward(p, cfg, tokens,
-                                  jnp.zeros(B, jnp.int32), cache,
-                                  use_pallas=False, remat=True)
+        if args.family == "llama":
+            cache = family.new_kv_cache(cfg, B, T)
+            # einsum attention: differentiable; remat keeps long-T
+            # backward activations bounded
+            logits, _ = family.forward(p, cfg, tokens,
+                                       jnp.zeros(B, jnp.int32), cache,
+                                       use_pallas=False, remat=True)
+        else:
+            cache = family.new_latent_cache(cfg, B, T)
+            logits, _ = family.forward(p, cfg, tokens,
+                                       jnp.zeros(B, jnp.int32), cache,
+                                       use_pallas=False)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
         tgt = tokens[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -115,13 +153,14 @@ def main():
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     for step in range(args.steps):
-        T, R = shape_for_step(step, args.steps)
-        tokens = jnp.asarray(qc.make_train_batch(rng, args.batch, T, R))
+        T, R = shape_for_step(step, args.steps, curriculum)
+        B = batch_for(T, args.batch)
+        tokens = jnp.asarray(qc.make_train_batch(rng, B, T, R))
         mask = jnp.asarray(qc.target_mask(T, R))
         params, opt_state, loss, acc = train_step(params, opt_state,
                                                   tokens, mask)
         if step % 100 == 0 or step == args.steps - 1:
-            print(f"step {step:5d}  T={T:5d} R={R:5d}  "
+            print(f"step {step:5d}  T={T:5d} R={R:5d} B={B:3d}  "
                   f"loss {float(loss):.4f}  copy-acc {float(acc):.4f}  "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
@@ -129,15 +168,20 @@ def main():
     print(f"saved {args.out} "
           f"({os.path.getsize(args.out) / 1e6:.1f} MB)")
 
-    # quick self-check on the eval geometry (held-out seed)
+    # self-check across the whole distance band (held-out seed), through
+    # the f16 storage round trip — the bands the committed test guards
     eval_rng = np.random.default_rng(12345)
-    tokens = jnp.asarray(qc.make_eval_tokens(eval_rng, 2112))[None, :]
-    mask = jnp.asarray(qc.target_mask(2112, 1056))
-    p16 = qc.load_params("float32", args.out)  # through f16 storage
-    loss, acc = jax.jit(loss_fn)(p16, tokens, mask)
-    print(f"eval geometry (T=2112, R=1056, f16 round-trip): "
-          f"nll {float(loss):.4f} (ppl {float(np.exp(loss)):.4f})  "
-          f"copy-acc {float(acc):.4f}")
+    bands = ([(256, 32), (512, 128), (1024, 512), (2112, 1056),
+              (4096, 2048), (8448, 4224)] if args.family == "llama"
+             else [(256, 32), (512, 128), (1024, 512), (2112, 1056)])
+    p16 = qc.load_params("float32", args.out)
+    for T, R in bands:
+        tokens = jnp.asarray(qc.make_sequence(eval_rng, T, R))[None, :]
+        mask = jnp.asarray(qc.target_mask(T, R))
+        loss, acc = jax.jit(loss_fn)(p16, tokens, mask)
+        print(f"eval T={T:5d} R={R:5d}: nll {float(loss):.4f} "
+              f"(ppl {float(np.exp(loss)):.4f})  "
+              f"copy-acc {float(acc):.4f}", flush=True)
 
 
 if __name__ == "__main__":
