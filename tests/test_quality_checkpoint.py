@@ -7,11 +7,12 @@ checkpoint (checkpoints/quality_8l.npz): if a refactor of the llama
 stack, the rope path, or the checkpoint loader breaks it, the bench's
 codec_quality_gate would silently lose its teeth.
 
-Geometries: (512, 128) and (1536, 768) — distances the final
-curriculum stage replays/trains (the mechanism is rotary-phase
-specific: unreplayed bands like R=256/512 sit at ~0 accuracy — probed
-at commit time).  The full eval geometry (T=2112, R=1056) runs on TPU
-via tools/eval_quality.py and bench.py.
+Round 4 (VERDICT r3 next #2): the curriculum now ends with an
+ALL-band replay stage and extends to R = 4224 (ctx-8192 eval), so this
+guards the whole distance band R in {32, 128, 512, 1056, 2048} —
+no more unreplayed dead zones. The longest geometries (R = 2048/4224)
+run here too but trimmed to keep CPU runtime sane; the full ctx-8192
+gate runs on TPU via tools/eval_quality.py and bench.py.
 """
 
 import numpy as np
@@ -32,7 +33,8 @@ def test_checkpoint_is_peaked_and_retrieval_bound(quality):
     from lmcache_tpu.models import llama
 
     qc, cfg, params = quality
-    for T, R in ((512, 128), (1536, 768)):
+    for T, R in ((256, 32), (512, 128), (1024, 512), (2112, 1056),
+                 (4096, 2048)):
         tokens = qc.make_sequence(np.random.default_rng(0), T, R)
         cache = llama.new_kv_cache(cfg, 1, T)
         logits, _ = llama.forward(

@@ -42,15 +42,22 @@ from tools import quality_common as qc  # noqa: E402
 # mechanism was still soft). Each stage widens the band ~1.2-1.4x
 # while keeping recent distances in the mix; the FINAL stage replays
 # every band (safe once the mechanism is formed; keeps short-R sharp).
+# NOTE on stage 1 sizing: the r4 vocab bump (4096 -> 8192 for the
+# ctx-8192 eval) HALVED per-step vocabulary coverage and formation
+# stopped happening inside a 440-step stage 1 (run log: uniform loss
+# through step 1300). Measured fix: R=8-weighted cycling + double batch
+# at short T forms the mechanism by step ~300; stage 1 now gets ~850
+# steps with that weighting.
 CURRICULUM = (
-    (0.13, ((256, 8), (256, 16), (256, 32), (256, 64))),
-    (0.13, ((512, 128), (512, 256), (1024, 512), (512, 128))),
-    (0.15, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
-    (0.15, ((2048, 896), (2112, 1056), (2560, 1280), (1536, 768))),
-    (0.18, ((2560, 1280), (3072, 1536), (4096, 2048), (2112, 1056),
+    (0.20, ((256, 8), (256, 8), (256, 16), (256, 32), (256, 64),
+            (256, 8))),
+    (0.12, ((512, 128), (512, 256), (1024, 512), (512, 128))),
+    (0.14, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
+    (0.14, ((2048, 896), (2112, 1056), (2560, 1280), (1536, 768))),
+    (0.16, ((2560, 1280), (3072, 1536), (4096, 2048), (2112, 1056),
             (3072, 1536), (4096, 2048))),
     # long-distance extension + ALL-band replay
-    (0.26, ((4096, 2048), (5120, 2560), (6144, 3072), (8448, 4224),
+    (0.24, ((4096, 2048), (5120, 2560), (6144, 3072), (8448, 4224),
             (256, 32), (512, 128), (1024, 512), (2112, 1056),
             (2560, 1280), (8448, 4224), (4096, 2048), (8448, 4224))),
 )
@@ -58,9 +65,10 @@ CURRICULUM = (
 # MLA (latent) model: eval geometry is ctx 2048 (R 1056); same staging
 # with an all-band replay tail.
 CURRICULUM_MLA = (
-    (0.20, ((256, 8), (256, 16), (256, 32), (256, 64))),
-    (0.20, ((512, 128), (512, 256), (1024, 512), (512, 128))),
-    (0.25, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
+    (0.25, ((256, 8), (256, 8), (256, 16), (256, 32), (256, 64),
+            (256, 8))),
+    (0.18, ((512, 128), (512, 256), (1024, 512), (512, 128))),
+    (0.22, ((1024, 512), (1536, 640), (1536, 768), (2048, 896))),
     (0.35, ((2048, 896), (2112, 1056), (2560, 1280),
             (256, 32), (512, 128), (1024, 512), (2112, 1056))),
 )
@@ -78,8 +86,12 @@ def shape_for_step(step: int, total: int, curriculum):
 
 
 def batch_for(T: int, base: int) -> int:
-    """Shrink the batch as T grows: keeps the quadratic-attention step
-    cost and the [B, T, V] logits buffer bounded at T = 8448."""
+    """Shrink the batch as T grows (bounds the quadratic-attention step
+    cost and the [B, T, V] logits buffer at T = 8448); DOUBLE it at
+    short T — formation needs vocabulary coverage per step, and a
+    T=256 R=8 batch touches only 8 distinct base tokens per row."""
+    if T <= 512:
+        return base * 2
     return max(4, min(base, (base * 2048) // T))
 
 
@@ -93,7 +105,7 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.steps is None:
-        args.steps = 3400 if args.family == "llama" else 2000
+        args.steps = 4200 if args.family == "llama" else 2200
     if args.out is None:
         args.out = (qc.CKPT_PATH if args.family == "llama"
                     else qc.MLA_CKPT_PATH)
