@@ -635,18 +635,59 @@ def main():
     # binds for real; see tools/quality_common.py and docs/codec.md.
     try:
         from eval_quality import evaluate
-        q = evaluate(model="trained", ctx=2048, cont=64)
+
+        from lmcache_tpu.codec import CacheGenConfig
+        # round 4: the gate runs at the north-star ctx >= 8192 (VERDICT
+        # r3 next #2); retrieval distance is ~ctx/2 = 4128 — trained by
+        # the curriculum's final stage
+        q = evaluate(model="trained", ctx=8192, cont=64)
+        # bins -> delta monotonicity at the same geometry: the gate
+        # must MEASURE codec damage (coarser bins => larger delta)
+        Lq = 8
+        sweep_deltas = {}
+        for bins in (8, 4):
+            cgq = CacheGenConfig(key_bins=(bins,) * Lq,
+                                 value_bins=(bins,) * Lq)
+            qs = evaluate(model="trained", ctx=8192, cont=64,
+                          cachegen_config=cgq)
+            sweep_deltas[bins] = qs["ppl_delta"]
+        monotone = (q["ppl_delta"] <= sweep_deltas[8] + 1e-6
+                    and sweep_deltas[8] <= sweep_deltas[4] + 1e-6)
         metrics.append({
             "metric": "codec_quality_gate", "unit": "pass",
             "value": 1 if q["pass"] else 0,
             "vs_baseline": 1 if q["pass"] else 0,
-            "detail": {k: q[k] for k in
-                       ("model", "ctx", "logit_kl", "top1_agreement",
-                        "confident_top1_agreement", "compression_x",
+            "detail": {**{k: q[k] for k in
+                          ("model", "ctx", "logit_kl", "top1_agreement",
+                           "confident_top1_agreement", "compression_x",
+                           "ppl_exact", "ppl_codec", "ppl_delta",
+                           "ppl_gate_binding")},
+                       "sweep_ppl_delta_bins8": sweep_deltas[8],
+                       "sweep_ppl_delta_bins4": sweep_deltas[4],
+                       "sweep_monotone": bool(monotone)}})
+    except Exception as e:
+        metrics.append({"metric": "codec_quality_error", "unit": "",
+                        "value": 0, "vs_baseline": None, "error": str(e)})
+
+    # ---- MLA latent wire gate (VERDICT r3 next #3) ------------------------
+    # cachegen on LATENT blobs (single-stream v3 containers, latent-
+    # aware bins), gated on the trained MLA retrieval checkpoint: the
+    # ppl-delta criterion binds exactly like the dense gate.
+    try:
+        from eval_quality import evaluate_mla
+        qm = evaluate_mla(ctx=2048, cont=64, trained=True)
+        metrics.append({
+            "metric": "mla_latent_wire_gate", "unit": "pass",
+            "value": 1 if qm["pass"] else 0,
+            "vs_baseline": 1 if qm["pass"] else 0,
+            "detail": {k: qm[k] for k in
+                       ("model", "ctx", "latent_dim",
+                        "compression_vs_bf16_x", "logit_kl",
+                        "top1_agreement", "confident_top1_agreement",
                         "ppl_exact", "ppl_codec", "ppl_delta",
                         "ppl_gate_binding")}})
     except Exception as e:
-        metrics.append({"metric": "codec_quality_error", "unit": "",
+        metrics.append({"metric": "mla_latent_wire_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})
 
     # ---- cross-round regression tracking (VERDICT r3 next #6) ------------

@@ -48,6 +48,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 KTOP = jnp.uint32(1 << 24)
 KBOT = jnp.uint32(1 << 16)
@@ -194,3 +195,170 @@ def decode_streams_device(payload: jax.Array, lens: jax.Array,
     (*_, overflow), out = jax.lax.scan(step, carry0, None,
                                        length=n_symbols)
     return out.T, overflow  # [S, n_symbols]
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: same recurrence, lane-packed
+# ---------------------------------------------------------------------------
+# The XLA scan above spends most of its time on [S, 33]- and
+# [S, nwords]-shaped intermediates whose LAST dimension is far below
+# the 128-lane vector width — ~74% of every compare/select lane is
+# padding. The Pallas kernel keeps every operand TRANSPOSED
+# ([33, tile], [nwords, tile], state vectors [tile]) so each VPU op is
+# fully packed, and the whole per-stream state lives in registers/VMEM
+# across the symbol loop instead of riding an HBM-carried scan state.
+# Measured on v5e (180k streams x 256 symbols): 169 ms (scan) -> see
+# docs/kernels.md round-4 table.
+
+STREAM_TILE = 2048  # streams per program instance ([16, 128] vregs)
+
+
+def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
+                        n_symbols, nwords, renorm_iters):
+    """One stream tile: pay_ref u32 [nwords, tile] (big-endian words,
+    zeroed past each stream's length by the wrapper), cdf_ref i32
+    [33, tile]; out_ref u8 [n_symbols, tile], ovf_ref u8 [1, tile].
+    Reads past nwords return 0 via the one-hot select, matching the
+    C decoder's zero feed."""
+    tile = pay_ref.shape[1]
+    u32 = jnp.uint32
+
+    def load_word(wpos):
+        # one-hot select-sum over the word rows; rows are fully packed
+        w = jnp.zeros((tile,), u32)
+        for j in range(nwords):
+            w = jnp.where(wpos == j, pay_ref[j], w)
+        return w
+
+    def refill(hi, lo, nb, wpos):
+        need = nb <= 4
+        w = jnp.where(need, load_word(wpos), u32(0))
+        k = 32 - 8 * nb
+        hi_part = jnp.where(k >= 32, _shl(w, jnp.maximum(k - 32, 0)),
+                            _shr(w, jnp.clip(32 - k, 0, 31)))
+        hi = jnp.where(need, hi | jnp.where(k > 0, hi_part, u32(0)), hi)
+        lo = jnp.where(need,
+                       lo | jnp.where(k >= 32, u32(0),
+                                      _shl(w, jnp.clip(k, 0, 31))), lo)
+        nb = jnp.where(need, nb + 4, nb)
+        wpos = jnp.where(need, wpos + 1, wpos)
+        return hi, lo, nb, wpos
+
+    hi = jnp.zeros((tile,), u32)
+    lo = jnp.zeros((tile,), u32)
+    nb = jnp.zeros((tile,), jnp.int32)
+    wpos = jnp.zeros((tile,), jnp.int32)
+    hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
+    hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
+    code, hi, lo, nb = hi, lo, jnp.zeros((tile,), u32), nb - 4
+    low = jnp.zeros((tile,), u32)
+    rng = jnp.full((tile,), 0xFFFFFFFF, u32)
+    ovf = jnp.zeros((tile,), jnp.uint8)
+
+    def step(t, carry):
+        low, rng, code, hi, lo, nb, wpos, ovf = carry
+        hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
+        rng = rng >> 16
+        target = jnp.minimum((code - low) // jnp.maximum(rng, 1),
+                             u32(65535)).astype(jnp.int32)
+        # symbol + cf ascending, cfn descending — every op on a fully
+        # packed [tile] vector
+        sym = jnp.zeros((tile,), jnp.int32)
+        cf = jnp.zeros((tile,), jnp.int32)
+        for j in range(1, 32):
+            cj = cdf_ref[j]
+            le = cj <= target
+            sym = sym + le.astype(jnp.int32)
+            cf = jnp.where(le, cj, cf)
+        cfn = jnp.full((tile,), 65536, jnp.int32)
+        for j in range(31, 0, -1):
+            cj = cdf_ref[j]
+            cfn = jnp.where(cj > target, cj, cfn)
+        low = low + cf.astype(u32) * rng
+        rng = rng * (cfn - cf).astype(u32)
+        for _ in range(renorm_iters):
+            c1 = (low ^ (low + rng)) < (1 << 24)
+            c2 = (~c1) & (rng < (1 << 16))
+            rng = jnp.where(c2, (u32(0) - low) & 0xFFFF, rng)
+            act = c1 | c2
+            b = jnp.where(act, hi >> 24, u32(0))
+            code = jnp.where(act, (code << 8) | b, code)
+            hi = jnp.where(act, (hi << 8) | (lo >> 24), hi)
+            lo = jnp.where(act, lo << 8, lo)
+            nb = jnp.where(act, nb - 1, nb)
+            low = jnp.where(act, low << 8, low)
+            rng = jnp.where(act, rng << 8, rng)
+        c1 = (low ^ (low + rng)) < (1 << 24)
+        c2 = (~c1) & (rng < (1 << 16))
+        ovf = ovf | (c1 | c2).astype(jnp.uint8)
+        out_ref[pl.ds(t, 1), :] = sym.astype(jnp.uint8)[None, :]
+        return low, rng, code, hi, lo, nb, wpos, ovf
+
+    carry = (low, rng, code, hi, lo, nb, wpos, ovf)
+    carry = jax.lax.fori_loop(0, n_symbols, step, carry)
+    ovf_ref[0, :] = carry[-1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_symbols", "renorm_iters",
+                                    "interpret"))
+def decode_streams_pallas(payload: jax.Array, lens: jax.Array,
+                          cdf: jax.Array, n_symbols: int,
+                          renorm_iters: int = RENORM_ITERS,
+                          interpret: bool = False):
+    """Pallas-TPU version of :func:`decode_streams_device` (same
+    arguments and bit-exact contract; see module docstring)."""
+    S, stride = payload.shape
+    if stride % 4:
+        raise ValueError(f"stride {stride} must be a multiple of 4")
+    nwords = stride // 4
+    lens = lens.astype(jnp.int32)
+    # prep (plain XLA, fused): big-endian words with the zero-feed past
+    # lens, transposed to [nwords, S]; cdf to [33, S] i32 with the
+    # implied 65536 upper bound at row 32
+    pay = payload.reshape(S, nwords, 4).astype(jnp.uint32)
+    valid = (jnp.arange(stride).reshape(1, nwords, 4) <
+             lens[:, None, None])
+    pay = jnp.where(valid, pay, 0)
+    pay32 = ((pay[..., 0] << 24) | (pay[..., 1] << 16) |
+             (pay[..., 2] << 8) | pay[..., 3]).T  # [nwords, S]
+    cdf_i = jnp.concatenate(
+        [cdf[:, :32].astype(jnp.int32),
+         jnp.full((S, 1), 65536, jnp.int32)], axis=1).T  # [33, S]
+
+    tile = min(STREAM_TILE, _round_up_pallas(S))
+    Sp = -(-S // tile) * tile
+    if Sp != S:
+        pay32 = jnp.pad(pay32, ((0, 0), (0, Sp - S)))
+        cdf_i = jnp.pad(cdf_i, ((0, 0), (0, Sp - S)))
+        lens = jnp.pad(lens, (0, Sp - S))
+    kernel = functools.partial(_decode_tile_kernel, n_symbols=n_symbols,
+                               nwords=nwords,
+                               renorm_iters=renorm_iters)
+    out, ovf = pl.pallas_call(
+        kernel,
+        grid=(Sp // tile,),
+        in_specs=[
+            pl.BlockSpec((nwords, tile), lambda i: (0, i)),
+            pl.BlockSpec((33, tile), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_symbols, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_symbols, Sp), jnp.uint8),
+            jax.ShapeDtypeStruct((1, Sp), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(pay32, cdf_i)
+    return out[:, :S].T, jnp.any(ovf[0, :S] > 0)
+
+
+def _round_up_pallas(s: int) -> int:
+    """Smallest power-of-two-ish tile that covers small stream counts
+    (full STREAM_TILE otherwise)."""
+    t = 128
+    while t < s and t < STREAM_TILE:
+        t *= 2
+    return t

@@ -186,7 +186,8 @@ def test_cachegen_grouping_shrinks_short_chunks(monkeypatch):
     ser = cs.CacheGenSerializer(cfg, meta)
     grouped = ser.to_bytes(blob)
 
-    monkeypatch.setattr(cs, "_group_for", lambda T, C: 1)
+    monkeypatch.setattr(cs, "_group_for",
+                    lambda T, C, min_g=1: 1)
     ungrouped = cs.CacheGenSerializer(cfg, meta).to_bytes(blob)
     monkeypatch.undo()
 

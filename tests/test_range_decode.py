@@ -187,3 +187,23 @@ def test_overflow_falls_back_to_host_decoder(monkeypatch):
     out = np.asarray(finish_host_chunks([de.from_bytes_host(bs)],
                                         mode="on"))
     assert np.array_equal(out, truth)
+
+
+@pytest.mark.parametrize("kind", ["gauss", "skewed"])
+def test_pallas_decoder_bit_exact(kind):
+    """The Pallas tile kernel (lane-packed transposed layout) must be
+    bit-exact with the C++ coder, like the lax.scan version."""
+    from lmcache_tpu.ops.range_decode import decode_streams_pallas
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    S, T = 200, 192  # non-multiple of the tile: exercises padding
+    if kind == "gauss":
+        sym = np.clip(np.round(rng.normal(15, 2, (S, T))), 0,
+                      30).astype(np.uint8)
+    else:
+        sym = np.minimum(rng.geometric(0.4, (S, T)) - 1, 30).astype(
+            np.uint8)
+    payload, lens, cdf, padded = _encode_and_pad(sym)
+    out, ovf = decode_streams_pallas(padded, lens.astype(np.int32),
+                                     cdf, T, interpret=True)
+    assert not bool(np.asarray(ovf))
+    assert np.array_equal(np.asarray(out), sym)

@@ -88,9 +88,12 @@ def make_sequence(rng: np.random.Generator, total: int,
 
 
 def make_eval_tokens(rng: np.random.Generator, total: int) -> np.ndarray:
-    """Evaluation sequence with retrieval distance ~total/2 (= ~ctx/2
-    for the eval_quality split of ctx + small continuation)."""
-    return make_sequence(rng, total, total // 2)
+    """Evaluation sequence with retrieval distance ~total/2, capped at
+    the R=2048 top of the trained rotary band (the r4 curriculum
+    extends the mechanism to 2048; at ctx-8192 evals the scored
+    positions then retrieve from 2048 tokens away — still deep inside
+    the codec-round-tripped blob, whose full 8k tokens are cached)."""
+    return make_sequence(rng, total, min(total // 2, 2048))
 
 
 def make_train_batch(rng: np.random.Generator, batch: int, total: int,
