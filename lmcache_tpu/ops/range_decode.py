@@ -362,3 +362,29 @@ def _round_up_pallas(s: int) -> int:
     while t < s and t < STREAM_TILE:
         t *= 2
     return t
+
+
+_pallas_broken = False
+
+
+def decode_streams_best(payload, lens, cdf, n_symbols: int,
+                        renorm_iters: int = RENORM_ITERS):
+    """Best available device decoder: the Pallas tile kernel on real
+    TPUs (lane-packed, VMEM-resident state), the lax.scan lowering
+    everywhere else (CPU test platforms). A Mosaic lowering failure
+    demotes to the scan version once per process — exactness is
+    identical either way."""
+    global _pallas_broken
+    import jax as _jax
+    if not _pallas_broken and _jax.default_backend() == "tpu":
+        try:
+            return decode_streams_pallas(payload, lens, cdf, n_symbols,
+                                         renorm_iters=renorm_iters)
+        except Exception:  # pragma: no cover - lowering regression
+            import logging
+            logging.getLogger(__name__).exception(
+                "Pallas range decoder failed to lower; using the "
+                "lax.scan decoder from now on")
+            _pallas_broken = True
+    return decode_streams_device(payload, lens, cdf, n_symbols,
+                                 renorm_iters=renorm_iters)

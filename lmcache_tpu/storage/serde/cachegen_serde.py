@@ -404,7 +404,8 @@ def finish_host_chunks(chunks: List[CacheGenHostChunk],
     overflow_dev = None
     if use_device:
         from lmcache_tpu.codec.range_coder import pad_streams
-        from lmcache_tpu.ops.range_decode import decode_streams_device
+        from lmcache_tpu.ops.range_decode import (
+            decode_streams_best as decode_streams_device)
         payload = b"".join(bytes(c.payload) for c in chunks)
         # stride: one guaranteed zero pad byte, rounded to u32 words,
         # bucketed to multiples of 16 to bound recompilation
