@@ -215,17 +215,33 @@ STREAM_TILE = 2048  # streams per program instance ([16, 128] vregs)
 
 def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
                         n_symbols, nwords, renorm_iters):
-    """One stream tile: pay_ref u32 [nwords, tile] (big-endian words,
-    zeroed past each stream's length by the wrapper), cdf_ref i32
-    [33, tile]; out_ref u8 [n_symbols, tile], ovf_ref u8 [1, tile].
-    Reads past nwords return 0 via the one-hot select, matching the
-    C decoder's zero feed."""
-    tile = pay_ref.shape[1]
+    """One tile of 8*SB streams: pay_ref u32 [nwords, 8, SB] (big-endian
+    words, zeroed past each stream's length by the wrapper), cdf_ref
+    i32 [33, 8, SB]; out_ref i32 [ceil(n/4), 8, SB] (4 packed symbols
+    per word), ovf_ref i32 [1, 8, SB].
+
+    Layout notes (all probed on v5e Mosaic):
+    - state lives as [8, SB] blocks — full (8, 128) vregs. [1, tile]
+      row vectors lower to a 1-sublane layout that both wastes 7/8 of
+      the VPU and hits an "invalid relayout" compile error when mixed
+      with (8,128)-tiled operands;
+    - no u32 vector compares (sign-flip to i32: ``ult``), no u32
+      division (f32 with an exact integer fix-up: ``u32_div16``), no
+      u32<->f32 casts (via i32 + sign compensation), no dynamic-row
+      int8 stores (4 symbols pack into one i32 row) — each of these is
+      rejected or miscompiled by Mosaic when written directly.
+    """
+    _, SUB, SB = pay_ref.shape
     u32 = jnp.uint32
 
+    def ult(a, b):
+        # unsigned < via the sign-flip order isomorphism
+        return ((a ^ u32(0x80000000)).astype(jnp.int32) <
+                (b ^ u32(0x80000000)).astype(jnp.int32))
+
     def load_word(wpos):
-        # one-hot select-sum over the word rows; rows are fully packed
-        w = jnp.zeros((tile,), u32)
+        # one-hot select over the word planes; rows are fully packed
+        w = jnp.zeros((SUB, SB), u32)
         for j in range(nwords):
             w = jnp.where(wpos == j, pay_ref[j], w)
         return w
@@ -244,41 +260,71 @@ def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
         wpos = jnp.where(need, wpos + 1, wpos)
         return hi, lo, nb, wpos
 
-    hi = jnp.zeros((tile,), u32)
-    lo = jnp.zeros((tile,), u32)
-    nb = jnp.zeros((tile,), jnp.int32)
-    wpos = jnp.zeros((tile,), jnp.int32)
+    # all carried state derives from ref data rather than constants:
+    # Mosaic infers a REPLICATED layout for constant loop carries and
+    # then cannot relayout the computed back-edge value into it
+    # ("Invalid relayout ... replicated in destination"), so a
+    # data-dependent zero seeds every register
+    zero_u = pay_ref[0] ^ pay_ref[0]  # u32 zeros, not constant-foldable
+    zero_i = zero_u.astype(jnp.int32)
+    hi = zero_u
+    lo = zero_u
+    nb = zero_i
+    wpos = zero_i
     hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
     hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
-    code, hi, lo, nb = hi, lo, jnp.zeros((tile,), u32), nb - 4
-    low = jnp.zeros((tile,), u32)
-    rng = jnp.full((tile,), 0xFFFFFFFF, u32)
-    ovf = jnp.zeros((tile,), jnp.uint8)
+    code, hi, lo, nb = hi, lo, zero_u, nb - 4
+    low = zero_u
+    rng = ~zero_u  # 0xFFFFFFFF
+    ovf = zero_i
+    symword = zero_i
+
+    def u32_div16(num, d):
+        """floor(num / d) for u32 num and 16-bit d, clamped to 65535 —
+        through f32 (24-bit mantissa) with an exact integer fix-up
+        ladder. When num >= d * 2^16 the true quotient exceeds the
+        clamp and 65535 is returned directly; otherwise q < 2^16,
+        where the f32 path's total error is < 0.01 and one +-1
+        correction (two applied for margin) restores the exact floor.
+        """
+        big = ~ult(num >> 16, d)
+        ni = num.astype(jnp.int32)
+        nf = ni.astype(jnp.float32) + jnp.where(
+            ni < 0, jnp.float32(4294967296.0), jnp.float32(0.0))
+        qf = jnp.floor(nf / d.astype(jnp.int32).astype(jnp.float32))
+        q = jnp.minimum(qf, 65535.0).astype(jnp.int32).astype(u32)
+        for _ in range(2):
+            q = jnp.where(~big & ult(num, q * d), q - 1, q)
+        for _ in range(2):
+            q = jnp.where(~big & ~ult(num, q * d)
+                          & ~ult(num - q * d, d), q + 1, q)
+        return jnp.where(big, u32(65535), q)
 
     def step(t, carry):
-        low, rng, code, hi, lo, nb, wpos, ovf = carry
+        low, rng, code, hi, lo, nb, wpos, ovf, symword = carry
         hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
         rng = rng >> 16
-        target = jnp.minimum((code - low) // jnp.maximum(rng, 1),
-                             u32(65535)).astype(jnp.int32)
+        target = u32_div16(code - low,
+                           jnp.where(rng == 0, u32(1),
+                                     rng)).astype(jnp.int32)
         # symbol + cf ascending, cfn descending — every op on a fully
-        # packed [tile] vector
-        sym = jnp.zeros((tile,), jnp.int32)
-        cf = jnp.zeros((tile,), jnp.int32)
+        # packed [8, SB] block
+        sym = jnp.zeros((SUB, SB), jnp.int32)
+        cf = jnp.zeros((SUB, SB), jnp.int32)
         for j in range(1, 32):
             cj = cdf_ref[j]
             le = cj <= target
             sym = sym + le.astype(jnp.int32)
             cf = jnp.where(le, cj, cf)
-        cfn = jnp.full((tile,), 65536, jnp.int32)
+        cfn = jnp.full((SUB, SB), 65536, jnp.int32)
         for j in range(31, 0, -1):
             cj = cdf_ref[j]
             cfn = jnp.where(cj > target, cj, cfn)
         low = low + cf.astype(u32) * rng
         rng = rng * (cfn - cf).astype(u32)
         for _ in range(renorm_iters):
-            c1 = (low ^ (low + rng)) < (1 << 24)
-            c2 = (~c1) & (rng < (1 << 16))
+            c1 = ult(low ^ (low + rng), u32(1 << 24))
+            c2 = (~c1) & ult(rng, u32(1 << 16))
             rng = jnp.where(c2, (u32(0) - low) & 0xFFFF, rng)
             act = c1 | c2
             b = jnp.where(act, hi >> 24, u32(0))
@@ -288,15 +334,21 @@ def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
             nb = jnp.where(act, nb - 1, nb)
             low = jnp.where(act, low << 8, low)
             rng = jnp.where(act, rng << 8, rng)
-        c1 = (low ^ (low + rng)) < (1 << 24)
-        c2 = (~c1) & (rng < (1 << 16))
-        ovf = ovf | (c1 | c2).astype(jnp.uint8)
-        out_ref[pl.ds(t, 1), :] = sym.astype(jnp.uint8)[None, :]
-        return low, rng, code, hi, lo, nb, wpos, ovf
+        c1 = ult(low ^ (low + rng), u32(1 << 24))
+        c2 = (~c1) & ult(rng, u32(1 << 16))
+        ovf = ovf | (c1 | c2).astype(jnp.int32)
+        symword = symword | (sym << (8 * (t % 4)))
 
-    carry = (low, rng, code, hi, lo, nb, wpos, ovf)
-    carry = jax.lax.fori_loop(0, n_symbols, step, carry)
-    ovf_ref[0, :] = carry[-1]
+        @pl.when(t % 4 == 3)
+        def _():
+            out_ref[pl.ds(t // 4, 1)] = symword[None]
+        symword = jnp.where(t % 4 == 3, 0, symword)
+        return low, rng, code, hi, lo, nb, wpos, ovf, symword
+
+    carry = (low, rng, code, hi, lo, nb, wpos, ovf, symword)
+    n_pad = -(-n_symbols // 4) * 4  # decode a few spare symbols so the
+    carry = jax.lax.fori_loop(0, n_pad, step, carry)  # last word lands
+    ovf_ref[0:1] = carry[7][None]
 
 
 @functools.partial(jax.jit,
@@ -327,38 +379,47 @@ def decode_streams_pallas(payload: jax.Array, lens: jax.Array,
          jnp.full((S, 1), 65536, jnp.int32)], axis=1).T  # [33, S]
 
     tile = min(STREAM_TILE, _round_up_pallas(S))
+    SB = tile // 8  # streams per sublane row; blocks are [8, SB]
     Sp = -(-S // tile) * tile
     if Sp != S:
         pay32 = jnp.pad(pay32, ((0, 0), (0, Sp - S)))
         cdf_i = jnp.pad(cdf_i, ((0, 0), (0, Sp - S)))
-        lens = jnp.pad(lens, (0, Sp - S))
+    R8 = Sp // SB  # total sublane rows across tiles
+    pay32 = pay32.reshape(nwords, R8, SB)
+    cdf_i = cdf_i.reshape(33, R8, SB)
     kernel = functools.partial(_decode_tile_kernel, n_symbols=n_symbols,
                                nwords=nwords,
                                renorm_iters=renorm_iters)
+    n_rows = -(-n_symbols // 4)  # 4 packed symbols per i32 row
     out, ovf = pl.pallas_call(
         kernel,
         grid=(Sp // tile,),
         in_specs=[
-            pl.BlockSpec((nwords, tile), lambda i: (0, i)),
-            pl.BlockSpec((33, tile), lambda i: (0, i)),
+            pl.BlockSpec((nwords, 8, SB), lambda i: (0, i, 0)),
+            pl.BlockSpec((33, 8, SB), lambda i: (0, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((n_symbols, tile), lambda i: (0, i)),
-            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((n_rows, 8, SB), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, 8, SB), lambda i: (0, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_symbols, Sp), jnp.uint8),
-            jax.ShapeDtypeStruct((1, Sp), jnp.uint8),
+            jax.ShapeDtypeStruct((n_rows, R8, SB), jnp.int32),
+            jax.ShapeDtypeStruct((1, R8, SB), jnp.int32),
         ],
         interpret=interpret,
     )(pay32, cdf_i)
-    return out[:, :S].T, jnp.any(ovf[0, :S] > 0)
+    # unpack the little-endian 4-symbol words -> [S, n_symbols]
+    sym8 = jax.lax.bitcast_convert_type(out, jnp.uint8)  # [rows,R8,SB,4]
+    sym8 = sym8.transpose(1, 2, 0, 3).reshape(Sp, n_rows * 4)
+    ovf_any = jnp.any(ovf.reshape(-1)[:]) if S == Sp else jnp.any(
+        ovf.reshape(1, Sp)[0, :S] != 0)
+    return sym8[:S, :n_symbols], ovf_any
 
 
 def _round_up_pallas(s: int) -> int:
     """Smallest power-of-two-ish tile that covers small stream counts
-    (full STREAM_TILE otherwise)."""
-    t = 128
+    (full STREAM_TILE otherwise); at least 8 sublane rows of 128."""
+    t = 1024
     while t < s and t < STREAM_TILE:
         t *= 2
     return t
@@ -369,14 +430,23 @@ _pallas_broken = False
 
 def decode_streams_best(payload, lens, cdf, n_symbols: int,
                         renorm_iters: int = RENORM_ITERS):
-    """Best available device decoder: the Pallas tile kernel on real
-    TPUs (lane-packed, VMEM-resident state), the lax.scan lowering
-    everywhere else (CPU test platforms). A Mosaic lowering failure
-    demotes to the scan version once per process — exactness is
-    identical either way."""
+    """Best available device decoder. Today that is the lax.scan
+    lowering everywhere: the Pallas tile kernel is bit-exact (tests)
+    and every one of its constructs compiles in isolation, but the
+    full combination still trips a Mosaic "invalid relayout ...
+    replicated in destination" layout-inference bug on v5e (probed
+    r4: per-construct workarounds for u32 compares / u32 division /
+    u32<->f32 casts / int8 dynamic stores / constant loop carries all
+    land, see _decode_tile_kernel docstring). Set
+    LMCACHE_TPU_PALLAS_DECODE=1 to opt in; a lowering failure demotes
+    to the scan version once per process — exactness is identical
+    either way."""
     global _pallas_broken
+    import os as _os
+
     import jax as _jax
-    if not _pallas_broken and _jax.default_backend() == "tpu":
+    if (not _pallas_broken and _jax.default_backend() == "tpu"
+            and _os.environ.get("LMCACHE_TPU_PALLAS_DECODE") == "1"):
         try:
             return decode_streams_pallas(payload, lens, cdf, n_symbols,
                                          renorm_iters=renorm_iters)
