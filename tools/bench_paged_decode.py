@@ -84,6 +84,62 @@ def bench_dense(args):
               f"({best['grid']/best['dma']:.2f}x)")
 
 
+def bench_int8(args):
+    """Int8 paged decode: grid vs manual-DMA with the round-4 FUSED
+    coalesced-group compute (one packed dot + one softmax update per
+    super-page, like bf16 — VERDICT r3 next #5), against the bf16 DMA
+    kernel as the 1.1x-parity target."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmcache_tpu.ops.paged_attention import (
+        paged_attention_dma, quantized_paged_attention,
+        quantized_paged_attention_dma)
+
+    B, H, Hkv, D = args.batch, 32, 8, 128
+    rng = np.random.default_rng(0)
+    print(f"int8 paged decode, 7B geometry B={B} H={H} Hkv={Hkv} D={D} "
+          f"live={args.live} "
+          f"({'fragmented' if args.fragmented else 'sequential'} tables)")
+    for page in (64, 128):
+        NP = args.live // page
+        P = B * NP + 1
+        ks = jnp.asarray(rng.integers(-127, 127, (P, Hkv, page, D)),
+                         jnp.int8)
+        vs = jnp.asarray(rng.integers(-127, 127, (P, Hkv, page, D)),
+                         jnp.int8)
+        ksc = jnp.asarray(rng.random((P, page)) * 0.02 + 0.01,
+                          jnp.float32)
+        vsc = jnp.asarray(rng.random((P, page)) * 0.02 + 0.01,
+                          jnp.float32)
+        kb = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
+                         jnp.bfloat16)
+        vb = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
+                         jnp.bfloat16)
+        pt = jnp.asarray(_table(B, NP, P, args.fragmented, rng), jnp.int32)
+        q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.bfloat16)
+        q_off = jnp.full((B,), args.live - 1, jnp.int32)
+        kv_len = jnp.full((B,), args.live, jnp.int32)
+
+        def call_q(impl):
+            f = jax.jit(lambda q, k, v, kc, vc, pt, o, l: impl(
+                q, k, v, kc, vc, pt, o, l)[0, 0, :1, :1])
+            return lambda: f(q, ks, vs, ksc, vsc, pt, q_off, kv_len)
+
+        f16 = jax.jit(lambda q, k, v, pt, o, l: paged_attention_dma(
+            q, k, v, pt, o, l)[0, 0, :1, :1])
+        best = _interleaved_best({
+            "grid-int8": call_q(quantized_paged_attention),
+            "dma-int8": call_q(quantized_paged_attention_dma),
+            "dma-bf16": (lambda: f16(q, kb, vb, pt, q_off, kv_len)),
+        })
+        print(f"  page={page:4d}: grid-int8 "
+              f"{best['grid-int8']*1e3:6.2f} ms   "
+              f"dma-int8 {best['dma-int8']*1e3:6.2f} ms   "
+              f"dma-bf16 {best['dma-bf16']*1e3:6.2f} ms   "
+              f"(int8/bf16 {best['dma-int8']/best['dma-bf16']:.2f}x)")
+
+
 def bench_latent(args):
     import jax
     import jax.numpy as jnp
@@ -127,6 +183,7 @@ def bench_latent(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--latent", action="store_true")
+    ap.add_argument("--int8", action="store_true")
     ap.add_argument("--fragmented", action="store_true",
                     help="shuffled page tables (coalescing fallback)")
     ap.add_argument("--live", type=int, default=16384)
@@ -134,7 +191,9 @@ def main():
     args = ap.parse_args()
     if args.batch is None:
         args.batch = 4 if args.latent else 8
-    (bench_latent if args.latent else bench_dense)(args)
+    fn = (bench_latent if args.latent
+          else bench_int8 if args.int8 else bench_dense)
+    fn(args)
     return 0
 
 
