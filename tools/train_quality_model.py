@@ -76,6 +76,19 @@ CURRICULUM = (
 
 # MLA (latent) model: eval geometry is ctx 2048 (R 1056); same staging
 # with an all-band replay tail.
+# Finetune stage (--init): the mechanism exists; extend it to LONG
+# ABSOLUTE POSITIONS. Rotary attention is relative on paper but does
+# not length-extrapolate in practice (measured: tail-64 accuracy at
+# R=2048 falls 100% -> 69% -> 0% at T = 4160/5120/6144 on the
+# checkpoint trained to T=4096) — the standard PI/NTK motivation.
+# Long-T shapes dominate, every shorter band stays replayed.
+CURRICULUM_FINETUNE = (
+    (1.0, ((8256, 2048), (6144, 1536), (2112, 1056), (8256, 2048),
+           (4096, 2048), (256, 32), (6144, 2048), (512, 128),
+           (8256, 2048), (1024, 512), (2560, 1280), (8256, 2048),
+           (5120, 2048), (1536, 768), (8256, 2048), (6144, 3072))),
+)
+
 CURRICULUM_MLA = (
     (0.25, ((256, 8), (256, 8), (256, 16), (256, 32), (256, 64),
             (256, 8))),
@@ -99,7 +112,7 @@ def shape_for_step(step: int, total: int, curriculum):
     return curriculum[-1][1][0]
 
 
-def batch_for(T: int, base: int) -> int:
+def batch_for(T: int, base: int, family: str = "llama") -> int:
     """Shrink the batch as T grows; DOUBLE it at short T — formation
     needs vocabulary coverage per step, and a T=256 R=8 batch touches
     only 8 distinct base tokens per row.
@@ -108,6 +121,13 @@ def batch_for(T: int, base: int) -> int:
     remat recompute) dominate HBM: scale B with 1/T^2 anchored at the
     measured-good (T=2560, B=25) point — the linear rule OOM'd the 16G
     chip at the long stage-6 shapes."""
+    if family == "mla":
+        # mla.forward has no remat flag: backward keeps the [B,H,T,T]
+        # score intermediates, so scale B with 1/T^2 from the measured
+        # (512, 64) anchor (B=32 at T=1024 OOM'd the 16G chip)
+        if T <= 512:
+            return base * 2
+        return max(2, min(base, int(17e6 / (T * T))))
     if T <= 512:
         return base * 2
     b = max(4, min(base, (base * 2048) // T))
@@ -124,13 +144,18 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--init", default=None,
+                    help="checkpoint to resume from (switches to the "
+                         "long-position finetune curriculum)")
     args = ap.parse_args()
     if args.steps is None:
-        args.steps = 5600 if args.family == "llama" else 2200
+        args.steps = (1400 if args.init else
+                      5600 if args.family == "llama" else 2200)
     if args.out is None:
         args.out = (qc.CKPT_PATH if args.family == "llama"
                     else qc.MLA_CKPT_PATH)
-    curriculum = (CURRICULUM if args.family == "llama"
+    curriculum = (CURRICULUM_FINETUNE if args.init
+                  else CURRICULUM if args.family == "llama"
                   else CURRICULUM_MLA)
 
     import jax
@@ -143,7 +168,11 @@ def main():
     else:
         from lmcache_tpu.models import mla as family
         cfg = qc.quality_mla_config(dtype="float32")
-    params = family.init_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.init:
+        params = qc.load_params("float32", args.init)
+        args.lr = min(args.lr, 5e-4)  # mechanism formed; extend gently
+    else:
+        params = family.init_params(jax.random.PRNGKey(args.seed), cfg)
 
     warmup = min(200, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
@@ -187,7 +216,7 @@ def main():
     t0 = time.time()
     for step in range(args.steps):
         T, R = shape_for_step(step, args.steps, curriculum)
-        B = batch_for(T, args.batch)
+        B = batch_for(T, args.batch, args.family)
         tokens = jnp.asarray(qc.make_train_batch(rng, B, T, R))
         mask = jnp.asarray(qc.target_mask(T, R))
         params, opt_state, loss, acc = train_step(params, opt_state,
@@ -207,7 +236,8 @@ def main():
     # the f16 storage round trip — the bands the committed test guards
     eval_rng = np.random.default_rng(12345)
     bands = ([(256, 32), (512, 128), (1024, 512), (2112, 1056),
-              (2560, 1280), (4096, 2048)] if args.family == "llama"
+              (2560, 1280), (4096, 2048), (6144, 3072), (8256, 2048)]
+             if args.family == "llama"
              else [(256, 32), (512, 128), (1024, 512), (2112, 1056)])
     p16 = qc.load_params("float32", args.out)
     for T, R in bands:
