@@ -89,6 +89,11 @@ CURRICULUM_FINETUNE = (
            (5120, 2048), (1536, 768), (8256, 2048), (6144, 3072))),
 )
 
+CURRICULUM_FINETUNE_MLA = (
+    (1.0, ((2112, 1056), (2112, 1056), (2560, 1280), (256, 32),
+           (2112, 1056), (512, 128), (2112, 1056), (1024, 512))),
+)
+
 CURRICULUM_MLA = (
     (0.25, ((256, 8), (256, 8), (256, 16), (256, 32), (256, 64),
             (256, 8))),
@@ -149,14 +154,18 @@ def main():
                          "long-position finetune curriculum)")
     args = ap.parse_args()
     if args.steps is None:
-        args.steps = (1400 if args.init else
-                      5600 if args.family == "llama" else 2200)
+        args.steps = (1400 if args.init and args.family == "llama"
+                      else 1000 if args.init
+                      else 5600 if args.family == "llama" else 2200)
     if args.out is None:
         args.out = (qc.CKPT_PATH if args.family == "llama"
                     else qc.MLA_CKPT_PATH)
-    curriculum = (CURRICULUM_FINETUNE if args.init
-                  else CURRICULUM if args.family == "llama"
-                  else CURRICULUM_MLA)
+    if args.init:
+        curriculum = (CURRICULUM_FINETUNE if args.family == "llama"
+                      else CURRICULUM_FINETUNE_MLA)
+    else:
+        curriculum = (CURRICULUM if args.family == "llama"
+                      else CURRICULUM_MLA)
 
     import jax
     import jax.numpy as jnp
