@@ -376,3 +376,166 @@ def flash_attention(
         interpret=interpret,
     )(*scalar_args, *inputs)
     return out[:, :, :T].transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Manual-DMA prefill kernel (round 4)
+# ---------------------------------------------------------------------------
+# The grid-formulated kernel above tops out at ~46% MFU on a full 8k
+# causal prefill, and ablation (tools/bench_prefill_mfu.py) shows the
+# softmax VPU chain is NOT the bound: with the whole softmax removed it
+# still only reaches ~52% — the remaining gap is per-grid-step overhead
+# and DMA waits at block boundaries (2048 program instances at this
+# geometry). This kernel removes both the same way the paged decode
+# kernels do: ONE program per (batch, kv-head, q-block) that streams
+# the causally-live K/V blocks itself through an N_BUF-deep
+# double-buffered async-copy pipeline, with the online softmax riding
+# a fori_loop.
+
+_N_BUF_PF = 4
+
+
+def _flash_dma_kernel(q_off_ref, kv_len_ref, q_ref, k_hbm, v_hbm, o_ref,
+                      *, block_q, block_k, group, scale):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    iq = pl.program_id(2)
+    D = q_ref.shape[-1]
+
+    q = q_ref[0].reshape(group * block_q, D)
+    qpos_max = q_off_ref[b] + (iq + 1) * block_q - 1
+    # causally-live k blocks for this q block (same skip as the grid
+    # kernel's index pinning, but here the loop simply ends)
+    live_kb = jnp.minimum(
+        (kv_len_ref[b] + block_k - 1) // block_k,
+        qpos_max // block_k + 1)
+
+    def scoped(k_scr, v_scr, sem):
+        def start(slot, g):
+            pltpu.make_async_copy(
+                k_hbm.at[b, h, pl.ds(g * block_k, block_k)],
+                k_scr.at[slot], sem.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                v_hbm.at[b, h, pl.ds(g * block_k, block_k)],
+                v_scr.at[slot], sem.at[slot, 1]).start()
+
+        def wait(slot, g):
+            pltpu.make_async_copy(
+                k_hbm.at[b, h, pl.ds(g * block_k, block_k)],
+                k_scr.at[slot], sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[b, h, pl.ds(g * block_k, block_k)],
+                v_scr.at[slot], sem.at[slot, 1]).wait()
+
+        for w in range(_N_BUF_PF - 1):
+            @pl.when(w < live_kb)
+            def _(w=w):
+                start(w, w)
+
+        def body(g, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(g, _N_BUF_PF)
+
+            @pl.when(g + _N_BUF_PF - 1 < live_kb)
+            def _():
+                start(jax.lax.rem(g + _N_BUF_PF - 1, _N_BUF_PF),
+                      g + _N_BUF_PF - 1)
+
+            wait(slot, g)
+            kk = k_scr[slot]
+            vv = v_scr[slot]
+            s = jax.lax.dot_general(
+                q, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            qpos = (q_off_ref[b] + iq * block_q
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (group * block_q, 1), 0) % block_q)
+            kpos = g * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
+            s = jnp.where(mask, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+            acc = alpha * acc + jax.lax.dot_general(
+                p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        rows = group * block_q
+        m0 = jnp.full((rows, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((rows, 1), jnp.float32)
+        a0 = jnp.zeros((rows, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, live_kb, body, (m0, l0, a0))
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc / safe)
+        o_ref[0] = out.reshape(group, block_q, -1).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        k_scr=pltpu.VMEM((_N_BUF_PF, block_k, q_ref.shape[-1]),
+                         k_hbm.dtype),
+        v_scr=pltpu.VMEM((_N_BUF_PF, block_k, q_ref.shape[-1]),
+                         v_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((_N_BUF_PF, 2)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret",
+                              "sm_scale"))
+def flash_attention_dma(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # [B, H_kv, S, D] (head-major)
+    v: jax.Array,
+    q_offset: jax.Array,
+    kv_len: jax.Array,
+    *,
+    block_q: Optional[int] = None,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """:func:`flash_attention` (kv_head_major, causal, windowless) with
+    kernel-driven K/V streaming. Numerically identical to the grid
+    kernel; used for large prefills where the grid formulation's
+    per-step overhead binds (docs/kernels.md round-4 table)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, H, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    if H % Hkv:
+        raise ValueError(f"H ({H}) must be a multiple of H_kv ({Hkv})")
+    if S % block_k:
+        raise ValueError(f"S ({S}) must be a multiple of block_k "
+                         f"({block_k}) for the DMA prefill kernel")
+    group = H // Hkv
+    scale = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
+    if block_q is None:
+        block_q = min(max(1024 // group, 64), 256)
+    bq = min(block_q, _round_up(T, 16))
+    Tp = _round_up(T, bq)
+    qh = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    grid = (B, Hkv, Tp // bq)
+    kernel = functools.partial(_flash_dma_kernel, block_q=bq,
+                               block_k=block_k, group=group, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, group, bq, D),
+                             lambda b, h, iq, *_: (b, h, iq, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, group, bq, D),
+                                   lambda b, h, iq, *_: (b, h, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), qh, k, v)
+    return out[:, :, :T].transpose(0, 2, 1, 3)

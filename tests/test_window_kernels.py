@@ -324,3 +324,25 @@ def test_chunked_paged_matches_reference():
                                      window_kind="chunked")
     np.testing.assert_allclose(np.asarray(qout), np.asarray(qref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_flash_dma_prefill_matches_grid_kernel():
+    """The round-4 manual-DMA prefill kernel (ops/attention.py
+    flash_attention_dma) must match the grid kernel bit-for-bit in
+    f32 — it is kept as a measured baseline for windowless prefill."""
+    import numpy as np
+
+    from lmcache_tpu.ops.attention import (flash_attention,
+                                           flash_attention_dma)
+    rng = np.random.default_rng(3)
+    B, Hkv, G, D, S, T = 2, 2, 2, 64, 512, 300
+    H = Hkv * G
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    off = jnp.asarray([100, 0], jnp.int32)
+    kvl = jnp.asarray([100 + T, T], jnp.int32)
+    ref = flash_attention(q, k, v, off, kvl, kv_head_major=True)
+    got = flash_attention_dma(q, k, v, off, kvl, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
