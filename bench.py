@@ -41,13 +41,24 @@ def _load_prev_round():
     try:
         with open(files[-1]) as f:
             rec = json.load(f)
-        line = rec.get("tail", "").strip().splitlines()[-1]
-        prev = json.loads(line)
-        out[prev["metric"]] = prev.get("value")
-        for m in prev.get("metrics", []):
-            if m.get("value"):
-                out[m["metric"]] = m["value"]
-    except (OSError, ValueError, KeyError, IndexError) as e:
+        tail = rec.get("tail", "")
+        try:
+            prev = json.loads(tail.strip().splitlines()[-1])
+            out[prev["metric"]] = prev.get("value")
+            for m in prev.get("metrics", []):
+                if m.get("value"):
+                    out[m["metric"]] = m["value"]
+        except (ValueError, KeyError, IndexError):
+            # the driver's 'tail' is the LAST bytes of output and can
+            # be front-truncated mid-JSON; per-metric regex recovery
+            # (each object prints "metric" before "value" and any
+            # nested detail braces only after it)
+            import re
+            for name, val in re.findall(
+                    r'"metric":\s*"([^"]+)"[^{}]*?"value":\s*'
+                    r'(-?[0-9.eE+]+)', tail):
+                out[name] = float(val)
+    except (OSError, ValueError) as e:
         out["_prev_parse_error"] = str(e)  # never break the bench
     return out
 

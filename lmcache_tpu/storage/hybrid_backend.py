@@ -121,6 +121,15 @@ class LMCHybridBackend(LMCBackendInterface):
         self.local.put(key, blob, blocking=True)
         self.remote.put(key, blob, blocking=blocking)
 
+    def batched_put(self, keys_and_blobs, blocking: bool = True) -> int:
+        # write-through with the remote side batched (one serde batch
+        # for all chunks — see LMCRemoteBackend.batched_put)
+        pairs = list(keys_and_blobs)
+        for key, blob in pairs:
+            self.local.put(key, blob, blocking=True)
+        self.remote.batched_put(pairs, blocking=blocking)
+        return len(pairs)
+
     @_lmcache_trace_annotate
     def get(self, key: CacheEngineKey):
         blob = self.local.get(key)

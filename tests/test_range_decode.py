@@ -207,3 +207,32 @@ def test_pallas_decoder_bit_exact(kind):
                                      cdf, T, interpret=True)
     assert not bool(np.asarray(ovf))
     assert np.array_equal(np.asarray(out), sym)
+
+
+def test_to_bytes_batch_byte_identical():
+    """Batched store-path encoding must produce byte-identical
+    containers to per-chunk to_bytes (same quant, same CDFs, same
+    coder), including the odd-shaped trailing chunk."""
+    ser, de = _serde()
+    rng = np.random.default_rng(8)
+    blobs = ([rng.standard_normal((4, 2, 128, 2, 16)).astype(np.float32)
+              for _ in range(5)]
+             + [rng.standard_normal((4, 2, 50, 2, 16)).astype(
+                 np.float32)])
+    batch = ser.to_bytes_batch(blobs)
+    singles = [ser.to_bytes(b) for b in blobs]
+    for i, (a, b) in enumerate(zip(batch, singles)):
+        assert a == b, f"chunk {i} differs"
+
+
+def test_to_bytes_batch_latent_and_hf():
+    rng = np.random.default_rng(9)
+    ser, _ = _serde()
+    lats = [rng.standard_normal((4, 1, 128, 1, 64)).astype(np.float32)
+            for _ in range(3)]
+    assert ser.to_bytes_batch(lats) == [ser.to_bytes(b) for b in lats]
+    ser_hf, _ = _serde("huggingface")
+    hfs = [rng.standard_normal((4, 2, 2, 128, 16)).astype(np.float32)
+           for _ in range(3)]
+    assert ser_hf.to_bytes_batch(hfs) == [ser_hf.to_bytes(b)
+                                          for b in hfs]
