@@ -172,3 +172,53 @@ def test_paged_int8_matches_dense_int8(setup):
     assert r2.output_tokens == r1.output_tokens
     assert eng.allocator.num_free == 31
     ce.close()
+
+
+def test_paged_remote_cachegen_grouped_inject(setup, lmserver_process):
+    """Paged _stream_inject with still-entropy-coded host chunks from a
+    real cache server: groups decode in one device program and scatter
+    onto page-aligned positions; the injected pages must match the
+    plain retrieve() blob exactly (same bar as the dense engine's
+    grouped-inject test)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(0, cfg.vocab_size, 80, dtype=np.int32)
+
+    def make_ce(pipelined):
+        c = LMCacheEngineConfig.from_defaults(
+            local_device=None, remote_url=lmserver_process.url,
+            remote_serde="cachegen", chunk_size=32,
+            pipelined_backend=pipelined)
+        c = dataclasses.replace(c, cachegen_device_decode="on")
+        return LMCacheEngine(
+            c, LMCacheEngineMetadata(model_name="tiny-paged-grouped",
+                                     world_size=1, worker_id=0,
+                                     fmt="vllm", dtype=cfg.dtype))
+
+    seed = make_ce(False)
+    cache = llama.new_kv_cache(cfg, 1, 128)
+    _, cache = llama.forward(params, cfg, jnp.asarray(prompt)[None],
+                             jnp.zeros(1, jnp.int32), cache,
+                             use_pallas=False)
+    seed.store(prompt, llama.cache_to_blob(cache, 0, len(prompt)),
+               blocking=True)
+    seed.close()
+
+    ce = make_ce(True)
+    try:
+        eng = PagedServingEngine(cfg, params, max_batch=2, max_seq=256,
+                                 num_pages=32, page_size=16,
+                                 cache_engine=ce, use_pallas=False)
+        eng.inject_group_chunks = 2  # force group-flush boundaries
+        [r] = eng.generate([prompt], SamplingParams(max_new_tokens=2))
+        # 80 prompt tokens: pages cover 80 (page 16 | chunk 32); the
+        # engine recomputes >= 1 token, so 64 land from cache
+        # (the last aligned page boundary below 79)
+        assert r.cached_prefix_len == 64, r.cached_prefix_len
+        assert len(r.output_tokens) == 2
+    finally:
+        ce.close()
