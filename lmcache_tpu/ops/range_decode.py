@@ -49,6 +49,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 KTOP = jnp.uint32(1 << 24)
 KBOT = jnp.uint32(1 << 16)
@@ -207,24 +208,35 @@ def decode_streams_device(payload: jax.Array, lens: jax.Array,
 # ([33, tile], [nwords, tile], state vectors [tile]) so each VPU op is
 # fully packed, and the whole per-stream state lives in registers/VMEM
 # across the symbol loop instead of riding an HBM-carried scan state.
-# Measured on v5e (180k streams x 256 symbols): 169 ms (scan) -> see
-# docs/kernels.md round-4 table.
+# Measured on v5e, 256 symbols/stream (r5, docs/kernels.md):
+#   180k streams:  scan 169.9 ms -> pallas 28.7 ms (5.9x)
+#   720k streams:  scan 626.5 ms -> pallas 52.1 ms (12.0x, 3.54 GSym/s)
 
 STREAM_TILE = 2048  # streams per program instance ([16, 128] vregs)
 
 
-def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
+def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, st_ref, *,
                         n_symbols, nwords, renorm_iters):
     """One tile of 8*SB streams: pay_ref u32 [nwords, 8, SB] (big-endian
     words, zeroed past each stream's length by the wrapper), cdf_ref
     i32 [33, 8, SB]; out_ref i32 [ceil(n/4), 8, SB] (4 packed symbols
-    per word), ovf_ref i32 [1, 8, SB].
+    per word), ovf_ref i32 [1, 8, SB]; st_ref u32 [9, 8, SB] VMEM
+    scratch holding the per-stream decoder state between loop trips.
 
     Layout notes (all probed on v5e Mosaic):
     - state lives as [8, SB] blocks — full (8, 128) vregs. [1, tile]
       row vectors lower to a 1-sublane layout that both wastes 7/8 of
       the VPU and hits an "invalid relayout" compile error when mixed
       with (8,128)-tiled operands;
+    - ALL cross-iteration state flows through the VMEM scratch ref,
+      never through ``fori_loop`` carries: Mosaic's layout inference
+      assigns replicated layouts to constant-seeded vector carries and
+      then cannot relayout the computed back-edge into them ("Invalid
+      relayout ... replicated in destination" — still reproduced on
+      r5 even with data-derived zero seeding). Loads/stores to scratch
+      always have concrete tiled layouts, so the back-edge constraint
+      disappears; the loop body reads the 9 planes once, decodes 4
+      symbols (one packed output word), and writes the planes back;
     - no u32 vector compares (sign-flip to i32: ``ult``), no u32
       division (f32 with an exact integer fix-up: ``u32_div16``), no
       u32<->f32 casts (via i32 + sign compensation), no dynamic-row
@@ -260,11 +272,9 @@ def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
         wpos = jnp.where(need, wpos + 1, wpos)
         return hi, lo, nb, wpos
 
-    # all carried state derives from ref data rather than constants:
-    # Mosaic infers a REPLICATED layout for constant loop carries and
-    # then cannot relayout the computed back-edge value into it
-    # ("Invalid relayout ... replicated in destination"), so a
-    # data-dependent zero seeds every register
+    # initial state derives from ref data rather than constants and is
+    # parked in the VMEM scratch planes; every later read/write goes
+    # through st_ref so no vector value ever rides a loop back-edge
     zero_u = pay_ref[0] ^ pay_ref[0]  # u32 zeros, not constant-foldable
     zero_i = zero_u.astype(jnp.int32)
     hi = zero_u
@@ -274,10 +284,14 @@ def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
     hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
     hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
     code, hi, lo, nb = hi, lo, zero_u, nb - 4
-    low = zero_u
-    rng = ~zero_u  # 0xFFFFFFFF
-    ovf = zero_i
-    symword = zero_i
+    st_ref[0] = zero_u  # low
+    st_ref[1] = ~zero_u  # rng = 0xFFFFFFFF
+    st_ref[2] = code
+    st_ref[3] = hi
+    st_ref[4] = lo
+    st_ref[5] = nb.astype(u32)
+    st_ref[6] = wpos.astype(u32)
+    st_ref[7] = zero_u  # ovf
 
     def u32_div16(num, d):
         """floor(num / d) for u32 num and 16-bit d, clamped to 65535 —
@@ -300,55 +314,69 @@ def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, *,
                           & ~ult(num - q * d, d), q + 1, q)
         return jnp.where(big, u32(65535), q)
 
-    def step(t, carry):
-        low, rng, code, hi, lo, nb, wpos, ovf, symword = carry
-        hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
-        rng = rng >> 16
-        target = u32_div16(code - low,
-                           jnp.where(rng == 0, u32(1),
-                                     rng)).astype(jnp.int32)
-        # symbol + cf ascending, cfn descending — every op on a fully
-        # packed [8, SB] block
-        sym = jnp.zeros((SUB, SB), jnp.int32)
-        cf = jnp.zeros((SUB, SB), jnp.int32)
-        for j in range(1, 32):
-            cj = cdf_ref[j]
-            le = cj <= target
-            sym = sym + le.astype(jnp.int32)
-            cf = jnp.where(le, cj, cf)
-        cfn = jnp.full((SUB, SB), 65536, jnp.int32)
-        for j in range(31, 0, -1):
-            cj = cdf_ref[j]
-            cfn = jnp.where(cj > target, cj, cfn)
-        low = low + cf.astype(u32) * rng
-        rng = rng * (cfn - cf).astype(u32)
-        for _ in range(renorm_iters):
+    def word_step(w, acc):
+        """Decode 4 symbols (one packed output word): state planes are
+        read once, the 4-symbol body runs in registers, planes are
+        written back once. The only loop carry is the dummy scalar."""
+        low = st_ref[0]
+        rng = st_ref[1]
+        code = st_ref[2]
+        hi = st_ref[3]
+        lo = st_ref[4]
+        nb = st_ref[5].astype(jnp.int32)
+        wpos = st_ref[6].astype(jnp.int32)
+        ovf = st_ref[7]
+        symword = (low ^ low).astype(jnp.int32)
+        for j in range(4):
+            hi, lo, nb, wpos = refill(hi, lo, nb, wpos)
+            rng = rng >> 16
+            target = u32_div16(code - low,
+                               jnp.where(rng == 0, u32(1),
+                                         rng)).astype(jnp.int32)
+            # symbol + cf ascending, cfn descending — every op on a
+            # fully packed [8, SB] block
+            sym = (symword ^ symword)
+            cf = (symword ^ symword)
+            for i in range(1, 32):
+                ci = cdf_ref[i]
+                le = ci <= target
+                sym = sym + le.astype(jnp.int32)
+                cf = jnp.where(le, ci, cf)
+            cfn = jnp.full((SUB, SB), 65536, jnp.int32)
+            for i in range(31, 0, -1):
+                ci = cdf_ref[i]
+                cfn = jnp.where(ci > target, ci, cfn)
+            low = low + cf.astype(u32) * rng
+            rng = rng * (cfn - cf).astype(u32)
+            for _ in range(renorm_iters):
+                c1 = ult(low ^ (low + rng), u32(1 << 24))
+                c2 = (~c1) & ult(rng, u32(1 << 16))
+                rng = jnp.where(c2, (u32(0) - low) & 0xFFFF, rng)
+                act = c1 | c2
+                b = jnp.where(act, hi >> 24, u32(0))
+                code = jnp.where(act, (code << 8) | b, code)
+                hi = jnp.where(act, (hi << 8) | (lo >> 24), hi)
+                lo = jnp.where(act, lo << 8, lo)
+                nb = jnp.where(act, nb - 1, nb)
+                low = jnp.where(act, low << 8, low)
+                rng = jnp.where(act, rng << 8, rng)
             c1 = ult(low ^ (low + rng), u32(1 << 24))
             c2 = (~c1) & ult(rng, u32(1 << 16))
-            rng = jnp.where(c2, (u32(0) - low) & 0xFFFF, rng)
-            act = c1 | c2
-            b = jnp.where(act, hi >> 24, u32(0))
-            code = jnp.where(act, (code << 8) | b, code)
-            hi = jnp.where(act, (hi << 8) | (lo >> 24), hi)
-            lo = jnp.where(act, lo << 8, lo)
-            nb = jnp.where(act, nb - 1, nb)
-            low = jnp.where(act, low << 8, low)
-            rng = jnp.where(act, rng << 8, rng)
-        c1 = ult(low ^ (low + rng), u32(1 << 24))
-        c2 = (~c1) & ult(rng, u32(1 << 16))
-        ovf = ovf | (c1 | c2).astype(jnp.int32)
-        symword = symword | (sym << (8 * (t % 4)))
+            ovf = ovf | (c1 | c2).astype(u32)
+            symword = symword | (sym << (8 * j))
+        out_ref[pl.ds(w, 1)] = symword[None]
+        st_ref[0] = low
+        st_ref[1] = rng
+        st_ref[2] = code
+        st_ref[3] = hi
+        st_ref[4] = lo
+        st_ref[5] = nb.astype(u32)
+        st_ref[6] = wpos.astype(u32)
+        st_ref[7] = ovf
+        return acc
 
-        @pl.when(t % 4 == 3)
-        def _():
-            out_ref[pl.ds(t // 4, 1)] = symword[None]
-        symword = jnp.where(t % 4 == 3, 0, symword)
-        return low, rng, code, hi, lo, nb, wpos, ovf, symword
-
-    carry = (low, rng, code, hi, lo, nb, wpos, ovf, symword)
-    n_pad = -(-n_symbols // 4) * 4  # decode a few spare symbols so the
-    carry = jax.lax.fori_loop(0, n_pad, step, carry)  # last word lands
-    ovf_ref[0:1] = carry[7][None]
+    jax.lax.fori_loop(0, -(-n_symbols // 4), word_step, 0)
+    ovf_ref[0:1] = st_ref[7].astype(jnp.int32)[None]
 
 
 @functools.partial(jax.jit,
@@ -406,6 +434,7 @@ def decode_streams_pallas(payload: jax.Array, lens: jax.Array,
             jax.ShapeDtypeStruct((n_rows, R8, SB), jnp.int32),
             jax.ShapeDtypeStruct((1, R8, SB), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((8, 8, SB), jnp.uint32)],
         interpret=interpret,
     )(pay32, cdf_i)
     # unpack the little-endian 4-symbol words -> [S, n_symbols]
@@ -430,23 +459,20 @@ _pallas_broken = False
 
 def decode_streams_best(payload, lens, cdf, n_symbols: int,
                         renorm_iters: int = RENORM_ITERS):
-    """Best available device decoder. Today that is the lax.scan
-    lowering everywhere: the Pallas tile kernel is bit-exact (tests)
-    and every one of its constructs compiles in isolation, but the
-    full combination still trips a Mosaic "invalid relayout ...
-    replicated in destination" layout-inference bug on v5e (probed
-    r4: per-construct workarounds for u32 compares / u32 division /
-    u32<->f32 casts / int8 dynamic stores / constant loop carries all
-    land, see _decode_tile_kernel docstring). Set
-    LMCACHE_TPU_PALLAS_DECODE=1 to opt in; a lowering failure demotes
-    to the scan version once per process — exactness is identical
-    either way."""
+    """Best available device decoder: the Pallas tile kernel on TPU
+    (r5: the VMEM-scratch restructure cleared the last Mosaic layout
+    failure — all cross-iteration state lives in scratch planes, so
+    loop carries never need vector layouts; measured 12x the scan
+    lowering at 720k streams, 52 ms vs 627 ms), the lax.scan lowering
+    everywhere else. Set LMCACHE_TPU_PALLAS_DECODE=0 to force the scan
+    version; a lowering failure demotes to it once per process —
+    exactness is identical either way (bit-exact suite covers both)."""
     global _pallas_broken
     import os as _os
 
     import jax as _jax
     if (not _pallas_broken and _jax.default_backend() == "tpu"
-            and _os.environ.get("LMCACHE_TPU_PALLAS_DECODE") == "1"):
+            and _os.environ.get("LMCACHE_TPU_PALLAS_DECODE") != "0"):
         try:
             return decode_streams_pallas(payload, lens, cdf, n_symbols,
                                          renorm_iters=renorm_iters)
