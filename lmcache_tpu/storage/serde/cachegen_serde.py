@@ -306,11 +306,11 @@ class CacheGenHostChunk:
 
     __slots__ = ("payload", "lens", "cdf", "maxes", "key_bins",
                  "value_bins", "L", "H", "D", "T", "g", "N", "fmt",
-                 "dtype", "tok_start", "tok_stop")
+                 "dtype", "tok_start", "tok_stop", "decode_mode")
 
     def __init__(self, payload, lens, cdf, maxes, key_bins, value_bins,
                  L, H, D, T, g, N, fmt, dtype,
-                 tok_start=0, tok_stop=None):
+                 tok_start=0, tok_stop=None, decode_mode="auto"):
         self.payload = payload  # bytes/memoryview: all streams, K then V
         self.lens = lens  # u32 [N, L*Cg]
         self.cdf = cdf  # u16 [N, L*Cg, 33]
@@ -323,6 +323,10 @@ class CacheGenHostChunk:
         self.dtype = dtype
         self.tok_start = tok_start
         self.tok_stop = T if tok_stop is None else tok_stop
+        # where this chunk's entropy decode should run ("auto"/"on"/
+        # "off") — stamped from config by the deserializer that parsed
+        # it so grouped decodes honor cachegen_device_decode
+        self.decode_mode = decode_mode
 
     @property
     def num_tokens(self) -> int:
@@ -340,7 +344,8 @@ class CacheGenHostChunk:
             self.payload, self.lens, self.cdf, self.maxes, self.key_bins,
             self.value_bins, self.L, self.H, self.D, self.T, self.g,
             self.N, self.fmt, self.dtype,
-            tok_start=self.tok_start + start, tok_stop=new_stop)
+            tok_start=self.tok_start + start, tok_stop=new_stop,
+            decode_mode=self.decode_mode)
         if out.num_tokens < 0:
             raise ValueError("slice_tokens out of range")
         return out
@@ -353,6 +358,7 @@ class CacheGenHostChunk:
         """kv.concat_blobs hook: batch-decode a run of host chunks
         (mixed shapes allowed — the trailing chunk may be short)."""
         return finish_mixed_chunks(list(chunks))
+
 
 
 def _parse_container(bs) -> CacheGenHostChunk:
@@ -454,12 +460,17 @@ def _device_decode_enabled(mode: str) -> bool:
 
 
 def finish_host_chunks(chunks: List[CacheGenHostChunk],
-                       mode: str = "auto", defer_overflow: bool = False):
+                       mode: Optional[str] = None,
+                       defer_overflow: bool = False):
     """Decode + dequantize a token-consecutive run of host chunks with
     ONE accelerator program (and, in device mode, one transfer of the
     still-entropy-coded payload).
 
     mode:
+        None     — use the mode stamped on the chunks (the engine
+                   config's ``cachegen_device_decode``, carried by
+                   ``from_bytes_host``; "auto" for chunks built
+                   outside a deserializer);
         "auto"   — decode on the accelerator when it is a TPU, else on
                    host (C++ range coder);
         "on"/"off" — force device / host entropy decode.
@@ -477,6 +488,8 @@ def finish_host_chunks(chunks: List[CacheGenHostChunk],
     import jax.numpy as jnp
 
     first = chunks[0]
+    if mode is None:
+        mode = first.decode_mode
     L, H, D, T, g, N = (first.L, first.H, first.D, first.T, first.g,
                         first.N)
     for c in chunks[1:]:
@@ -547,7 +560,7 @@ def finish_host_chunks(chunks: List[CacheGenHostChunk],
 
 
 def finish_mixed_chunks(chunks: List[CacheGenHostChunk],
-                        mode: str = "auto"):
+                        mode: Optional[str] = None):
     """Batch-decode chunks of possibly mixed shapes: consecutive
     same-shape runs are each one device program, concatenated after
     (the trailing chunk of a store is the only shape break in
@@ -583,8 +596,12 @@ class CacheGenDeserializer(Deserializer):
         No device dispatch and no entropy decode happen here — the
         storage pipeline calls this from its deserialize worker and the
         consumer batches many chunks into one device program via
-        :func:`finish_host_chunks`."""
-        return _parse_container(bs)
+        :func:`finish_host_chunks`. The configured
+        ``cachegen_device_decode`` is stamped on the chunk so every
+        downstream finisher honors it by default."""
+        chunk = _parse_container(bs)
+        chunk.decode_mode = self.decode_mode
+        return chunk
 
     @_lmcache_trace_annotate
     def from_bytes(self, bs):

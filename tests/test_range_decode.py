@@ -209,6 +209,39 @@ def test_pallas_decoder_bit_exact(kind):
     assert np.array_equal(np.asarray(out), sym)
 
 
+@pytest.mark.parametrize("mode,expect_device", [("on", True),
+                                                ("off", False)])
+def test_config_mode_is_stamped_and_honored(mode, expect_device,
+                                            monkeypatch):
+    """cachegen_device_decode from the engine CONFIG must control the
+    grouped finisher path (serving _stream_inject -> finish_host_chunks
+    with no explicit mode), not just the single-chunk from_bytes —
+    'off' is the documented escape hatch if the device decoder
+    misbehaves (ADVICE r4 medium)."""
+    import lmcache_tpu.ops.range_decode as rd
+    calls = {"n": 0}
+    real = rd.decode_streams_best
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(rd, "decode_streams_best", counting)
+    ser, de = _serde(mode=mode)
+    rng = np.random.default_rng(11)
+    blobs = [rng.standard_normal((4, 2, 128, 2, 16)).astype(np.float32)
+             for _ in range(3)]
+    chunks = [de.from_bytes_host(ser.to_bytes(b)) for b in blobs]
+    assert all(c.decode_mode == mode for c in chunks)
+    assert chunks[0].slice_tokens(5, 100).decode_mode == mode
+    # no explicit mode: the grouped path must pick up the stamp
+    out = np.asarray(finish_host_chunks(chunks))
+    assert (calls["n"] > 0) == expect_device
+    truth = np.concatenate([np.asarray(de.from_bytes(ser.to_bytes(b)))
+                            for b in blobs], axis=2)
+    assert np.array_equal(out, truth)
+
+
 def test_to_bytes_batch_byte_identical():
     """Batched store-path encoding must produce byte-identical
     containers to per-chunk to_bytes (same quant, same CDFs, same
