@@ -84,6 +84,13 @@ class LMCacheEngineConfig:
     # bit-exact with the C++ coder and falls back on its overflow
     # guard).
     cachegen_device_decode: str = "auto"
+    # Where CacheGen containers entropy-ENCODE on store (the mirror
+    # knob): "auto" runs the Pallas range encoder on TPU so only coded
+    # bits (~2-4 bits/value) cross device->host instead of 8-bit
+    # symbols; "on"/"off" force device/host. Byte-identical containers
+    # either way (ops/range_encode.py; stride or renormalization
+    # overflow falls back to the C++ coder).
+    cachegen_device_encode: str = "auto"
 
     @staticmethod
     def from_defaults(**kwargs) -> "LMCacheEngineConfig":
@@ -154,6 +161,8 @@ class LMCacheEngineConfig:
             hybrid_prefetch_bytes=raw.get("hybrid_prefetch_bytes", None),
             hybrid_prefetch_async=raw.get("hybrid_prefetch_async", False),
             cachegen_device_decode=raw.get("cachegen_device_decode",
+                                           "auto"),
+            cachegen_device_encode=raw.get("cachegen_device_encode",
                                            "auto"),
         )
 

@@ -75,6 +75,29 @@ def _group_for(T: int, C: int, min_g: int = 1) -> int:
     return g
 
 
+def _fetch_chunked(dev, target_bytes: float = 8e6) -> np.ndarray:
+    """Download a device array in ~8 MB slices along axis 0: single
+    transfers past ~16 MB collapse to a fraction of the link's
+    small-transfer rate (measured on both hops of this environment's
+    tunnel; PCIe hosts are merely indifferent)."""
+    n = dev.shape[0]
+    row_bytes = max(1, dev.nbytes // max(n, 1))
+    step = max(1, int(target_bytes // row_bytes))
+    if step >= n:
+        return np.asarray(dev)
+    return np.concatenate(
+        [np.asarray(dev[i:i + step]) for i in range(0, n, step)])
+
+
+def _device_encode_enabled(mode: str) -> bool:
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def _to_token_major(blob, fmt: str):
     """[L, N, ...] blob -> N halves as [L, T, C] plus (H, D).
 
@@ -109,6 +132,46 @@ class CacheGenSerializer(Serializer):
         self.model_name = metadata.model_name
         self._cg_override = cachegen_config
         self._cg_cache = {}
+        self.encode_mode = getattr(config, "cachegen_device_encode",
+                                   "auto") or "auto"
+
+    def _encode_streams(self, sym_dev, cdf_dev):
+        """Entropy-encode [S, T'] quantized streams.
+
+        Device path (TPU, ``cachegen_device_encode``): the Pallas range
+        encoder (ops/range_encode.py) codes on the accelerator and only
+        the coded payload (~2-4 bits/value) + tiny length/CDF tables
+        cross device->host — vs 8 bits/value of raw symbols on the host
+        path. Byte-identical with the C++ coder; an overflowed stride
+        or renormalization bound falls back to the host path (exactness
+        is never at risk). Returns (payload, lens int64, cdf_host).
+        """
+        S, Tp = sym_dev.shape
+        cdf_h = None
+        if _device_encode_enabled(self.encode_mode):
+            from lmcache_tpu.ops.range_encode import (
+                encode_streams_pallas, estimate_stride, words_to_payload)
+            try:
+                cdf_h = _fetch_chunked(cdf_dev)
+                stride = estimate_stride(cdf_h, Tp)
+                words, lens, ovf = encode_streams_pallas(
+                    sym_dev, cdf_dev, stride)
+                if bool(np.asarray(ovf)):
+                    logger.warning(
+                        "Device range encode overflowed stride %d; "
+                        "falling back to the host coder", stride)
+                else:
+                    payload, lens64 = words_to_payload(
+                        _fetch_chunked(words), np.asarray(lens), S)
+                    return payload, lens64, cdf_h
+            except Exception:
+                logger.exception("Device range encode failed; using "
+                                 "the host coder")
+        sym_h = _fetch_chunked(sym_dev)
+        if cdf_h is None:
+            cdf_h = _fetch_chunked(cdf_dev)
+        payload, lens = encode_streams(sym_h, cdf_h)
+        return payload, lens, cdf_h
 
     def _cg(self, num_layers: int) -> CacheGenConfig:
         if (self._cg_override is not None
@@ -171,7 +234,7 @@ class CacheGenSerializer(Serializer):
         bins_per_half = ((key_bins, value_bins) if N == 2
                          else (key_bins,))
 
-        outs = []
+        maxes_parts, cdf_parts, lens_parts, payloads = [], [], [], []
         for x, bins in zip(halves, bins_per_half):
             sym, maxes = quantize(x, bins)
             # [L, T, C] -> [L, C, T] -> group g adjacent channels into one
@@ -179,20 +242,16 @@ class CacheGenSerializer(Serializer):
             # coder emits one g*T-symbol stream per (layer, group)
             sym_g = jnp.transpose(sym, (0, 2, 1)).reshape(L, Cg, g * T)
             cdf = compute_cdf(jnp.transpose(sym_g, (0, 2, 1)))
-            outs.append((np.asarray(sym_g), np.asarray(maxes)[..., 0],
-                         np.asarray(cdf)))
-
-        lens_parts, payloads = [], []
-        for (sym_g, _, cdf) in outs:
-            payload, lens = encode_streams(
+            payload, lens, cdf_h = self._encode_streams(
                 sym_g.reshape(L * Cg, g * T),
                 cdf.reshape(L * Cg, _MAX_BINS + 1))
+            maxes_parts.append(np.asarray(maxes)[..., 0])
+            cdf_parts.append(cdf_h.reshape(L, Cg, _MAX_BINS + 1))
             lens_parts.append(lens.astype(np.uint32))
             payloads.append(payload)
         return self._container(
             L, N, T, H, D, g, cg, str(blob.dtype).encode("ascii"),
-            np.stack([o[1] for o in outs]),
-            np.stack([o[2] for o in outs]),
+            np.stack(maxes_parts), np.stack(cdf_parts),
             np.stack(lens_parts), payloads)
 
     @_lmcache_trace_annotate
@@ -238,20 +297,6 @@ class CacheGenSerializer(Serializer):
         bins_per_half = ((key_bins, value_bins) if N == 2
                          else (key_bins,))
 
-        # fetch device results in ~8 MB chunk-aligned slices: single
-        # transfers past ~16 MB collapse to a fraction of the link's
-        # small-transfer rate (measured on both hops of this
-        # environment's tunnel; PCIe hosts are merely indifferent)
-        per_chunk_bytes = L * C * T
-        step = max(1, int(8e6 // max(per_chunk_bytes, 1)))
-
-        def fetch(dev, lead_rows):
-            rows_per_chunk = lead_rows // n
-            return np.concatenate(
-                [np.asarray(dev[i * rows_per_chunk * step:
-                                (i * step + step) * rows_per_chunk])
-                 for i in range(-(-n // step))])
-
         halves_out = []
         for hi, bins in enumerate(bins_per_half):
             x = stacked[:, :, hi].reshape(n * L, T, C)
@@ -259,12 +304,11 @@ class CacheGenSerializer(Serializer):
             sym_g = jnp.transpose(sym, (0, 2, 1)).reshape(
                 n * L, Cg, g * T)
             cdf = compute_cdf(jnp.transpose(sym_g, (0, 2, 1)))
-            sym_h = fetch(sym_g, n * L)
-            cdf_h = fetch(cdf, n * L)
-            # ONE coder pass over every chunk's streams
-            payload, lens = encode_streams(
-                sym_h.reshape(n * L * Cg, g * T),
-                cdf_h.reshape(n * L * Cg, _MAX_BINS + 1))
+            # ONE coder pass over every chunk's streams (on the TPU
+            # when device encode is enabled, C++ otherwise)
+            payload, lens, cdf_h = self._encode_streams(
+                sym_g.reshape(n * L * Cg, g * T),
+                cdf.reshape(n * L * Cg, _MAX_BINS + 1))
             halves_out.append((
                 np.asarray(maxes)[..., 0].reshape(n, L, T),
                 cdf_h.reshape(n, L, Cg, _MAX_BINS + 1),

@@ -1,0 +1,123 @@
+"""On-device range ENCODER tests: the Pallas store-path kernel must be
+BYTE-IDENTICAL with the C++ range coder — containers built on device
+and on host must be indistinguishable (same bar as the decoder,
+tests/test_range_decode.py)."""
+
+import numpy as np
+import pytest
+
+from lmcache_tpu.codec import range_coder as rc
+from lmcache_tpu.ops.range_encode import (encode_streams_pallas,
+                                          estimate_stride,
+                                          words_to_payload)
+
+pytestmark = pytest.mark.skipif(not rc.codec_available(),
+                                reason="C++ range coder unavailable")
+
+
+def _cdf_for(sym, T):
+    S = sym.shape[0]
+    counts = np.stack([(sym == b).sum(1) for b in range(32)],
+                      -1).astype(np.float64)
+    cdf_f = np.concatenate([np.zeros((S, 1)),
+                            np.cumsum(counts / T, 1)], 1)
+    cdf_i = np.round(cdf_f * (2**16 - 32)).astype(np.int64) + np.arange(33)
+    return (cdf_i % 65536).astype(np.uint16)
+
+
+def _mk(kind, S, T, seed=None):
+    rng = np.random.default_rng(seed if seed is not None
+                                else hash(kind) % 2**31)
+    if kind == "uniform":
+        sym = rng.integers(0, 31, (S, T)).astype(np.uint8)
+    elif kind == "skewed":
+        sym = np.minimum(rng.geometric(0.5, (S, T)) - 1, 30).astype(
+            np.uint8)
+    elif kind == "binary":
+        sym = ((rng.random((S, T)) < 0.01) * 30).astype(np.uint8)
+    elif kind == "extreme":
+        sym = np.zeros((S, T), np.uint8)
+        sym[:, ::97] = 30
+    else:
+        sym = np.clip(np.round(rng.normal(15, 2, (S, T))), 0,
+                      30).astype(np.uint8)
+    return sym, _cdf_for(sym, T)
+
+
+@pytest.mark.parametrize("kind", ["uniform", "skewed", "binary",
+                                  "extreme", "gauss"])
+def test_device_encode_byte_identical(kind):
+    S, T = 96, 256
+    sym, cdf = _mk(kind, S, T)
+    ref_payload, ref_lens = rc.encode_streams(sym, cdf)
+    stride = estimate_stride(cdf, T)
+    words, lens, ovf = encode_streams_pallas(sym, cdf, stride,
+                                             interpret=True)
+    assert not bool(np.asarray(ovf)), f"stride {stride} overflowed"
+    payload, lens64 = words_to_payload(np.asarray(words),
+                                       np.asarray(lens), S)
+    assert np.array_equal(lens64, ref_lens)
+    assert payload == ref_payload
+
+
+def test_non_multiple_tile_and_odd_symbols():
+    """Stream counts off the tile and symbol counts off the 4-pack."""
+    S, T = 200, 190
+    sym, cdf = _mk("gauss", S, T, seed=5)
+    ref_payload, ref_lens = rc.encode_streams(sym, cdf)
+    stride = estimate_stride(cdf, T)
+    words, lens, ovf = encode_streams_pallas(sym, cdf, stride,
+                                             interpret=True)
+    assert not bool(np.asarray(ovf))
+    payload, lens64 = words_to_payload(np.asarray(words),
+                                       np.asarray(lens), S)
+    assert np.array_equal(lens64, ref_lens)
+    assert payload == ref_payload
+
+
+def test_overflow_flag_trips_on_small_stride():
+    S, T = 32, 256
+    sym, cdf = _mk("uniform", S, T, seed=7)
+    _, _, ovf = encode_streams_pallas(sym, cdf, 16, interpret=True)
+    assert bool(np.asarray(ovf))
+
+
+def test_serde_device_encode_container_byte_identical():
+    """A container built with the device encoder must be
+    indistinguishable from a host-coded one — any consumer (including
+    the reference-parity retrieval path) sees identical bytes."""
+    import dataclasses
+
+    from lmcache_tpu.config import (LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+    from lmcache_tpu.storage.serde.cachegen_serde import CacheGenSerializer
+
+    def mk(mode):
+        cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
+        cfg = dataclasses.replace(cfg, cachegen_device_encode=mode)
+        meta = LMCacheEngineMetadata(model_name="lmsys/longchat-7b-16k",
+                                     world_size=1, worker_id=0,
+                                     fmt="vllm", dtype="float32")
+        return CacheGenSerializer(cfg, meta)
+
+    rng = np.random.default_rng(13)
+    blob = rng.standard_normal((4, 2, 64, 2, 16)).astype(np.float32)
+    lat = rng.standard_normal((4, 1, 64, 1, 32)).astype(np.float32)
+    host_ser, dev_ser = mk("off"), mk("on")
+    assert dev_ser.to_bytes(blob) == host_ser.to_bytes(blob)
+    assert dev_ser.to_bytes(lat) == host_ser.to_bytes(lat)
+    # batched store path too (one kernel launch for all chunks)
+    blobs = [rng.standard_normal((4, 2, 64, 2, 16)).astype(np.float32)
+             for _ in range(3)]
+    assert dev_ser.to_bytes_batch(blobs) == host_ser.to_bytes_batch(blobs)
+
+
+def test_estimate_stride_covers_actual():
+    """The entropy-based stride must cover the real coded sizes for
+    every distribution family (the device path depends on this holding
+    in the common case; the flag only guards the tail)."""
+    for kind in ["uniform", "skewed", "binary", "extreme", "gauss"]:
+        sym, cdf = _mk(kind, 64, 256, seed=11)
+        _, lens = rc.encode_streams(sym, cdf)
+        stride = estimate_stride(cdf, 256)
+        assert int(lens.max()) <= stride, (kind, int(lens.max()), stride)
