@@ -415,26 +415,40 @@ def main():
             seed.store(rprompt[:CTX_R], ctx_blob, blocking=True)
             seed.close()
 
-            def ttft_remote(pipelined, reps=2):
-                best = float("inf")
-                for _ in range(reps):
-                    ce = remote_engine(pipelined)
-                    eng_r = ServingEngine(cfg, params, max_batch=1,
-                                          max_seq=TOTAL + 8,
-                                          cache_engine=ce,
-                                          use_pallas=on_tpu)
-                    eng_r.generate(
-                        [np.arange(CHUNK_R + 3, dtype=np.int32)],
-                        SamplingParams(max_new_tokens=1))  # compile
-                    [r] = eng_r.generate(
-                        [rprompt], SamplingParams(max_new_tokens=1))
-                    assert r.cached_prefix_len >= CTX_R - 1
-                    best = min(best, r.ttft_s)
-                    ce.close()
-                return best
+            def ttft_remote_once(pipelined):
+                ce = remote_engine(pipelined)
+                eng_r = ServingEngine(cfg, params, max_batch=1,
+                                      max_seq=TOTAL + 8,
+                                      cache_engine=ce,
+                                      use_pallas=on_tpu)
+                eng_r.generate(
+                    [np.arange(CHUNK_R + 3, dtype=np.int32)],
+                    SamplingParams(max_new_tokens=1))  # compile
+                [r] = eng_r.generate(
+                    [rprompt], SamplingParams(max_new_tokens=1))
+                assert r.cached_prefix_len >= CTX_R - 1
+                ce.close()
+                return r.ttft_s
 
-            t_streamed = ttft_remote(True)
-            t_oneshot = ttft_remote(False, reps=1)
+            def ttft_remote(pipelined, reps=3, max_reps=6):
+                """Repeat until the two best agree within 10% (the
+                kernel-bench stability policy, VERDICT r4 next #3):
+                successive rounds differed 3x when a single tunnel-
+                weather event could own the whole measurement."""
+                vals = [ttft_remote_once(pipelined)]
+                while len(vals) < max_reps:
+                    if len(vals) >= reps:
+                        a, b = sorted(vals)[:2]
+                        if b / a < 1.10:
+                            break
+                    vals.append(ttft_remote_once(pipelined))
+                return vals
+
+            streamed_vals = ttft_remote(True)
+            t_streamed = min(streamed_vals)
+            t_streamed_med = sorted(streamed_vals)[
+                len(streamed_vals) // 2]
+            t_oneshot = ttft_remote_once(False)
 
             # -- stage decomposition (one measured pass each) -----------
             stages = {}
@@ -525,6 +539,12 @@ def main():
                     "serde": "cachegen(device-decode)",
                     "ttft_full_prefill_ms": round(t_full * 1e3, 1),
                     "beats_recompute": bool(t_streamed < t_full),
+                    "ttft_reps_ms": [round(v * 1e3, 1)
+                                     for v in streamed_vals],
+                    "ttft_median_ms": round(t_streamed_med * 1e3, 1),
+                    "spread_best2_pct": round(
+                        (sorted(streamed_vals)[1]
+                         / sorted(streamed_vals)[0] - 1) * 100, 1),
                     "ttft_remote_oneshot_ms": round(t_oneshot * 1e3, 1),
                     "overlap_speedup_x": round(t_oneshot / t_streamed,
                                                2),
@@ -542,6 +562,17 @@ def main():
                         up_bytes_trained / t_full / 1e9, 3),
                     "projection_pcie_10gbps_ms": round(
                         max(up_bytes / 10e9 * 1e3,
+                            stages["device_decode_ms"],
+                            stages["fetch_ms"])
+                        + stages["dequant_inject_prefill_ms"], 1),
+                    # weather-normalized cross-round comparable: the
+                    # same pipeline floor model with the upload stage
+                    # recomputed at a FIXED nominal tunnel rate
+                    # (0.1 GB/s) instead of whatever the tunnel did
+                    # this hour — compare THIS across rounds, not the
+                    # raw streamed value
+                    "projection_tunnel_nominal_ms": round(
+                        max(up_bytes / 0.1e9 * 1e3,
                             stages["device_decode_ms"],
                             stages["fetch_ms"])
                         + stages["dequant_inject_prefill_ms"], 1),
@@ -607,11 +638,31 @@ def main():
         t_cd = time.perf_counter() - t0
         coder_bytes = sym_h.size * 2  # bf16-equivalent of the symbols
 
-        # serde end-to-end (host phase + ONE batched device program)
+        # serde end-to-end (host phase + ONE batched device program),
+        # with the embedded tunnel transfers instrumented so a
+        # PCIe-class (10 GB/s) projection exists for the serde path
+        # too, not just TTFT (VERDICT r4 weak #6)
+        import lmcache_tpu.storage.serde.cachegen_serde as _cgs
+        dl_acc = {"bytes": 0, "t": 0.0}
+        _real_fetch = _cgs._fetch_chunked
+
+        def _timed_fetch(dev, target_bytes=8e6):
+            t0 = time.perf_counter()
+            out = _real_fetch(dev, target_bytes)
+            dl_acc["t"] += time.perf_counter() - t0
+            dl_acc["bytes"] += out.nbytes
+            return out
+
         css = [cser.to_bytes(b) for b in cblobs]  # warm (compile)
-        t0 = time.perf_counter()
-        css = [cser.to_bytes(b) for b in cblobs]
-        t_enc = time.perf_counter() - t0
+        _cgs._fetch_chunked = _timed_fetch
+        try:
+            t0 = time.perf_counter()
+            css = [cser.to_bytes(b) for b in cblobs]
+            t_enc = time.perf_counter() - t0
+        finally:
+            _cgs._fetch_chunked = _real_fetch
+        t_enc_pcie = t_enc - dl_acc["t"] + dl_acc["bytes"] / 10e9
+
         hcs2 = [cde.from_bytes_host(b) for b in css]
         out = finish_host_chunks(hcs2)  # warm
         jax.block_until_ready(out)
@@ -620,6 +671,25 @@ def main():
         out = finish_host_chunks(hcs2)
         jax.block_until_ready(out)
         t_dec = time.perf_counter() - t0
+        # decode-side transfer: the grouped padded payload + CDF tables
+        # uploaded inside finish_host_chunks; re-upload the same-sized
+        # buffers NOW (interleaved, same tunnel weather) for the rate
+        t_dec_pcie = None
+        if jax.default_backend() == "tpu":
+            from lmcache_tpu.codec.range_coder import pad_streams
+            lens_all = np.concatenate(
+                [np.asarray(h.lens).reshape(-1) for h in hcs2])
+            pay_all = b"".join(bytes(h.payload) for h in hcs2)
+            stride_all = max(16, (int(lens_all.max()) + 4 + 15)
+                             // 16 * 16)
+            padded_all = pad_streams(pay_all, lens_all, stride_all)
+            up_bytes_dec = (padded_all.nbytes
+                            + sum(np.asarray(h.cdf).nbytes for h in hcs2))
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(padded_all))
+            t_up_now = time.perf_counter() - t0
+            up_t_embedded = up_bytes_dec * (t_up_now / padded_all.nbytes)
+            t_dec_pcie = t_dec - up_t_embedded + up_bytes_dec / 10e9
         metrics.append({
             "metric": "codec_throughput_decode", "unit": "GB/s",
             "value": round(coder_bytes / t_cd / 1e9, 3),
@@ -628,14 +698,24 @@ def main():
                 "coder_encode_gbps": round(coder_bytes / t_ce / 1e9, 3),
                 "serde_e2e_decode_gbps": round(raw_b / t_dec / 1e9, 3),
                 "serde_e2e_encode_gbps": round(raw_b / t_enc / 1e9, 3),
+                "serde_e2e_encode_gbps_pcie_projection": round(
+                    raw_b / t_enc_pcie / 1e9, 3),
+                **({"serde_e2e_decode_gbps_pcie_projection": round(
+                    raw_b / t_dec_pcie / 1e9, 3)}
+                   if t_dec_pcie else {}),
+                "encode_dl_mb": round(dl_acc["bytes"] / 1e6, 1),
                 "geometry": "32Lx8Hx128D bf16, 8x256-token chunks",
                 "ratio_x": round(raw_b / sum(len(b) for b in css), 2),
                 "decode_mode": ("device" if jax.default_backend()
                                 == "tpu" else "host"),
+                "encode_mode": ("device" if jax.default_backend()
+                                == "tpu" else "host"),
                 "note": "value = C++ coder (host cores, the "
                         "torchac_cuda analogue); serde_e2e_* include "
                         "device quant/dequant + transfers, which in "
-                        "this environment ride the axon tunnel"}})
+                        "this environment ride the axon tunnel — the "
+                        "_pcie_projection fields replace the measured "
+                        "tunnel time with the same bytes at 10 GB/s"}})
     except Exception as e:
         metrics.append({"metric": "codec_throughput_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})

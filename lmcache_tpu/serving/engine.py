@@ -681,6 +681,15 @@ class ServingEngine:
         next group is still being fetched. Device-resident chunks (HBM
         tier) inject immediately. Returns the cached tokens injected.
 
+        Pipelining: decode of group k+1 is DISPATCHED before group k is
+        injected — ``flush`` stages the freshly-decoded group and
+        injects the previous one, so the device program stream is
+        decode(k) · decode(k+1) · inject(k) · decode(k+2) · inject(k+1)
+        … and the decode of the next group overlaps the injection (and
+        any suffix work) of the current one instead of serializing
+        behind it. The remote fetch∥deserialize pipeline upstream
+        (retrieve_stream) already overlaps the host phases.
+
         Exactness: groups decoded on-device carry a deferred overflow
         flag (ops/range_decode.py); all flags are checked with one sync
         at the end and any tripped group is re-decoded on host and
@@ -694,6 +703,7 @@ class ServingEngine:
         pending: list = []
         pending_pos = 0
         pending_key = None
+        staged = None  # decoded-but-not-injected (blob, pos)
         deferred: list = []  # (overflow_dev, redo, pos)
 
         def inject_at(blob, pos):
@@ -702,13 +712,15 @@ class ServingEngine:
                 jnp.asarray(pos, jnp.int32))
 
         def flush():
-            nonlocal pending, pending_key
+            nonlocal pending, pending_key, staged
             if not pending:
                 return
             blob, ovf, redo = self._finish_group(pending)
-            inject_at(blob, pending_pos)  # _inject casts to pool dtype
             if ovf is not None:
                 deferred.append((ovf, redo, pending_pos))
+            if staged is not None:
+                inject_at(*staged)  # _inject casts to pool dtype
+            staged = (blob, pending_pos)
             pending = []
             pending_key = None
 
@@ -740,6 +752,8 @@ class ServingEngine:
         finally:
             stream.close()
         flush()
+        if staged is not None:
+            inject_at(*staged)
         if deferred:
             flags = np.asarray(jnp.stack([d[0] for d in deferred]))
             for tripped, (_, redo, pos) in zip(flags, deferred):

@@ -439,6 +439,9 @@ class PagedServingEngine(ServingEngine):
         pending: list = []
         pending_pos = 0
         pending_key = None
+        # decoded-but-not-scattered (blob, pos): group k+1's decode is
+        # dispatched before group k scatters (ServingEngine pipelining)
+        staged = None
         deferred: list = []
 
         def scatter(blob, pos):
@@ -451,13 +454,15 @@ class PagedServingEngine(ServingEngine):
                             jnp.int32))
 
         def flush():
-            nonlocal pending, pending_key
+            nonlocal pending, pending_key, staged
             if not pending:
                 return
             blob, ovf, redo = self._finish_group(pending)
-            scatter(blob, pending_pos)
             if ovf is not None:
                 deferred.append((ovf, redo, pending_pos))
+            if staged is not None:
+                scatter(*staged)
+            staged = (blob, pending_pos)
             pending = []
             pending_key = None
 
@@ -492,6 +497,8 @@ class PagedServingEngine(ServingEngine):
         finally:
             stream.close()
         flush()
+        if staged is not None:
+            scatter(*staged)
         if deferred:
             flags = np.asarray(jnp.stack([d[0] for d in deferred]))
             for tripped, (_, redo, pos) in zip(flags, deferred):
