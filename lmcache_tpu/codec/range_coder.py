@@ -81,6 +81,31 @@ def _smoke_ok(libpath: str) -> bool:
         return False
 
 
+def _lib_digest(libpath: str) -> str:
+    h = hashlib.sha256()
+    with open(libpath, "rb") as f:
+        for blk in iter(lambda: f.read(1 << 20), b""):
+            h.update(blk)
+    return h.hexdigest()
+
+
+def _write_marker(okpath: str, libpath: str) -> None:
+    try:
+        with open(okpath + ".tmp", "w") as f:
+            f.write(_lib_digest(libpath))
+        os.replace(okpath + ".tmp", okpath)
+    except OSError:  # read-only cache dir: probe again next process
+        pass
+
+
+def _marker_valid(okpath: str, libpath: str) -> bool:
+    try:
+        with open(okpath) as f:
+            return f.read().strip() == _lib_digest(libpath)
+    except OSError:
+        return False
+
+
 def _build() -> Optional[ctypes.CDLL]:
     os.makedirs(_LIBDIR, exist_ok=True)
     libpath = _lib_path()
@@ -102,15 +127,27 @@ def _build() -> Optional[ctypes.CDLL]:
                     raise
         os.replace(libpath + ".tmp", libpath)
         fresh = True
-    if not fresh and not _smoke_ok(libpath):
-        # cached lib crashes on this host (e.g. stale pre-ISA-tag cache
-        # on NFS): rebuild with generic flags, which run anywhere
-        logger.warning("Cached range coder failed smoke test; "
-                       "rebuilding without -march=native")
-        generic = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
-                   "-fopenmp", _SRC, "-o", libpath + ".tmp"]
-        subprocess.run(generic, check=True, capture_output=True)
-        os.replace(libpath + ".tmp", libpath)
+    # the smoke probe (a throwaway subprocess) runs once per cached
+    # artifact, not once per process: a sibling .ok marker keyed by the
+    # lib's content hash records a past success on this host (ADVICE r4:
+    # the probe added ~0.5-1 s to every worker's first codec use)
+    okpath = libpath + ".ok"
+    if fresh:
+        _write_marker(okpath, libpath)
+    elif not _marker_valid(okpath, libpath):
+        if _smoke_ok(libpath):
+            _write_marker(okpath, libpath)
+        else:
+            # cached lib crashes on this host (e.g. stale pre-ISA-tag
+            # cache on NFS): rebuild with generic flags, which run
+            # anywhere
+            logger.warning("Cached range coder failed smoke test; "
+                           "rebuilding without -march=native")
+            generic = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+                       "-fopenmp", _SRC, "-o", libpath + ".tmp"]
+            subprocess.run(generic, check=True, capture_output=True)
+            os.replace(libpath + ".tmp", libpath)
+            _write_marker(okpath, libpath)
     lib = ctypes.CDLL(libpath)
     lib.lmtc_encode_streams.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
