@@ -781,6 +781,113 @@ def main():
         metrics.append({"metric": "mla_latent_wire_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})
 
+    # ---- TTFT at 7B-class geometry (VERDICT r4 next #6) -------------------
+    # The headline reuse number rides TinyLlama-1.1B; this row re-runs
+    # full-prefill vs KV-reuse on the largest random-init model one v5e
+    # chip holds in bf16 — llama-2-7b architecture with GQA-8 KV heads
+    # (the exact geometry every kernel table uses: D=128, 32L x 8H_kv),
+    # ~5.9B params / 11.9 GB weights. Context is the largest that fits
+    # beside the weights + HBM-tier cached copy; BASELINE anchor:
+    # longchat-7b-16k.
+    try:
+        if jax.default_backend() != "cpu":
+            import gc
+            try:
+                engine.close()
+            except Exception:
+                pass
+            # drop the 1.1B run's device buffers before the 11.9 GB
+            # 7B weights allocate
+            cache = logits = ctx_blob = engine = None  # noqa: F841
+            gc.collect()
+
+            def run_7b(ctx7: int, suf7: int = 512):
+                cfg7 = llama.LlamaConfig(
+                    vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                    n_kv_heads=8, hidden_dim=11008, max_seq_len=16384)
+                S7 = ctx7 + suf7
+                toks7 = rng.integers(0, cfg7.vocab_size, S7,
+                                     dtype=np.int32)
+                dtoks7 = jnp.asarray(toks7)[None, :]
+                params7 = llama.init_params(jax.random.PRNGKey(1), cfg7)
+                jax.block_until_ready(params7["embed"])
+                nparams = sum(int(np.prod(a.shape)) for a in
+                              jax.tree_util.tree_leaves(params7))
+
+                @jax.jit
+                def pf_full(params, tokens):
+                    c = llama.new_kv_cache(cfg7, 1, S7)
+                    return llama.forward(params, cfg7, tokens,
+                                         jnp.zeros(1, jnp.int32), c,
+                                         last_logit_only=True)
+
+                @jax.jit
+                def pf_suffix(params, tokens, blob):
+                    c = llama.blob_into_cache(
+                        llama.new_kv_cache(cfg7, 1, S7), blob)
+                    return llama.forward(params, cfg7, tokens,
+                                         jnp.full((1,), ctx7, jnp.int32),
+                                         c, last_logit_only=True)
+
+                e7 = LMCacheEngine(
+                    LMCacheEngineConfig.from_defaults(local_device="tpu",
+                                                      remote_url=None),
+                    LMCacheEngineMetadata(model_name="bench-7b",
+                                          world_size=1, worker_id=0,
+                                          fmt="vllm",
+                                          dtype=str(cfg7.dtype)))
+                try:
+                    _, c7 = pf_full(params7, dtoks7)
+                    jax.block_until_ready(c7)
+                    blob7 = llama.cache_to_blob(c7, 0, ctx7)
+                    e7.store(toks7[:ctx7], blob7)
+                    del c7, blob7
+                    gc.collect()
+
+                    def f_full():
+                        return pf_full(params7, dtoks7)[0]
+
+                    def f_reuse():
+                        blob, mask = e7.retrieve(toks7,
+                                                 return_tuple=False)
+                        assert int(mask.sum()) == ctx7
+                        return pf_suffix(params7, dtoks7[:, ctx7:],
+                                         blob)[0]
+
+                    t7f = timeit(f_full, n=2, reps=2)
+                    t7r = timeit(f_reuse, n=2, reps=2)
+                    return t7f, t7r, nparams
+                finally:
+                    e7.close()
+
+            err7 = None
+            for CTX7 in (7680, 3584):
+                try:
+                    t7f, t7r, np7 = run_7b(CTX7)
+                    metrics.append({
+                        "metric": "ttft_speedup_kv_reuse_7b",
+                        "unit": "x", "value": round(t7f / t7r, 3),
+                        "vs_baseline": round(t7f / t7r / 3.0, 3),
+                        "detail": {
+                            "ttft_full_ms": round(t7f * 1e3, 1),
+                            "ttft_reuse_ms": round(t7r * 1e3, 1),
+                            "model": "llama2-7b-arch GQA8 (random-init)",
+                            "params_b": round(np7 / 1e9, 2),
+                            "ctx_tokens": CTX7, "suffix_tokens": 512,
+                            "tier": "hbm",
+                            "note": "largest bf16 fit on one v5e beside "
+                                    "an HBM-tier cached copy; BASELINE "
+                                    "anchor longchat-7b-16k"}})
+                    break
+                except Exception as e:
+                    err7 = e
+                    gc.collect()
+            else:
+                raise err7
+    except Exception as e:
+        metrics.append({"metric": "ttft_7b_error", "unit": "",
+                        "value": 0, "vs_baseline": None, "error": str(e)})
+
     # ---- cross-round regression tracking (VERDICT r3 next #6) ------------
     # read the previous round's driver-captured numbers and attach
     # vs_prev per metric; regressions > 10% carry an explicit note so

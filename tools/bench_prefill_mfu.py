@@ -19,6 +19,13 @@ independent chains:
 - pair:      TWO k-blocks per grid step; both QK dots issue before
              either softmax update, so block j+1's dot can overlap
              block j's VPU work
+- pipelined: (r5, VERDICT r4 next #7) TRUE software pipeline across
+             grid steps: block j's masked scores are stashed in a VMEM
+             scratch; step j+1 issues block j+1's QK dot FIRST and then
+             runs block j's softmax + PV from the stash (its V block
+             DMA lags one grid step), so the VPU softmax chain overlaps
+             the next block's MXU dot instead of serializing between
+             them. One extra drain step per q-block flushes the stash.
 
     python tools/bench_prefill_mfu.py
 """
@@ -34,6 +41,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny geometry numeric check (CPU interpret)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -43,6 +56,8 @@ def main():
                                            _round_up, flash_attention)
 
     B, Hkv, G, D, S = 1, 8, 4, 128, 8192
+    if args.small:
+        B, Hkv, G, D, S = 1, 2, 2, 128, 512
     H = Hkv * G
     rng = np.random.default_rng(4)
     q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
@@ -53,6 +68,8 @@ def main():
     causal_flops = 0.5 * S * S * H * D * 2 * 2
 
     def timeit(fn, trials=8, reps=20):
+        if args.small:
+            trials, reps = 1, 1
         np.asarray(fn())
         best = float("inf")
         for _ in range(trials):
@@ -64,7 +81,7 @@ def main():
         return best
 
     # ---- variant kernels (kv-head-major, causal, no windows) -----------
-    bq, bk = 256, 1024
+    bq, bk = (128, 128) if args.small else (256, 1024)
     Tp = _round_up(S, bq)
     total_kb = _round_up(S, bk) // bk
     scale = 1.0 / D**0.5
@@ -133,6 +150,113 @@ def main():
             out = jnp.where(ll == 0.0, 0.0, acc_scr[:] / safe)
             o_ref[0] = out.reshape(G, bq, -1).astype(o_ref.dtype)
 
+    def pipelined_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
+                         o_ref, m_scr, l_scr, acc_scr, s_scr, *, nkb):
+        b = pl.program_id(0)
+        iq = pl.program_id(2)
+        ik = pl.program_id(3)  # in [0, nkb + 1): one extra drain step
+
+        @pl.when(ik == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        qpos_max = q_off_ref[b] + (iq + 1) * bq - 1
+        qpos = (q_off_ref[b] + iq * bq + jax.lax.broadcasted_iota(
+            jnp.int32, (G * bq, 1), 0) % bq)
+        # ping-pong stash: step ik writes plane ik%2 and consumes the
+        # plane step ik-1 wrote — no read-before-overwrite hazard, no
+        # compiler-inserted 4 MB copy
+        par = jax.lax.rem(ik, 2)
+        live_cur = (ik < nkb) & (ik * bk <= qpos_max)
+        live_prev = (ik >= 1) & ((ik - 1) * bk <= qpos_max)
+
+        # 1) current block's QK dot + mask -> stash (MXU; independent
+        #    of the softmax below, so the scheduler can overlap them)
+        @pl.when(live_cur)
+        def _():
+            q_ = q_ref[0].reshape(G * bq, -1)
+            kk = k_ref[0, 0]
+            s = jax.lax.dot_general(
+                q_, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            kpos = ik * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bk), 1)
+            mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
+            s_scr[pl.ds(par, 1)] = jnp.where(mask, s, _NEG_INF)[None]
+
+        # 2) previous block's softmax + PV from the stash (VPU chain +
+        #    one MXU dot; v_ref's index_map lags one step so vv IS the
+        #    previous block's values)
+        @pl.when(live_prev)
+        def _():
+            s_prev = s_scr[pl.ds(1 - par, 1)][0]
+            vv = v_ref[0, 0]
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(s_prev, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s_prev - m_new)
+            l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1,
+                                                  keepdims=True)
+            acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+                p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[:] = m_new
+
+        @pl.when(ik == nkb)
+        def _():
+            ll = l_scr[:]
+            safe = jnp.where(ll == 0.0, 1.0, ll)
+            out = jnp.where(ll == 0.0, 0.0, acc_scr[:] / safe)
+            o_ref[0] = out.reshape(G, bq, -1).astype(o_ref.dtype)
+
+    def build_pipelined():
+        nkb = total_kb
+        grid = (B, Hkv, Tp // bq, nkb + 1)
+
+        def k_index(b, h, iq, ik, *scalars):
+            q_off = scalars[0]
+            limit = jnp.minimum((q_off[b] + (iq + 1) * bq - 1) // bk,
+                                nkb - 1)
+            return (b, h, jnp.minimum(ik, limit), 0)
+
+        def v_index(b, h, iq, ik, *scalars):
+            q_off = scalars[0]
+            limit = jnp.minimum((q_off[b] + (iq + 1) * bq - 1) // bk,
+                                nkb - 1)
+            return (b, h, jnp.clip(ik - 1, 0, limit), 0)
+
+        kern = functools.partial(pipelined_kernel, nkb=nkb)
+        f = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, G, bq, D),
+                                 lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                    pl.BlockSpec((1, 1, bk, D), k_index),
+                    pl.BlockSpec((1, 1, bk, D), v_index),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, G, bq, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((G * bq, 1), jnp.float32),
+                    pltpu.VMEM((G * bq, 1), jnp.float32),
+                    pltpu.VMEM((G * bq, D), jnp.float32),
+                    pltpu.VMEM((2, G * bq, bk), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), jnp.bfloat16),
+            interpret=jax.default_backend() == "cpu",
+        )
+        qh = q.transpose(0, 2, 1, 3)
+        full_out = jax.jit(lambda: f(zo, sl, qh, k, v))
+        timed = jax.jit(lambda: f(zo, sl, qh, k, v)[0, 0, :1, :1])
+        return timed, full_out
+
     def build(mode, pair=False):
         span = 2 if pair else 1
         nkb = total_kb // span
@@ -165,6 +289,7 @@ def main():
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), jnp.bfloat16),
+            interpret=jax.default_backend() == "cpu",
         )
         qh = q.transpose(0, 2, 1, 3)
         full_out = jax.jit(lambda: f(zo, sl, qh, k, v))
@@ -184,11 +309,13 @@ def main():
                              ("mxu_only", "mxu_only", False),
                              ("no_mask", "no_mask", False),
                              ("pair", "full", True),
-                             ("pair_no_mask", "no_mask", True)]:
+                             ("pair_no_mask", "no_mask", True),
+                             ("pipelined", "pipelined", False)]:
         try:
-            timed, full_out = build(mode, pair)
+            timed, full_out = (build_pipelined() if mode == "pipelined"
+                               else build(mode, pair))
             note = ""
-            if mode == "full":
+            if mode in ("full", "pipelined"):
                 got = np.asarray(full_out().astype(jnp.float32))
                 got = got.transpose(0, 2, 1, 3)[:, :S]
                 err = float(np.max(np.abs(got - ref)))
