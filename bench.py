@@ -766,17 +766,39 @@ def main():
     # ppl-delta criterion binds exactly like the dense gate.
     try:
         from eval_quality import evaluate_mla
-        qm = evaluate_mla(ctx=2048, cont=64, trained=True)
+
+        from lmcache_tpu.codec import CacheGenConfig as _CGC
+        # r5: gate at the SAME north-star geometry as the dense gate
+        # (ctx 8192; the MLA checkpoint's long-position finetune extends
+        # its rotary band like the dense one), plus a bins -> damage
+        # sweep over the latent schedule so the all-32 choice is a
+        # measured point on a curve, not an assertion (VERDICT r4 #5)
+        qm = evaluate_mla(ctx=8192, cont=64, trained=True)
+        Lm = 4
+        sweep_m = {}
+        for bins in (16, 8):
+            cgm = _CGC(key_bins=(bins,) * Lm, value_bins=(bins,) * Lm)
+            qs = evaluate_mla(ctx=8192, cont=64, trained=True,
+                              cachegen_config=cgm)
+            sweep_m[bins] = (qs["ppl_delta"],
+                             qs["compression_vs_bf16_x"])
+        monotone_m = (qm["ppl_delta"] <= sweep_m[16][0] + 1e-6
+                      and sweep_m[16][0] <= sweep_m[8][0] + 1e-6)
         metrics.append({
             "metric": "mla_latent_wire_gate", "unit": "pass",
             "value": 1 if qm["pass"] else 0,
             "vs_baseline": 1 if qm["pass"] else 0,
-            "detail": {k: qm[k] for k in
-                       ("model", "ctx", "latent_dim",
-                        "compression_vs_bf16_x", "logit_kl",
-                        "top1_agreement", "confident_top1_agreement",
-                        "ppl_exact", "ppl_codec", "ppl_delta",
-                        "ppl_gate_binding")}})
+            "detail": {**{k: qm[k] for k in
+                          ("model", "ctx", "latent_dim",
+                           "compression_vs_bf16_x", "logit_kl",
+                           "top1_agreement", "confident_top1_agreement",
+                           "ppl_exact", "ppl_codec", "ppl_delta",
+                           "ppl_gate_binding")},
+                       "sweep_bins16_ppl_delta": sweep_m[16][0],
+                       "sweep_bins16_compression_x": sweep_m[16][1],
+                       "sweep_bins8_ppl_delta": sweep_m[8][0],
+                       "sweep_bins8_compression_x": sweep_m[8][1],
+                       "sweep_monotone": bool(monotone_m)}})
     except Exception as e:
         metrics.append({"metric": "mla_latent_wire_error", "unit": "",
                         "value": 0, "vs_baseline": None, "error": str(e)})

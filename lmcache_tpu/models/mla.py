@@ -795,13 +795,18 @@ def forward(
     use_pallas: bool = False,
     last_logit_only: bool = False,
     mesh=None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One forward step (prefill when T>1, decode when T==1), with the
     latent cache as the only recurrent state. Same contract as
     llama.forward: new tokens' latents are written at ``start_pos[b]``;
     cached-prefix reuse = blob_into_cache + calling with the suffix.
     With ``mesh``, the latent kernel runs under ``shard_map`` with query
-    heads on "model" (see :func:`_shard_latent_attend`)."""
+    heads on "model" (see :func:`_shard_latent_attend`). ``remat``
+    recomputes each layer in the backward pass so training at long T
+    doesn't keep every layer's [B, H, T, T] score intermediates (the
+    long-position finetune of the MLA quality checkpoint needs this,
+    exactly like llama.forward's flag)."""
     B, T = tokens.shape
     positions = start_pos[:, None] + jnp.arange(T)[None, :]
     x = params["embed"][tokens]
@@ -811,17 +816,20 @@ def forward(
     def csl(sl):  # layer-slice of the cache (int8 pools are trees)
         return jax.tree.map(lambda a: a[sl], latent_cache)
 
+    def block(moe):
+        f = _layer_block(cfg, moe, start_pos, positions, use_pallas,
+                         mesh)
+        return jax.checkpoint(f) if remat else f
+
     caches = []
     if kd:
         x, dense_cache = jax.lax.scan(
-            _layer_block(cfg, False, start_pos, positions, use_pallas,
-                         mesh), x,
+            block(False), x,
             (params["dense_layers"], csl(slice(None, kd))))
         caches.append(dense_cache)
     if kd < cfg.n_layers:
         x, moe_cache = jax.lax.scan(
-            _layer_block(cfg, True, start_pos, positions, use_pallas,
-                         mesh), x,
+            block(True), x,
             (params["moe_layers"], csl(slice(kd, None))))
         caches.append(moe_cache)
     new_cache = (caches[0] if len(caches) == 1 else jax.tree.map(

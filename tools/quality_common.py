@@ -61,7 +61,7 @@ def quality_mla_config(dtype: str = "float32"):
     from lmcache_tpu.models import mla
     return mla.MLAConfig(
         vocab_size=VOCAB, dim=256, n_layers=4, n_heads=4,
-        hidden_dim=512, max_seq_len=8192, q_lora_rank=None,
+        hidden_dim=512, max_seq_len=16384, q_lora_rank=None,
         kv_lora_rank=128, qk_nope_head_dim=64, qk_rope_head_dim=32,
         v_head_dim=64, dtype=dtype)
 

@@ -89,9 +89,16 @@ CURRICULUM_FINETUNE = (
            (5120, 2048), (1536, 768), (8256, 2048), (6144, 3072))),
 )
 
+# r5: extend the MLA checkpoint to LONG ABSOLUTE POSITIONS like the
+# dense one (ctx-8192 latent gate, VERDICT r4 next #5) — long-T shapes
+# dominate, every shorter band stays replayed. Needs mla.forward's
+# remat flag: without it the backward keeps all 4 layers' [B, H, T, T]
+# scores and T=8256 OOMs the 16G chip at any batch.
 CURRICULUM_FINETUNE_MLA = (
-    (1.0, ((2112, 1056), (2112, 1056), (2560, 1280), (256, 32),
-           (2112, 1056), (512, 128), (2112, 1056), (1024, 512))),
+    (1.0, ((8256, 2048), (2112, 1056), (6144, 1536), (8256, 2048),
+           (2560, 1280), (256, 32), (6144, 2048), (512, 128),
+           (8256, 2048), (1024, 512), (2112, 1056), (8256, 2048),
+           (5120, 2048), (4096, 2048), (8256, 2048), (6144, 3072))),
 )
 
 CURRICULUM_MLA = (
@@ -127,12 +134,11 @@ def batch_for(T: int, base: int, family: str = "llama") -> int:
     measured-good (T=2560, B=25) point — the linear rule OOM'd the 16G
     chip at the long stage-6 shapes."""
     if family == "mla":
-        # mla.forward has no remat flag: backward keeps the [B,H,T,T]
-        # score intermediates, so scale B with 1/T^2 from the measured
-        # (512, 64) anchor (B=32 at T=1024 OOM'd the 16G chip)
+        # with remat (r5) only ONE layer's [B, H, T, T] f32 scores are
+        # live during backward: B*T^2*32 bytes — keep that under ~4.5G
         if T <= 512:
             return base * 2
-        return max(2, min(base, int(17e6 / (T * T))))
+        return max(2, min(base, int(140e6 / (T * T))))
     if T <= 512:
         return base * 2
     b = max(4, min(base, (base * 2048) // T))
@@ -204,7 +210,7 @@ def main():
             cache = family.new_latent_cache(cfg, B, T)
             logits, _ = family.forward(p, cfg, tokens,
                                        jnp.zeros(B, jnp.int32), cache,
-                                       use_pallas=False)
+                                       use_pallas=False, remat=True)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
         tgt = tokens[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -247,7 +253,8 @@ def main():
     bands = ([(256, 32), (512, 128), (1024, 512), (2112, 1056),
               (2560, 1280), (4096, 2048), (6144, 3072), (8256, 2048)]
              if args.family == "llama"
-             else [(256, 32), (512, 128), (1024, 512), (2112, 1056)])
+             else [(256, 32), (512, 128), (1024, 512), (2112, 1056),
+                   (4096, 2048), (6144, 3072), (8256, 2048)])
     p16 = qc.load_params("float32", args.out)
     for T, R in bands:
         tokens = jnp.asarray(qc.make_sequence(eval_rng, T, R))[None, :]
