@@ -472,7 +472,9 @@ def main():
             from lmcache_tpu.codec.cachegen_config import _MAX_BINS
             from lmcache_tpu.codec.range_coder import (decode_streams,
                                                        pad_streams)
-            from lmcache_tpu.ops.range_decode import decode_streams_device
+            from lmcache_tpu.ops.range_decode import decode_streams_best
+            from lmcache_tpu.storage.serde.cachegen_serde import (
+                _upload_chunked)
             lens = np.concatenate(
                 [np.asarray(h.lens).reshape(-1) for h in hcs])
             cdfs = np.concatenate(
@@ -484,17 +486,18 @@ def main():
             padded = pad_streams(payload, lens, stride)
             stages["pad_ms"] = (time.perf_counter() - t0) * 1e3
             t0 = time.perf_counter()
-            d_pay = jax.device_put(padded)
+            d_pay = _upload_chunked(padded)  # the production upload
             d_lens = jax.device_put(lens.astype(np.int32))
             d_cdf = jax.device_put(cdfs)
             jax.block_until_ready((d_pay, d_lens, d_cdf))
             stages["upload_ms"] = (time.perf_counter() - t0) * 1e3
             up_bytes = padded.nbytes + cdfs.nbytes + lens.nbytes
             gT = hcs[0].g * hcs[0].T
-            sym, _ = decode_streams_device(d_pay, d_lens, d_cdf, gT)
+            # the decoder the serving path actually uses (Pallas on TPU)
+            sym, _ = decode_streams_best(d_pay, d_lens, d_cdf, gT)
             jax.block_until_ready(sym)  # compile/warm
             t0 = time.perf_counter()
-            sym, ovf = decode_streams_device(d_pay, d_lens, d_cdf, gT)
+            sym, ovf = decode_streams_best(d_pay, d_lens, d_cdf, gT)
             jax.block_until_ready(sym)
             stages["device_decode_ms"] = (time.perf_counter() - t0) * 1e3
             t0 = time.perf_counter()
@@ -663,33 +666,37 @@ def main():
             _cgs._fetch_chunked = _real_fetch
         t_enc_pcie = t_enc - dl_acc["t"] + dl_acc["bytes"] / 10e9
 
+        # decode-side transfer: instrument the upload helper the decode
+        # path uses (exact embedded time + bytes, measured in-run — a
+        # separately-sampled rate drifts with tunnel weather and made
+        # the projection nonsense in try-1)
+        up_acc = {"bytes": 0, "t": 0.0}
+        _real_up = _cgs._upload_chunked
+
+        def _timed_up(arr, target_bytes=8e6):
+            t0 = time.perf_counter()
+            out = _real_up(arr, target_bytes)
+            jax.block_until_ready(out)
+            up_acc["t"] += time.perf_counter() - t0
+            up_acc["bytes"] += arr.nbytes
+            return out
+
         hcs2 = [cde.from_bytes_host(b) for b in css]
         out = finish_host_chunks(hcs2)  # warm
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        hcs2 = [cde.from_bytes_host(b) for b in css]
-        out = finish_host_chunks(hcs2)
-        jax.block_until_ready(out)
-        t_dec = time.perf_counter() - t0
-        # decode-side transfer: the grouped padded payload + CDF tables
-        # uploaded inside finish_host_chunks; re-upload the same-sized
-        # buffers NOW (interleaved, same tunnel weather) for the rate
-        t_dec_pcie = None
-        if jax.default_backend() == "tpu":
-            from lmcache_tpu.codec.range_coder import pad_streams
-            lens_all = np.concatenate(
-                [np.asarray(h.lens).reshape(-1) for h in hcs2])
-            pay_all = b"".join(bytes(h.payload) for h in hcs2)
-            stride_all = max(16, (int(lens_all.max()) + 4 + 15)
-                             // 16 * 16)
-            padded_all = pad_streams(pay_all, lens_all, stride_all)
-            up_bytes_dec = (padded_all.nbytes
-                            + sum(np.asarray(h.cdf).nbytes for h in hcs2))
+        _cgs._upload_chunked = _timed_up
+        try:
             t0 = time.perf_counter()
-            jax.block_until_ready(jax.device_put(padded_all))
-            t_up_now = time.perf_counter() - t0
-            up_t_embedded = up_bytes_dec * (t_up_now / padded_all.nbytes)
-            t_dec_pcie = t_dec - up_t_embedded + up_bytes_dec / 10e9
+            hcs2 = [cde.from_bytes_host(b) for b in css]
+            out = finish_host_chunks(hcs2)
+            jax.block_until_ready(out)
+            t_dec = time.perf_counter() - t0
+        finally:
+            _cgs._upload_chunked = _real_up
+        t_dec_pcie = None
+        if up_acc["bytes"]:
+            t_dec_pcie = (t_dec - up_acc["t"]
+                          + up_acc["bytes"] / 10e9)
         metrics.append({
             "metric": "codec_throughput_decode", "unit": "GB/s",
             "value": round(coder_bytes / t_cd / 1e9, 3),
@@ -704,6 +711,7 @@ def main():
                     raw_b / t_dec_pcie / 1e9, 3)}
                    if t_dec_pcie else {}),
                 "encode_dl_mb": round(dl_acc["bytes"] / 1e6, 1),
+                "decode_up_mb": round(up_acc["bytes"] / 1e6, 1),
                 "geometry": "32Lx8Hx128D bf16, 8x256-token chunks",
                 "ratio_x": round(raw_b / sum(len(b) for b in css), 2),
                 "decode_mode": ("device" if jax.default_backend()

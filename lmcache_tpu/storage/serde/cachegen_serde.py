@@ -89,6 +89,22 @@ def _fetch_chunked(dev, target_bytes: float = 8e6) -> np.ndarray:
         [np.asarray(dev[i:i + step]) for i in range(0, n, step)])
 
 
+def _upload_chunked(arr: np.ndarray, target_bytes: float = 8e6):
+    """Upload a host array in ~8 MB slices along axis 0 (the mirror of
+    :func:`_fetch_chunked`): single host->device transfers past ~16 MB
+    collapse on tunneled links, and a 16k-token retrieval group's padded
+    payload is ~100-200 MB. Slices dispatch back-to-back (device_put is
+    async) and one device-side concatenate reassembles them."""
+    import jax.numpy as jnp
+    n = arr.shape[0]
+    row_bytes = max(1, arr.nbytes // max(n, 1))
+    step = max(1, int(target_bytes // row_bytes))
+    if step >= n:
+        return jnp.asarray(arr)
+    return jnp.concatenate(
+        [jnp.asarray(arr[i:i + step]) for i in range(0, n, step)])
+
+
 def _device_encode_enabled(mode: str) -> bool:
     if mode == "on":
         return True
@@ -578,8 +594,9 @@ def finish_host_chunks(chunks: List[CacheGenHostChunk],
         stride = max(16, (int(lens.max()) + 4 + 15) // 16 * 16)
         padded = pad_streams(payload, lens, stride)
         sym_dev, overflow_dev = decode_streams_device(
-            jnp.asarray(padded), jnp.asarray(lens.astype(np.int32)),
-            jnp.asarray(cdf), n_symbols)
+            _upload_chunked(padded),
+            jnp.asarray(lens.astype(np.int32)),
+            _upload_chunked(np.ascontiguousarray(cdf)), n_symbols)
     else:
         payloads = b"".join(bytes(c.payload) for c in chunks)
         sym = decode_streams(payloads, lens, n_symbols, cdf)
