@@ -151,7 +151,8 @@ def main():
             o_ref[0] = out.reshape(G, bq, -1).astype(o_ref.dtype)
 
     def pipelined_kernel(q_off_ref, kv_len_ref, q_ref, k_ref, v_ref,
-                         o_ref, m_scr, l_scr, acc_scr, s_scr, *, nkb):
+                         o_ref, m_scr, l_scr, acc_scr, s_scr, *, nkb,
+                         bq, bk):
         b = pl.program_id(0)
         iq = pl.program_id(2)
         ik = pl.program_id(3)  # in [0, nkb + 1): one extra drain step
@@ -165,17 +166,10 @@ def main():
         qpos_max = q_off_ref[b] + (iq + 1) * bq - 1
         qpos = (q_off_ref[b] + iq * bq + jax.lax.broadcasted_iota(
             jnp.int32, (G * bq, 1), 0) % bq)
-        # ping-pong stash: step ik writes plane ik%2 and consumes the
-        # plane step ik-1 wrote — no read-before-overwrite hazard, no
-        # compiler-inserted 4 MB copy
-        par = jax.lax.rem(ik, 2)
         live_cur = (ik < nkb) & (ik * bk <= qpos_max)
         live_prev = (ik >= 1) & ((ik - 1) * bk <= qpos_max)
 
-        # 1) current block's QK dot + mask -> stash (MXU; independent
-        #    of the softmax below, so the scheduler can overlap them)
-        @pl.when(live_cur)
-        def _():
+        def qk_to_stash():
             q_ = q_ref[0].reshape(G * bq, -1)
             kk = k_ref[0, 0]
             s = jax.lax.dot_general(
@@ -184,14 +178,9 @@ def main():
             kpos = ik * bk + jax.lax.broadcasted_iota(
                 jnp.int32, (1, bk), 1)
             mask = kpos <= jnp.minimum(qpos, kv_len_ref[b] - 1)
-            s_scr[pl.ds(par, 1)] = jnp.where(mask, s, _NEG_INF)[None]
+            return jnp.where(mask, s, _NEG_INF)
 
-        # 2) previous block's softmax + PV from the stash (VPU chain +
-        #    one MXU dot; v_ref's index_map lags one step so vv IS the
-        #    previous block's values)
-        @pl.when(live_prev)
-        def _():
-            s_prev = s_scr[pl.ds(1 - par, 1)][0]
+        def softmax_prev(s_prev):
             vv = v_ref[0, 0]
             m_prev = m_scr[:]
             m_new = jnp.maximum(
@@ -205,6 +194,25 @@ def main():
                 preferred_element_type=jnp.float32)
             m_scr[:] = m_new
 
+        # interior steps (both halves live) are ONE basic block: the
+        # current block's dot precedes the previous block's softmax
+        # with no control-flow boundary between them, so the static
+        # scheduler is free to interleave MXU and VPU chains
+        @pl.when(live_cur & live_prev)
+        def _():
+            s_prev = s_scr[:]
+            s_cur = qk_to_stash()
+            softmax_prev(s_prev)
+            s_scr[:] = s_cur
+
+        @pl.when(live_cur & ~live_prev)
+        def _():
+            s_scr[:] = qk_to_stash()
+
+        @pl.when(~live_cur & live_prev)
+        def _():
+            softmax_prev(s_scr[:])
+
         @pl.when(ik == nkb)
         def _():
             ll = l_scr[:]
@@ -213,40 +221,46 @@ def main():
             o_ref[0] = out.reshape(G, bq, -1).astype(o_ref.dtype)
 
     def build_pipelined():
-        nkb = total_kb
-        grid = (B, Hkv, Tp // bq, nkb + 1)
+        # stash VMEM = 2 * G*bqp * bkp * 4B: block sizes are tunable so
+        # the VMEM headroom experiment is a flag, not an edit
+        bqp = int(os.environ.get("LMCACHE_MFU_BQ", bq))
+        bkp = int(os.environ.get("LMCACHE_MFU_BK", bk))
+        nkb = _round_up(S, bkp) // bkp
+        grid = (B, Hkv, Tp // bqp, nkb + 1)
 
         def k_index(b, h, iq, ik, *scalars):
             q_off = scalars[0]
-            limit = jnp.minimum((q_off[b] + (iq + 1) * bq - 1) // bk,
+            limit = jnp.minimum((q_off[b] + (iq + 1) * bqp - 1) // bkp,
                                 nkb - 1)
             return (b, h, jnp.minimum(ik, limit), 0)
 
         def v_index(b, h, iq, ik, *scalars):
             q_off = scalars[0]
-            limit = jnp.minimum((q_off[b] + (iq + 1) * bq - 1) // bk,
+            limit = jnp.minimum((q_off[b] + (iq + 1) * bqp - 1) // bkp,
                                 nkb - 1)
             return (b, h, jnp.clip(ik - 1, 0, limit), 0)
 
-        kern = functools.partial(pipelined_kernel, nkb=nkb)
+        kern = functools.partial(pipelined_kernel, nkb=nkb, bq=bqp,
+                                 bk=bkp)
         f = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((1, G, bq, D),
+                    pl.BlockSpec((1, G, bqp, D),
                                  lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-                    pl.BlockSpec((1, 1, bk, D), k_index),
-                    pl.BlockSpec((1, 1, bk, D), v_index),
+                    pl.BlockSpec((1, 1, bkp, D), k_index),
+                    pl.BlockSpec((1, 1, bkp, D), v_index),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, G, bq, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                    (1, G, bqp, D),
+                    lambda b, h, iq, ik, *_: (b, h, iq, 0)),
                 scratch_shapes=[
-                    pltpu.VMEM((G * bq, 1), jnp.float32),
-                    pltpu.VMEM((G * bq, 1), jnp.float32),
-                    pltpu.VMEM((G * bq, D), jnp.float32),
-                    pltpu.VMEM((2, G * bq, bk), jnp.float32),
+                    pltpu.VMEM((G * bqp, 1), jnp.float32),
+                    pltpu.VMEM((G * bqp, 1), jnp.float32),
+                    pltpu.VMEM((G * bqp, D), jnp.float32),
+                    pltpu.VMEM((G * bqp, bkp), jnp.float32),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), jnp.bfloat16),
@@ -324,7 +338,11 @@ def main():
             print(f"{name:12s}: {tv * 1e3:6.2f} ms  "
                   f"{causal_flops / tv / 1e12:6.1f} TFLOP/s{note}")
         except Exception as e:
-            print(f"{name:12s}: FAIL {str(e)[:90]}")
+            import re
+            msg = str(e)
+            m = re.search(r"(Invalid[^\n]*|Check failed[^\n]*|"
+                          r"Mosaic[^\n]*failed[^\n]*)", msg)
+            print(f"{name:12s}: FAIL {(m.group(0) if m else msg)[:300]}")
 
 
 if __name__ == "__main__":
