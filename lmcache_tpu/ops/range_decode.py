@@ -456,6 +456,24 @@ def _round_up_pallas(s: int) -> int:
 
 _pallas_broken = False
 
+# scoped-VMEM budget for one decoder tile (v5e exposes ~16 MB; leave
+# headroom for Mosaic's own stack)
+_VMEM_BUDGET = 10e6
+
+
+def pallas_vmem_ok(n_streams: int, stride: int, n_symbols: int) -> bool:
+    """Whether one decode tile's VMEM footprint fits the budget.
+
+    Per tile the kernel holds [rows, 8, SB] i32 planes for the payload
+    words, the 33 CDF rows, the packed output and the state scratch —
+    each plane is tile*4 bytes. Oversized launches (e.g. a single
+    8k-token container serialized as ONE chunk: ~22 kB/stream payload)
+    must route to the scan decoder WITHOUT tripping the broken-lowering
+    demotion — a capacity miss is not a compiler bug."""
+    tile = min(STREAM_TILE, _round_up_pallas(n_streams))
+    planes = stride // 4 + 33 + (-(-n_symbols // 4)) + 12
+    return planes * tile * 4 <= _VMEM_BUDGET
+
 
 def decode_streams_best(payload, lens, cdf, n_symbols: int,
                         renorm_iters: int = RENORM_ITERS):
@@ -472,7 +490,9 @@ def decode_streams_best(payload, lens, cdf, n_symbols: int,
 
     import jax as _jax
     if (not _pallas_broken and _jax.default_backend() == "tpu"
-            and _os.environ.get("LMCACHE_TPU_PALLAS_DECODE") != "0"):
+            and _os.environ.get("LMCACHE_TPU_PALLAS_DECODE") != "0"
+            and pallas_vmem_ok(payload.shape[0], payload.shape[1],
+                               n_symbols)):
         try:
             return decode_streams_pallas(payload, lens, cdf, n_symbols,
                                          renorm_iters=renorm_iters)

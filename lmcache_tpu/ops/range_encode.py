@@ -57,6 +57,19 @@ RENORM_ITERS = 4
 STREAM_TILE = 2048  # streams per program instance ([16, 128] vregs)
 
 
+_VMEM_BUDGET = 10e6
+
+
+def pallas_vmem_ok(n_streams: int, stride: int, n_symbols: int) -> bool:
+    """Whether one encode tile fits the scoped-VMEM budget (payload
+    word planes + CDF + packed input symbols + scratch, tile*4 bytes
+    each). Oversized launches (giant single-chunk containers) must use
+    the host coder instead of OOMing Mosaic's stack."""
+    tile = min(STREAM_TILE, _round_up(n_streams))
+    planes = stride // 4 + 33 + (-(-n_symbols // 4)) + 12
+    return planes * tile * 4 <= _VMEM_BUDGET
+
+
 def estimate_stride(cdf: np.ndarray, n_symbols: int,
                     margin: float = 1.10, slack: int = 12) -> int:
     """Output stride (bytes/stream) covering every stream of ``cdf``.

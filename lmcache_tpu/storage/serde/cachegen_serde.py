@@ -105,6 +105,10 @@ def _upload_chunked(arr: np.ndarray, target_bytes: float = 8e6):
         [jnp.asarray(arr[i:i + step]) for i in range(0, n, step)])
 
 
+class _DeviceEncodeUnfit(Exception):
+    """Launch doesn't fit the encode kernel (capacity, not a bug)."""
+
+
 def _device_encode_enabled(mode: str) -> bool:
     if mode == "on":
         return True
@@ -166,10 +170,15 @@ class CacheGenSerializer(Serializer):
         cdf_h = None
         if _device_encode_enabled(self.encode_mode):
             from lmcache_tpu.ops.range_encode import (
-                encode_streams_pallas, estimate_stride, words_to_payload)
+                encode_streams_pallas, estimate_stride, pallas_vmem_ok,
+                words_to_payload)
             try:
                 cdf_h = _fetch_chunked(cdf_dev)
                 stride = estimate_stride(cdf_h, Tp)
+                if not pallas_vmem_ok(S, stride, Tp):
+                    raise _DeviceEncodeUnfit(
+                        f"{S} streams x {Tp} symbols (stride {stride}) "
+                        f"exceeds the kernel's VMEM budget")
                 words, lens, ovf = encode_streams_pallas(
                     sym_dev, cdf_dev, stride)
                 if bool(np.asarray(ovf)):
@@ -180,6 +189,8 @@ class CacheGenSerializer(Serializer):
                     payload, lens64 = words_to_payload(
                         _fetch_chunked(words), np.asarray(lens), S)
                     return payload, lens64, cdf_h
+            except _DeviceEncodeUnfit as e:
+                logger.debug("Device range encode skipped: %s", e)
             except Exception:
                 logger.exception("Device range encode failed; using "
                                  "the host coder")

@@ -87,3 +87,29 @@ def test_corrupting_cached_kv_breaks_retrieval(quality):
     noisy = np.asarray(blob) + rng.normal(
         0, 2.0, np.shape(blob)).astype(np.asarray(blob).dtype)
     assert acc_with(noisy) < 0.5, "KV corruption did not break retrieval"
+
+
+def test_mla_checkpoint_long_band():
+    """The MLA checkpoint (checkpoints/quality_mla_4l.npz) backs the
+    ctx-8192 latent wire gate (r5): guard the whole trained distance
+    band so a latent-stack or rope refactor can't silently defang it.
+    The full ctx-8192 eval runs on TPU (bench mla_latent_wire_gate);
+    here the longest geometry is trimmed for CPU runtime."""
+    import jax.numpy as jnp
+
+    from lmcache_tpu.models import mla
+    from tools import quality_common as qc
+
+    cfg = qc.quality_mla_config(dtype="float32")
+    params = qc.load_params(dtype="float32", path=qc.MLA_CKPT_PATH)
+    for T, R in ((256, 32), (512, 128), (1024, 512), (2112, 1056),
+                 (4096, 2048)):
+        tokens = qc.make_sequence(np.random.default_rng(1), T, R)
+        cache = mla.new_latent_cache(cfg, 1, T)
+        logits, _ = mla.forward(
+            params, cfg, jnp.asarray(tokens)[None, :],
+            jnp.zeros(1, jnp.int32), cache, use_pallas=False)
+        pred = np.asarray(jnp.argmax(logits[0], -1))
+        det = qc.target_mask(T, R)
+        acc = float((pred[:-1][det] == tokens[1:][det]).mean())
+        assert acc > 0.99, f"MLA copy accuracy degraded at R={R}: {acc:.4f}"
