@@ -839,7 +839,13 @@ def main():
                 toks7 = rng.integers(0, cfg7.vocab_size, S7,
                                      dtype=np.int32)
                 dtoks7 = jnp.asarray(toks7)[None, :]
-                params7 = llama.init_params(jax.random.PRNGKey(1), cfg7)
+                # init under jit: XLA fuses the f32 normal draw into the
+                # bf16 cast tile-wise — eager init materializes a 5.8 GB
+                # f32 transient per MLP tensor and OOMs beside the
+                # already-resident weights
+                params7 = jax.jit(
+                    lambda k: llama.init_params(k, cfg7))(
+                        jax.random.PRNGKey(1))
                 jax.block_until_ready(params7["embed"])
                 nparams = sum(int(np.prod(a.shape)) for a in
                               jax.tree_util.tree_leaves(params7))
