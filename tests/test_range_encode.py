@@ -121,3 +121,33 @@ def test_estimate_stride_covers_actual():
         _, lens = rc.encode_streams(sym, cdf)
         stride = estimate_stride(cdf, 256)
         assert int(lens.max()) <= stride, (kind, int(lens.max()), stride)
+
+
+def test_vmem_guard_routes_oversized_launches():
+    """Giant single-chunk containers must not OOM Mosaic's scoped VMEM:
+    the feasibility guards route them to scan/host without tripping the
+    Pallas broken-lowering demotion (a capacity miss is not a bug)."""
+    from lmcache_tpu.ops import range_decode as rd
+    from lmcache_tpu.ops import range_encode as re_
+
+    # serving-size launches fit
+    assert rd.pallas_vmem_ok(720896, 160, 256)
+    assert re_.pallas_vmem_ok(720896, 160, 256)
+    # an 8k-token context serialized as ONE chunk does not
+    assert not rd.pallas_vmem_ok(160, 22032, 8256)
+    assert not re_.pallas_vmem_ok(160, 22032, 8256)
+
+    # decode_streams_best on an oversized launch must still decode
+    # correctly (scan path) and must NOT set _pallas_broken
+    sym, cdf = _mk("gauss", 8, 256, seed=21)
+    import numpy as np
+    from lmcache_tpu.codec import range_coder as rc
+    payload, lens = rc.encode_streams(sym, cdf)
+    stride = 22032  # absurd stride: trips the guard, not the kernel
+    padded = rc.pad_streams(payload, lens, stride)
+    was_broken = rd._pallas_broken
+    out, ovf = rd.decode_streams_best(padded, lens.astype(np.int32),
+                                      cdf, 256)
+    assert not bool(np.asarray(ovf))
+    assert np.array_equal(np.asarray(out), sym)
+    assert rd._pallas_broken == was_broken
