@@ -826,9 +826,16 @@ def main():
                 engine.close()
             except Exception:
                 pass
-            # drop the 1.1B run's device buffers before the 11.9 GB
-            # 7B weights allocate
+            # drop every earlier section's big device/host buffers
+            # before the 11.9 GB 7B weights allocate: the 1.1B model's
+            # pools, the remote stage-decomposition uploads (~350 MB),
+            # and the codec section's chunk blobs (~0.5 GB) — the 7B
+            # row needs nearly the whole chip
             cache = logits = ctx_blob = engine = None  # noqa: F841
+            d_pay = d_lens = d_cdf = sym = padded = None  # noqa: F841
+            pieces = ds = raw = hcs = payload = None  # noqa: F841
+            _host_sym = cblobs = css = hcs2 = out = None  # noqa: F841
+            x = cdf = sym_h = cdf_h = None  # noqa: F841
             gc.collect()
 
             def run_7b(ctx7: int, suf7: int = 512):
