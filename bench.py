@@ -836,7 +836,12 @@ def main():
             pieces = ds = raw = hcs = payload = None  # noqa: F841
             _host_sym = cblobs = css = hcs2 = out = None  # noqa: F841
             x = cdf = sym_h = cdf_h = None  # noqa: F841
+            # the 1.1B weights themselves (2.2 GB) and the decode
+            # engines' pools are no longer needed either
+            params = tokens = eng2 = mparams = meng = None  # noqa: F841
+            prefill_full = prefill_suffix = inject_only = None  # noqa: F841
             gc.collect()
+            live_mb = sum(a.nbytes for a in jax.live_arrays()) / 1e6
 
             def run_7b(ctx7: int, suf7: int = 512):
                 cfg7 = llama.LlamaConfig(
@@ -918,6 +923,7 @@ def main():
                             "params_b": round(np7 / 1e9, 2),
                             "ctx_tokens": CTX7, "suffix_tokens": 512,
                             "tier": "hbm",
+                            "residual_live_mb": round(live_mb, 1),
                             "note": "largest bf16 fit on one v5e beside "
                                     "an HBM-tier cached copy; BASELINE "
                                     "anchor longchat-7b-16k"}})
@@ -928,8 +934,17 @@ def main():
             else:
                 raise err7
     except Exception as e:
+        try:
+            import jax as _jx
+            _live = sorted((a.nbytes for a in _jx.live_arrays()),
+                           reverse=True)
+            _diag = {"live_mb": round(sum(_live) / 1e6, 1),
+                     "top5_mb": [round(b / 1e6, 1) for b in _live[:5]]}
+        except Exception:
+            _diag = {}
         metrics.append({"metric": "ttft_7b_error", "unit": "",
-                        "value": 0, "vs_baseline": None, "error": str(e)})
+                        "value": 0, "vs_baseline": None,
+                        "error": str(e), **_diag})
 
     # ---- cross-round regression tracking (VERDICT r3 next #6) ------------
     # read the previous round's driver-captured numbers and attach
