@@ -444,11 +444,15 @@ def main():
                     vals.append(ttft_remote_once(pipelined))
                 return vals
 
+            # oneshot brackets the streamed reps (one before, one
+            # after) so tunnel weather can't land entirely on one side
+            # of the overlap comparison
+            t_oneshot = ttft_remote_once(False)
             streamed_vals = ttft_remote(True)
             t_streamed = min(streamed_vals)
             t_streamed_med = sorted(streamed_vals)[
                 len(streamed_vals) // 2]
-            t_oneshot = ttft_remote_once(False)
+            t_oneshot = min(t_oneshot, ttft_remote_once(False))
 
             # -- stage decomposition (one measured pass each) -----------
             stages = {}
@@ -657,13 +661,26 @@ def main():
             return out
 
         css = [cser.to_bytes(b) for b in cblobs]  # warm (compile)
+        # block on the encode kernel before the instrumented download
+        # starts, so kernel compute isn't misread as transfer time and
+        # subtracted from the PCIe projection
+        import lmcache_tpu.ops.range_encode as _renc
+        _real_enc = _renc.encode_streams_pallas
+
+        def _blocking_enc(*a, **k):
+            outs = _real_enc(*a, **k)
+            jax.block_until_ready(outs[0])
+            return outs
+
         _cgs._fetch_chunked = _timed_fetch
+        _renc.encode_streams_pallas = _blocking_enc
         try:
             t0 = time.perf_counter()
             css = [cser.to_bytes(b) for b in cblobs]
             t_enc = time.perf_counter() - t0
         finally:
             _cgs._fetch_chunked = _real_fetch
+            _renc.encode_streams_pallas = _real_enc
         t_enc_pcie = t_enc - dl_acc["t"] + dl_acc["bytes"] / 10e9
 
         # decode-side transfer: instrument the upload helper the decode

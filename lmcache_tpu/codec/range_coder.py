@@ -133,7 +133,20 @@ def _build() -> Optional[ctypes.CDLL]:
     # the probe added ~0.5-1 s to every worker's first codec use)
     okpath = libpath + ".ok"
     if fresh:
-        _write_marker(okpath, libpath)
+        # probe even the fresh build before writing the marker: a bad
+        # -march=native output (or an NFS sibling whose ISA tag
+        # collides) must keep the generic-rebuild recovery reachable —
+        # an unearned marker would disable it forever
+        if _smoke_ok(libpath):
+            _write_marker(okpath, libpath)
+        else:
+            logger.warning("Fresh range coder failed smoke test; "
+                           "rebuilding without -march=native")
+            generic = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+                       "-fopenmp", _SRC, "-o", libpath + ".tmp"]
+            subprocess.run(generic, check=True, capture_output=True)
+            os.replace(libpath + ".tmp", libpath)
+            _write_marker(okpath, libpath)
     elif not _marker_valid(okpath, libpath):
         if _smoke_ok(libpath):
             _write_marker(okpath, libpath)

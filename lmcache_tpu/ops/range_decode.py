@@ -220,7 +220,7 @@ def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, st_ref, *,
     """One tile of 8*SB streams: pay_ref u32 [nwords, 8, SB] (big-endian
     words, zeroed past each stream's length by the wrapper), cdf_ref
     i32 [33, 8, SB]; out_ref i32 [ceil(n/4), 8, SB] (4 packed symbols
-    per word), ovf_ref i32 [1, 8, SB]; st_ref u32 [9, 8, SB] VMEM
+    per word), ovf_ref i32 [1, 8, SB]; st_ref u32 [8, 8, SB] VMEM
     scratch holding the per-stream decoder state between loop trips.
 
     Layout notes (all probed on v5e Mosaic):
@@ -235,7 +235,7 @@ def _decode_tile_kernel(pay_ref, cdf_ref, out_ref, ovf_ref, st_ref, *,
       relayout ... replicated in destination" — still reproduced on
       r5 even with data-derived zero seeding). Loads/stores to scratch
       always have concrete tiled layouts, so the back-edge constraint
-      disappears; the loop body reads the 9 planes once, decodes 4
+      disappears; the loop body reads the 8 planes once, decodes 4
       symbols (one packed output word), and writes the planes back;
     - no u32 vector compares (sign-flip to i32: ``ult``), no u32
       division (f32 with an exact integer fix-up: ``u32_div16``), no

@@ -57,17 +57,10 @@ RENORM_ITERS = 4
 STREAM_TILE = 2048  # streams per program instance ([16, 128] vregs)
 
 
-_VMEM_BUDGET = 10e6
-
-
-def pallas_vmem_ok(n_streams: int, stride: int, n_symbols: int) -> bool:
-    """Whether one encode tile fits the scoped-VMEM budget (payload
-    word planes + CDF + packed input symbols + scratch, tile*4 bytes
-    each). Oversized launches (giant single-chunk containers) must use
-    the host coder instead of OOMing Mosaic's stack."""
-    tile = min(STREAM_TILE, _round_up(n_streams))
-    planes = stride // 4 + 33 + (-(-n_symbols // 4)) + 12
-    return planes * tile * 4 <= _VMEM_BUDGET
+# the encoder tile holds the same plane inventory as the decoder tile
+# (payload words + 33 CDF rows + packed symbols + scratch), so the
+# VMEM-capacity guard is ONE function, not two drifting copies
+from lmcache_tpu.ops.range_decode import pallas_vmem_ok  # noqa: E402,F401
 
 
 def estimate_stride(cdf: np.ndarray, n_symbols: int,

@@ -109,6 +109,12 @@ class _DeviceEncodeUnfit(Exception):
     """Launch doesn't fit the encode kernel (capacity, not a bug)."""
 
 
+# once-per-process demotion for the device encoder, mirroring
+# range_decode._pallas_broken: a lowering failure must not re-attempt
+# (and re-pay) a failed compile on every store
+_device_encode_broken = False
+
+
 def _device_encode_enabled(mode: str) -> bool:
     if mode == "on":
         return True
@@ -166,9 +172,11 @@ class CacheGenSerializer(Serializer):
         or renormalization bound falls back to the host path (exactness
         is never at risk). Returns (payload, lens int64, cdf_host).
         """
+        global _device_encode_broken
         S, Tp = sym_dev.shape
         cdf_h = None
-        if _device_encode_enabled(self.encode_mode):
+        if (_device_encode_enabled(self.encode_mode)
+                and not _device_encode_broken):
             from lmcache_tpu.ops.range_encode import (
                 encode_streams_pallas, estimate_stride, pallas_vmem_ok,
                 words_to_payload)
@@ -192,8 +200,9 @@ class CacheGenSerializer(Serializer):
             except _DeviceEncodeUnfit as e:
                 logger.debug("Device range encode skipped: %s", e)
             except Exception:
+                _device_encode_broken = True
                 logger.exception("Device range encode failed; using "
-                                 "the host coder")
+                                 "the host coder from now on")
         sym_h = _fetch_chunked(sym_dev)
         if cdf_h is None:
             cdf_h = _fetch_chunked(cdf_dev)
