@@ -63,24 +63,68 @@ STREAM_TILE = 2048  # streams per program instance ([16, 128] vregs)
 from lmcache_tpu.ops.range_decode import pallas_vmem_ok  # noqa: E402,F401
 
 
-def estimate_stride(cdf: np.ndarray, n_symbols: int,
-                    margin: float = 1.10, slack: int = 12) -> int:
-    """Output stride (bytes/stream) covering every stream of ``cdf``.
+def estimate_stride_rows(cdf: np.ndarray, n_symbols: int,
+                         margin: float = 1.10,
+                         slack: int = 12) -> np.ndarray:
+    """Per-STREAM output stride estimate (bytes), bucketed to x16.
 
     cdf: uint16 [S, 33] container tables (implied 65536 upper bound).
-    The per-stream coded size is ~n_symbols * H(cdf)/8 plus ~6 bytes of
+    A stream's coded size is ~n_symbols * H(cdf)/8 plus ~6 bytes of
     flush + range-clamp overhead; margin and slack absorb the CDF's
-    1/65536 probability quantization. Rounded up to a multiple of 16
-    (bounds recompilation, like the decoder's stride bucketing).
-    """
+    1/65536 probability quantization. Bucketing to multiples of 16
+    bounds recompilation (like the decoder's stride bucketing)."""
     c = cdf.astype(np.int64)
     bounds = np.concatenate([c[:, :32], np.full((c.shape[0], 1), 65536)],
                             axis=1)
     p = np.diff(bounds, axis=1) / 65536.0  # [S, 32]
     with np.errstate(divide="ignore", invalid="ignore"):
         bits = np.where(p > 0, -p * np.log2(np.maximum(p, 1e-12)), 0.0)
-    est = n_symbols * bits.sum(axis=1).max() / 8.0
-    return max(16, int(-(-(est * margin + slack) // 16)) * 16)
+    est = n_symbols * bits.sum(axis=1) / 8.0  # [S]
+    return np.maximum(
+        16, (-(-(est * margin + slack) // 16) * 16)).astype(np.int64)
+
+
+def estimate_stride(cdf: np.ndarray, n_symbols: int,
+                    margin: float = 1.10, slack: int = 12) -> int:
+    """Single stride covering EVERY stream of ``cdf`` (the max of
+    :func:`estimate_stride_rows`)."""
+    return int(estimate_stride_rows(cdf, n_symbols, margin,
+                                    slack).max())
+
+
+def stride_classes(rows: np.ndarray, max_classes: int = 3,
+                   min_saving: float = 0.10):
+    """Partition streams into stride classes so the padded download
+    shrinks toward the true coded size.
+
+    One global stride pays max-stream padding for every stream (~25-40%
+    of the download when per-layer entropies differ). Quantile cuts
+    give up to ``max_classes`` classes, each running the encode kernel
+    at its own stride; returns ``[(stride, index_array), ...]`` in
+    class order, or a single class when splitting would save less than
+    ``min_saving`` of the bytes (not worth the extra launches)."""
+    rows = np.asarray(rows, np.int64)
+    S = len(rows)
+    single = [(int(rows.max()), np.arange(S))]
+    if max_classes <= 1 or S < 256:
+        return single
+    qs = np.quantile(rows, [i / max_classes
+                            for i in range(1, max_classes)])
+    bounds = sorted(set(int(-(-q // 16) * 16) for q in qs))
+    cuts = bounds + [int(rows.max())]
+    classes = []
+    prev = -1
+    for cut in cuts:
+        idx = np.nonzero((rows > prev) & (rows <= cut))[0]
+        if len(idx):
+            classes.append((int(rows[idx].max()), idx))
+        prev = cut
+    if len(classes) <= 1:
+        return single
+    split_bytes = sum(st * len(ix) for st, ix in classes)
+    if split_bytes > single[0][0] * S * (1 - min_saving):
+        return single
+    return classes
 
 
 def _shl(x, n):
@@ -339,22 +383,26 @@ def encode_streams_pallas(sym: jax.Array, cdf: jax.Array, stride: int,
                        renorm_iters, interpret)
 
 
+def words_to_raw(words_host: np.ndarray, n_streams: int) -> np.ndarray:
+    """Kernel word planes -> per-stream byte rows u8 [n_streams, stride].
+
+    words_host: i32 [maxwords, R8, SB] (downloaded). Big-endian byte
+    order within each word (first emitted byte is bits 31:24)."""
+    maxwords = words_host.shape[0]
+    Sp = words_host.reshape(maxwords, -1).shape[1]
+    per_stream = np.ascontiguousarray(
+        words_host.reshape(maxwords, Sp).T).astype("<i4")
+    raw = per_stream.byteswap().view(np.uint8).reshape(Sp, maxwords * 4)
+    return raw[:n_streams]
+
+
 def words_to_payload(words_host: np.ndarray, lens: np.ndarray,
                      n_streams: int):
     """Host epilogue: kernel word planes -> concatenated payload bytes.
 
-    words_host: i32 [maxwords, R8, SB] (downloaded), lens: [S].
     Returns (payload bytes, lens int64) matching
-    ``range_coder.encode_streams`` exactly.
-    """
-    maxwords = words_host.shape[0]
-    Sp = words_host.reshape(maxwords, -1).shape[1]
-    # [maxwords, Sp] -> [Sp, maxwords]; big-endian byte order within
-    # each word (first emitted byte is bits 31:24)
-    per_stream = np.ascontiguousarray(
-        words_host.reshape(maxwords, Sp).T).astype("<i4")
-    raw = per_stream.byteswap().view(np.uint8).reshape(Sp, maxwords * 4)
-    raw = raw[:n_streams]
+    ``range_coder.encode_streams`` exactly."""
+    raw = words_to_raw(words_host, n_streams)
     lens = np.asarray(lens, np.int64)[:n_streams]
-    mask = np.arange(maxwords * 4, dtype=np.int64)[None] < lens[:, None]
+    mask = np.arange(raw.shape[1], dtype=np.int64)[None] < lens[:, None]
     return raw[mask].tobytes(), lens

@@ -178,25 +178,53 @@ class CacheGenSerializer(Serializer):
         if (_device_encode_enabled(self.encode_mode)
                 and not _device_encode_broken):
             from lmcache_tpu.ops.range_encode import (
-                encode_streams_pallas, estimate_stride, pallas_vmem_ok,
-                words_to_payload)
+                encode_streams_pallas, estimate_stride_rows,
+                pallas_vmem_ok, stride_classes, words_to_raw)
             try:
+                import jax.numpy as jnp
                 cdf_h = _fetch_chunked(cdf_dev)
-                stride = estimate_stride(cdf_h, Tp)
-                if not pallas_vmem_ok(S, stride, Tp):
-                    raise _DeviceEncodeUnfit(
-                        f"{S} streams x {Tp} symbols (stride {stride}) "
-                        f"exceeds the kernel's VMEM budget")
-                words, lens, ovf = encode_streams_pallas(
-                    sym_dev, cdf_dev, stride)
-                if bool(np.asarray(ovf)):
+                rows = estimate_stride_rows(cdf_h, Tp)
+                # per-entropy-class strides: one global stride pads
+                # every stream to the largest (~25-40% extra download
+                # when layer entropies differ); up to 3 classes each
+                # launch at their own stride
+                classes = stride_classes(rows)
+                for stride_c, _ in classes:
+                    if not pallas_vmem_ok(S, stride_c, Tp):
+                        raise _DeviceEncodeUnfit(
+                            f"{S} streams x {Tp} symbols (stride "
+                            f"{stride_c}) exceeds the kernel's VMEM "
+                            f"budget")
+                outs = []
+                for stride_c, idx in classes:
+                    sub_sym, sub_cdf = sym_dev, cdf_dev
+                    if len(idx) != S:
+                        idx_dev = jnp.asarray(idx.astype(np.int32))
+                        sub_sym = jnp.take(sym_dev, idx_dev, axis=0)
+                        sub_cdf = jnp.take(cdf_dev, idx_dev, axis=0)
+                    words, lens, ovf = encode_streams_pallas(
+                        sub_sym, sub_cdf, stride_c)
+                    outs.append((stride_c, idx, words, lens, ovf))
+                if any(bool(np.asarray(o[4])) for o in outs):
                     logger.warning(
-                        "Device range encode overflowed stride %d; "
-                        "falling back to the host coder", stride)
+                        "Device range encode overflowed its stride; "
+                        "falling back to the host coder")
                 else:
-                    payload, lens64 = words_to_payload(
-                        _fetch_chunked(words), np.asarray(lens), S)
-                    return payload, lens64, cdf_h
+                    lens64 = np.zeros(S, np.int64)
+                    for _, idx, _, lens, _ in outs:
+                        lens64[idx] = np.asarray(lens)
+                    offs = np.zeros(S + 1, np.int64)
+                    np.cumsum(lens64, out=offs[1:])
+                    buf = np.empty(int(offs[-1]), np.uint8)
+                    for stride_c, idx, words, _, _ in outs:
+                        raw = words_to_raw(_fetch_chunked(words),
+                                           len(idx))
+                        ln = lens64[idx]
+                        cols = np.arange(raw.shape[1], dtype=np.int64)
+                        mask = cols[None, :] < ln[:, None]
+                        pos = (offs[idx][:, None] + cols[None, :])[mask]
+                        buf[pos] = raw[mask]
+                    return buf.tobytes(), lens64, cdf_h
             except _DeviceEncodeUnfit as e:
                 logger.debug("Device range encode skipped: %s", e)
             except Exception:

@@ -151,3 +151,57 @@ def test_vmem_guard_routes_oversized_launches():
     assert not bool(np.asarray(ovf))
     assert np.array_equal(np.asarray(out), sym)
     assert rd._pallas_broken == was_broken
+
+
+def test_stride_classes_split_and_byte_identity():
+    """Per-entropy-class strides must leave the PAYLOAD byte-identical
+    with the host coder (padding layout is transfer-internal), and the
+    class split must actually engage on heterogeneous entropies."""
+    import dataclasses
+
+    from lmcache_tpu.config import (LMCacheEngineConfig,
+                                    LMCacheEngineMetadata)
+    from lmcache_tpu.ops.range_encode import (estimate_stride_rows,
+                                              stride_classes)
+    from lmcache_tpu.storage.serde.cachegen_serde import CacheGenSerializer
+
+    # unit: bimodal stride rows split into >1 class; uniform rows don't
+    rows = np.array([16] * 300 + [160] * 100)
+    cls = stride_classes(rows)
+    assert len(cls) > 1
+    assert sum(len(ix) for _, ix in cls) == 400
+    assert len(stride_classes(np.full(400, 64))) == 1
+    assert len(stride_classes(rows[:100])) == 1  # too few streams
+
+    # serde: half the layers near-constant (low entropy), half gaussian
+    def mk(mode):
+        cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
+        cfg = dataclasses.replace(cfg, cachegen_device_encode=mode)
+        meta = LMCacheEngineMetadata(model_name="lmsys/longchat-7b-16k",
+                                     world_size=1, worker_id=0,
+                                     fmt="vllm", dtype="float32")
+        return CacheGenSerializer(cfg, meta)
+
+    rng = np.random.default_rng(31)
+    blob = rng.standard_normal((8, 2, 64, 8, 32)).astype(np.float32)
+    blob[:4] = np.sign(blob[:4]) * 0.01  # near-binary: low entropy
+    host_ser, dev_ser = mk("off"), mk("on")
+
+    import lmcache_tpu.storage.serde.cachegen_serde as cgs
+    n_classes = []
+    real = stride_classes
+
+    def spy(rows, *a, **k):
+        out = real(rows, *a, **k)
+        n_classes.append(len(out))
+        return out
+
+    import lmcache_tpu.ops.range_encode as renc
+    old = renc.stride_classes
+    renc.stride_classes = spy
+    try:
+        dev_bytes = dev_ser.to_bytes(blob)
+    finally:
+        renc.stride_classes = old
+    assert dev_bytes == host_ser.to_bytes(blob)
+    assert max(n_classes) > 1, "class split never engaged"
