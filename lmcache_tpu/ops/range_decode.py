@@ -93,10 +93,14 @@ def decode_streams_device(payload: jax.Array, lens: jax.Array,
     nwords = stride // 4
     # cols 0..31 are real bounds; col 32 is the implied 65536 upper
     # bound (cdf_at in lmtc_codec.cc) — the u16 container entry there
-    # wraps to 0 and must be replaced, not reused
+    # wraps to 0 and must be replaced, not reused.
+    # TRANSPOSED to [33, S]: with streams on the LAST axis every
+    # compare/select row is fully lane-packed; [S, 33] wastes ~74% of
+    # each 128-lane vector on the tiny trailing dim (r5; same layout
+    # argument as the Pallas kernel, ~2x on the scan lowering)
     cdf_i = jnp.concatenate(
         [cdf[:, :32].astype(jnp.int32),
-         jnp.full((S, 1), 65536, jnp.int32)], axis=1)  # [S, 33]
+         jnp.full((S, 1), 65536, jnp.int32)], axis=1).T  # [33, S]
     lens = lens.astype(jnp.int32)
     # big-endian u32 words: stream byte k is consumed MSB-first. Bytes
     # at positions >= lens are zeroed here so the reservoir naturally
@@ -106,14 +110,14 @@ def decode_streams_device(payload: jax.Array, lens: jax.Array,
              lens[:, None, None])
     pay = jnp.where(valid, pay, 0)
     pay32 = ((pay[..., 0] << 24) | (pay[..., 1] << 16) |
-             (pay[..., 2] << 8) | pay[..., 3])  # [S, nwords]
-    iota = jnp.arange(nwords, dtype=jnp.int32)[None]
+             (pay[..., 2] << 8) | pay[..., 3]).T  # [nwords, S]
+    iota = jnp.arange(nwords, dtype=jnp.int32)[:, None]
 
     def load_word(wpos):
         # one-hot select-sum; reads past the payload end return 0
         # (consistent with the zero-feed above)
-        eq = iota == wpos[:, None]
-        return jnp.where(eq, pay32, 0).sum(axis=1).astype(jnp.uint32)
+        eq = iota == wpos[None, :]
+        return jnp.where(eq, pay32, 0).sum(axis=0).astype(jnp.uint32)
 
     def refill(hi, lo, nb, wpos):
         """Top up the (hi:lo) byte reservoir to >= 4 valid bytes.
@@ -173,11 +177,11 @@ def decode_streams_device(payload: jax.Array, lens: jax.Array,
         # one compare pass gives symbol, cf and cfn without gathers:
         # symbol = |{i >= 1 : cdf[i] <= target}|; cf = largest bound
         # <= target; cfn = smallest bound > target
-        le = cdf_i <= target[:, None].astype(jnp.int32)  # [S, 33]
-        sym = jnp.sum(le[:, 1:], axis=1).astype(jnp.uint8)
-        cf = jnp.max(jnp.where(le, cdf_i, 0), axis=1).astype(jnp.uint32)
+        le = cdf_i <= target[None, :].astype(jnp.int32)  # [33, S]
+        sym = jnp.sum(le[1:], axis=0).astype(jnp.uint8)
+        cf = jnp.max(jnp.where(le, cdf_i, 0), axis=0).astype(jnp.uint32)
         cfn = jnp.min(jnp.where(le, 65536, cdf_i),
-                      axis=1).astype(jnp.uint32)
+                      axis=0).astype(jnp.uint32)
         low = low + cf * rng
         rng = rng * (cfn - cf)
         for _ in range(renorm_iters):
