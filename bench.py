@@ -430,29 +430,42 @@ def main():
                 ce.close()
                 return r.ttft_s
 
-            def ttft_remote(pipelined, reps=3, max_reps=6):
+            def ttft_remote(pipelined, reps=3, max_reps=6,
+                            budget_s=420.0):
                 """Repeat until the two best agree within 10% (the
                 kernel-bench stability policy, VERDICT r4 next #3):
                 successive rounds differed 3x when a single tunnel-
-                weather event could own the whole measurement."""
+                weather event could own the whole measurement. A
+                wall-clock budget bounds the loop — under the worst
+                tunnel weather one rep takes 20+ minutes and an
+                unbounded stability hunt would eat the whole bench's
+                time before the quality gates run."""
+                t_start = time.perf_counter()
                 vals = [ttft_remote_once(pipelined)]
                 while len(vals) < max_reps:
                     if len(vals) >= reps:
                         a, b = sorted(vals)[:2]
                         if b / a < 1.10:
                             break
+                    if (time.perf_counter() - t_start > budget_s
+                            and len(vals) >= 2):
+                        break
                     vals.append(ttft_remote_once(pipelined))
                 return vals
 
             # oneshot brackets the streamed reps (one before, one
             # after) so tunnel weather can't land entirely on one side
-            # of the overlap comparison
+            # of the overlap comparison; the second bracket is skipped
+            # when weather makes each rep cost minutes
+            t0_one = time.perf_counter()
             t_oneshot = ttft_remote_once(False)
+            one_cost = time.perf_counter() - t0_one
             streamed_vals = ttft_remote(True)
             t_streamed = min(streamed_vals)
             t_streamed_med = sorted(streamed_vals)[
                 len(streamed_vals) // 2]
-            t_oneshot = min(t_oneshot, ttft_remote_once(False))
+            if one_cost < 120.0:
+                t_oneshot = min(t_oneshot, ttft_remote_once(False))
 
             # -- stage decomposition (one measured pass each) -----------
             stages = {}
