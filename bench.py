@@ -456,15 +456,15 @@ def main():
             # oneshot brackets the streamed reps (one before, one
             # after) so tunnel weather can't land entirely on one side
             # of the overlap comparison; the second bracket is skipped
-            # when weather makes each rep cost minutes
-            t0_one = time.perf_counter()
+            # when weather makes the MEASURED ttft itself cost minutes
+            # (wall-clock of the first call also includes compiles and
+            # must not gate this)
             t_oneshot = ttft_remote_once(False)
-            one_cost = time.perf_counter() - t0_one
             streamed_vals = ttft_remote(True)
             t_streamed = min(streamed_vals)
             t_streamed_med = sorted(streamed_vals)[
-                len(streamed_vals) // 2]
-            if one_cost < 120.0:
+                (len(streamed_vals) - 1) // 2]
+            if t_oneshot < 120.0:
                 t_oneshot = min(t_oneshot, ttft_remote_once(False))
 
             # -- stage decomposition (one measured pass each) -----------

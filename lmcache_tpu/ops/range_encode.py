@@ -92,6 +92,13 @@ def estimate_stride(cdf: np.ndarray, n_symbols: int,
                                     slack).max())
 
 
+def padded_streams(n: int) -> int:
+    """Stream count after the kernel wrapper's tile padding — the
+    count whose output planes actually get downloaded."""
+    tile = min(STREAM_TILE, _round_up(n))
+    return -(-n // tile) * tile
+
+
 def stride_classes(rows: np.ndarray, max_classes: int = 3,
                    min_saving: float = 0.10):
     """Partition streams into stride classes so the padded download
@@ -101,28 +108,37 @@ def stride_classes(rows: np.ndarray, max_classes: int = 3,
     of the download when per-layer entropies differ). Quantile cuts
     give up to ``max_classes`` classes, each running the encode kernel
     at its own stride; returns ``[(stride, index_array), ...]`` in
-    class order, or a single class when splitting would save less than
-    ``min_saving`` of the bytes (not worth the extra launches)."""
+    class order (strides bucketed to x16), or a single class when
+    splitting would save less than ``min_saving`` of the bytes — a
+    decision made on the TILE-PADDED download sizes (what actually
+    crosses the wire), so small classes whose padding exceeds their
+    savings don't split."""
     rows = np.asarray(rows, np.int64)
     S = len(rows)
-    single = [(int(rows.max()), np.arange(S))]
+
+    def b16(v):
+        return max(16, int(-(-int(v) // 16) * 16))
+
+    single = [(b16(rows.max()), np.arange(S))]
     if max_classes <= 1 or S < 256:
         return single
     qs = np.quantile(rows, [i / max_classes
                             for i in range(1, max_classes)])
-    bounds = sorted(set(int(-(-q // 16) * 16) for q in qs))
-    cuts = bounds + [int(rows.max())]
+    bounds = sorted(set(b16(q) for q in qs))
+    cuts = bounds + [b16(rows.max())]
     classes = []
     prev = -1
     for cut in cuts:
         idx = np.nonzero((rows > prev) & (rows <= cut))[0]
         if len(idx):
-            classes.append((int(rows[idx].max()), idx))
+            classes.append((b16(rows[idx].max()), idx))
         prev = cut
     if len(classes) <= 1:
         return single
-    split_bytes = sum(st * len(ix) for st, ix in classes)
-    if split_bytes > single[0][0] * S * (1 - min_saving):
+    split_bytes = sum(st * padded_streams(len(ix))
+                      for st, ix in classes)
+    single_bytes = single[0][0] * padded_streams(S)
+    if split_bytes > single_bytes * (1 - min_saving):
         return single
     return classes
 

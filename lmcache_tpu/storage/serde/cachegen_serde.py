@@ -179,7 +179,8 @@ class CacheGenSerializer(Serializer):
                 and not _device_encode_broken):
             from lmcache_tpu.ops.range_encode import (
                 encode_streams_pallas, estimate_stride_rows,
-                pallas_vmem_ok, stride_classes, words_to_raw)
+                padded_streams, pallas_vmem_ok, stride_classes,
+                words_to_payload, words_to_raw)
             try:
                 import jax.numpy as jnp
                 cdf_h = _fetch_chunked(cdf_dev)
@@ -195,36 +196,58 @@ class CacheGenSerializer(Serializer):
                             f"{S} streams x {Tp} symbols (stride "
                             f"{stride_c}) exceeds the kernel's VMEM "
                             f"budget")
-                outs = []
-                for stride_c, idx in classes:
-                    sub_sym, sub_cdf = sym_dev, cdf_dev
-                    if len(idx) != S:
-                        idx_dev = jnp.asarray(idx.astype(np.int32))
+                if len(classes) == 1:
+                    # the common (uniform-entropy) case keeps the
+                    # established single-launch path
+                    words, lens, ovf = encode_streams_pallas(
+                        sym_dev, cdf_dev, classes[0][0])
+                    if bool(np.asarray(ovf)):
+                        logger.warning(
+                            "Device range encode overflowed its "
+                            "stride; falling back to the host coder")
+                    else:
+                        payload, lens64 = words_to_payload(
+                            _fetch_chunked(words), np.asarray(lens), S)
+                        return payload, lens64, cdf_h
+                else:
+                    outs = []
+                    for stride_c, idx in classes:
+                        # pad the class to its tile quantum with a
+                        # repeated member index: class sizes jitter
+                        # with chunk content, and an unpadded gather
+                        # would recompile the kernel per store
+                        n = len(idx)
+                        idx_p = np.concatenate(
+                            [idx, np.full(padded_streams(n) - n,
+                                          idx[0], idx.dtype)])
+                        idx_dev = jnp.asarray(idx_p.astype(np.int32))
                         sub_sym = jnp.take(sym_dev, idx_dev, axis=0)
                         sub_cdf = jnp.take(cdf_dev, idx_dev, axis=0)
-                    words, lens, ovf = encode_streams_pallas(
-                        sub_sym, sub_cdf, stride_c)
-                    outs.append((stride_c, idx, words, lens, ovf))
-                if any(bool(np.asarray(o[4])) for o in outs):
-                    logger.warning(
-                        "Device range encode overflowed its stride; "
-                        "falling back to the host coder")
-                else:
-                    lens64 = np.zeros(S, np.int64)
-                    for _, idx, _, lens, _ in outs:
-                        lens64[idx] = np.asarray(lens)
-                    offs = np.zeros(S + 1, np.int64)
-                    np.cumsum(lens64, out=offs[1:])
-                    buf = np.empty(int(offs[-1]), np.uint8)
-                    for stride_c, idx, words, _, _ in outs:
-                        raw = words_to_raw(_fetch_chunked(words),
-                                           len(idx))
-                        ln = lens64[idx]
-                        cols = np.arange(raw.shape[1], dtype=np.int64)
-                        mask = cols[None, :] < ln[:, None]
-                        pos = (offs[idx][:, None] + cols[None, :])[mask]
-                        buf[pos] = raw[mask]
-                    return buf.tobytes(), lens64, cdf_h
+                        words, lens, ovf = encode_streams_pallas(
+                            sub_sym, sub_cdf, stride_c)
+                        outs.append((stride_c, idx, words, lens, ovf))
+                    if any(bool(np.asarray(o[4])) for o in outs):
+                        logger.warning(
+                            "Device range encode overflowed its "
+                            "stride; falling back to the host coder")
+                    else:
+                        lens64 = np.zeros(S, np.int64)
+                        for _, idx, _, lens, _ in outs:
+                            lens64[idx] = np.asarray(lens)[:len(idx)]
+                        offs = np.zeros(S + 1, np.int64)
+                        np.cumsum(lens64, out=offs[1:])
+                        buf = np.empty(int(offs[-1]), np.uint8)
+                        for stride_c, idx, words, _, _ in outs:
+                            raw = words_to_raw(_fetch_chunked(words),
+                                               len(idx))
+                            ln = lens64[idx]
+                            cols = np.arange(raw.shape[1],
+                                             dtype=np.int64)
+                            mask = cols[None, :] < ln[:, None]
+                            pos = (offs[idx][:, None]
+                                   + cols[None, :])[mask]
+                            buf[pos] = raw[mask]
+                        return buf.tobytes(), lens64, cdf_h
             except _DeviceEncodeUnfit as e:
                 logger.debug("Device range encode skipped: %s", e)
             except Exception:

@@ -153,27 +153,41 @@ def test_vmem_guard_routes_oversized_launches():
     assert rd._pallas_broken == was_broken
 
 
-def test_stride_classes_split_and_byte_identity():
-    """Per-entropy-class strides must leave the PAYLOAD byte-identical
-    with the host coder (padding layout is transfer-internal), and the
-    class split must actually engage on heterogeneous entropies."""
+def test_stride_classes_decision_is_padding_aware():
+    """The split decision must compare TILE-PADDED download sizes (what
+    crosses the wire), not raw stream counts: a 2x256-stream split each
+    padding to 1024 streams downloads MORE than one 512-stream launch,
+    so it must refuse; at >= tile-scale counts the same entropy split
+    is a real ~45% saving and must engage."""
+    from lmcache_tpu.ops.range_encode import stride_classes
+
+    bimodal_small = np.array([16] * 300 + [160] * 100)
+    assert len(stride_classes(bimodal_small)) == 1  # padding would win
+    bimodal_big = np.array([16] * 3000 + [160] * 3000)
+    cls = stride_classes(bimodal_big)
+    assert len(cls) > 1
+    assert sum(len(ix) for _, ix in cls) == 6000
+    assert all(st % 16 == 0 for st, _ in cls)
+    # generic (non-bucketed) rows still yield kernel-legal strides
+    assert all(st % 16 == 0
+               for st, _ in stride_classes(
+                   np.array([10] * 3000 + [99] * 3000)))
+    assert len(stride_classes(np.full(4000, 64))) == 1
+    assert len(stride_classes(bimodal_small[:100])) == 1  # too few
+
+
+def test_stride_class_reassembly_byte_identity(monkeypatch):
+    """The multi-class reassembly path (padded gathers, per-class
+    kernels, offset scatter back into original stream order) must be
+    byte-identical with the host coder. The split is FORCED via
+    monkeypatch so the test stays small enough for interpret mode —
+    the padding-aware decision itself is unit-tested above."""
     import dataclasses
 
     from lmcache_tpu.config import (LMCacheEngineConfig,
                                     LMCacheEngineMetadata)
-    from lmcache_tpu.ops.range_encode import (estimate_stride_rows,
-                                              stride_classes)
     from lmcache_tpu.storage.serde.cachegen_serde import CacheGenSerializer
 
-    # unit: bimodal stride rows split into >1 class; uniform rows don't
-    rows = np.array([16] * 300 + [160] * 100)
-    cls = stride_classes(rows)
-    assert len(cls) > 1
-    assert sum(len(ix) for _, ix in cls) == 400
-    assert len(stride_classes(np.full(400, 64))) == 1
-    assert len(stride_classes(rows[:100])) == 1  # too few streams
-
-    # serde: half the layers near-constant (low entropy), half gaussian
     def mk(mode):
         cfg = LMCacheEngineConfig.from_defaults(remote_serde="cachegen")
         cfg = dataclasses.replace(cfg, cachegen_device_encode=mode)
@@ -187,21 +201,27 @@ def test_stride_classes_split_and_byte_identity():
     blob[:4] = np.sign(blob[:4]) * 0.01  # near-binary: low entropy
     host_ser, dev_ser = mk("off"), mk("on")
 
+    import lmcache_tpu.ops.range_encode as renc
     import lmcache_tpu.storage.serde.cachegen_serde as cgs
+    real = renc.stride_classes
     n_classes = []
-    real = stride_classes
 
-    def spy(rows, *a, **k):
-        out = real(rows, *a, **k)
+    def force_split(rows, *a, **k):
+        rows = np.asarray(rows, np.int64)
+        med = int(np.median(rows))
+        lo = np.nonzero(rows <= med)[0]
+        hi = np.nonzero(rows > med)[0]
+        out = [(int(-(-rows[ix].max() // 16) * 16), ix)
+               for ix in (lo, hi) if len(ix)]
+        out = out or real(rows, *a, **k)
         n_classes.append(len(out))
         return out
 
-    import lmcache_tpu.ops.range_encode as renc
-    old = renc.stride_classes
-    renc.stride_classes = spy
-    try:
-        dev_bytes = dev_ser.to_bytes(blob)
-    finally:
-        renc.stride_classes = old
+    monkeypatch.setattr(renc, "stride_classes", force_split)
+    dev_bytes = dev_ser.to_bytes(blob)
+    # the device reassembly path must have actually produced the bytes
+    # — a crash there silently falls back to the host coder and would
+    # make the equality below vacuous
+    assert not cgs._device_encode_broken
     assert dev_bytes == host_ser.to_bytes(blob)
     assert max(n_classes) > 1, "class split never engaged"
