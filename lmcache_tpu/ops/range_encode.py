@@ -133,6 +133,28 @@ def stride_classes(rows: np.ndarray, max_classes: int = 3,
         if len(idx):
             classes.append((b16(rows[idx].max()), idx))
         prev = cut
+    # merge micro-classes upward (ascending strides, so the larger
+    # class's stride covers them): a 2-stream class still pads to a
+    # full kernel tile, costing more than it saves
+    merged = []
+    carry_ix, carry_st = None, 0
+    for st, ix in classes:
+        if carry_ix is not None:
+            ix = np.concatenate([carry_ix, ix])
+            st = max(st, carry_st)
+            carry_ix = None
+        if len(ix) < 256:
+            carry_ix, carry_st = ix, st
+        else:
+            merged.append((st, ix))
+    if carry_ix is not None:
+        if merged:
+            pst, pix = merged[-1]
+            merged[-1] = (max(pst, carry_st),
+                          np.concatenate([pix, carry_ix]))
+        else:
+            merged.append((carry_st, carry_ix))
+    classes = merged
     if len(classes) <= 1:
         return single
     split_bytes = sum(st * padded_streams(len(ix))
